@@ -1,0 +1,245 @@
+"""Host-side image file codecs (the FreeImage role).
+
+Decode/encode for the file formats the pipeline ingests.  PIL covers the
+LDR formats (PNG/JPEG/BMP/TGA/TIFF/WebP/...); a built-in codec handles
+Radiance HDR (.hdr) for HDR input, and PFM for float images.  Mirrors the
+reference's FreeImage usage (`/root/reference/lib/src/Image.cpp:870-972`):
+type sniffing from content, palette images promoted to RGB(A), scanlines
+normalized to top-down.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import struct
+
+import numpy as np
+
+from cuttlefish_tpu.image.format import ImageFormat
+
+try:
+    import PIL.Image as _pil
+
+    _HAVE_PIL = True
+except ImportError:  # pragma: no cover - PIL is expected in this image
+    _HAVE_PIL = False
+
+
+class DecodeError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# Radiance HDR (.hdr / .pic) — RGBE shared-exponent format.
+# ---------------------------------------------------------------------------
+
+
+def _rgbe_to_float(rgbe: np.ndarray) -> np.ndarray:
+    rgbe = rgbe.astype(np.float64)
+    exp = rgbe[..., 3]
+    scale = np.where(exp == 0, 0.0, np.ldexp(1.0, (exp - 136).astype(np.int64)))
+    return (rgbe[..., :3] + 0.5) * scale[..., None] * np.where(exp == 0, 0, 1)[..., None]
+
+
+def _float_to_rgbe(rgb: np.ndarray) -> np.ndarray:
+    maxc = np.max(rgb, axis=-1)
+    out = np.zeros(rgb.shape[:-1] + (4,), np.uint8)
+    nz = maxc >= 1e-32
+    mant, exp = np.frexp(np.where(nz, maxc, 1.0))
+    scale = np.where(nz, mant * 256.0 / np.where(nz, maxc, 1.0), 0.0)
+    quant = np.clip(rgb * scale[..., None], 0, 255).astype(np.uint8)
+    out[..., :3] = np.where(nz[..., None], quant, 0)
+    out[..., 3] = np.where(nz, exp + 128, 0).astype(np.uint8)
+    return out
+
+
+def decode_hdr(data: bytes) -> np.ndarray:
+    """Radiance RGBE -> (H, W, 3) float32 (new-style RLE supported)."""
+    if not (data.startswith(b"#?RADIANCE") or data.startswith(b"#?RGBE")):
+        raise DecodeError("not a Radiance HDR file")
+    pos = data.index(b"\n\n") if b"\n\n" in data else -1
+    if pos < 0:
+        raise DecodeError("malformed HDR header")
+    header_end = pos + 2
+    dims_end = data.index(b"\n", header_end)
+    dims = data[header_end:dims_end].split()
+    if len(dims) != 4 or dims[0] != b"-Y" or dims[2] != b"+X":
+        raise DecodeError("unsupported HDR scanline orientation")
+    height, width = int(dims[1]), int(dims[3])
+    buf = memoryview(data)[dims_end + 1 :]
+    rgbe = np.zeros((height, width, 4), np.uint8)
+    off = 0
+    for y in range(height):
+        if (
+            width >= 8
+            and width < 32768
+            and off + 4 <= len(buf)
+            and buf[off] == 2
+            and buf[off + 1] == 2
+        ):
+            # New-style RLE: per-channel runs.
+            off += 4
+            for c in range(4):
+                x = 0
+                while x < width:
+                    count = buf[off]
+                    off += 1
+                    if count > 128:  # run
+                        rgbe[y, x : x + count - 128, c] = buf[off]
+                        off += 1
+                        x += count - 128
+                    else:  # literal
+                        rgbe[y, x : x + count, c] = np.frombuffer(
+                            buf[off : off + count], np.uint8
+                        )
+                        off += count
+                        x += count
+        else:
+            row = np.frombuffer(buf[off : off + width * 4], np.uint8)
+            rgbe[y] = row.reshape(width, 4)
+            off += width * 4
+    return _rgbe_to_float(rgbe).astype(np.float32)
+
+
+def encode_hdr(rgb: np.ndarray) -> bytes:
+    """(H, W, 3) float -> Radiance RGBE bytes (uncompressed scanlines)."""
+    h, w = rgb.shape[:2]
+    rgbe = _float_to_rgbe(np.asarray(rgb, np.float64))
+    header = b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n" + f"-Y {h} +X {w}\n".encode()
+    return header + rgbe.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# PFM (portable float map) — simple float32 interchange.
+# ---------------------------------------------------------------------------
+
+
+def decode_pfm(data: bytes) -> tuple[np.ndarray, ImageFormat]:
+    parts = data.split(maxsplit=4)
+    kind = parts[0]
+    if kind not in (b"PF", b"Pf"):
+        raise DecodeError("not a PFM file")
+    width, height = int(parts[1]), int(parts[2])
+    scale = float(parts[3])
+    # Pixel data starts right after the scale token's single whitespace.
+    header_len = len(data) - len(parts[4]) if len(parts) > 4 else len(data)
+    channels = 3 if kind == b"PF" else 1
+    count = width * height * channels
+    dt = np.dtype(np.float32).newbyteorder("<" if scale < 0 else ">")
+    pixels = np.frombuffer(data, dt, count, offset=header_len).astype(np.float32)
+    shape = (height, width, 3) if channels == 3 else (height, width)
+    arr = pixels.reshape(shape)[::-1]  # PFM is bottom-up
+    return np.ascontiguousarray(arr), (
+        ImageFormat.RGBF if channels == 3 else ImageFormat.Float
+    )
+
+
+def encode_pfm(data: np.ndarray) -> bytes:
+    if data.ndim == 3:
+        header = f"PF\n{data.shape[1]} {data.shape[0]}\n-1.0\n"
+    else:
+        header = f"Pf\n{data.shape[1]} {data.shape[0]}\n-1.0\n"
+    return header.encode() + np.ascontiguousarray(
+        data[::-1].astype("<f4")
+    ).tobytes()
+
+
+# ---------------------------------------------------------------------------
+# PIL bridge.
+# ---------------------------------------------------------------------------
+
+_PIL_MODE_TO_FORMAT = {
+    "L": ImageFormat.Gray8,
+    "RGB": ImageFormat.RGB8,
+    "RGBA": ImageFormat.RGBA8,
+    "I;16": ImageFormat.UInt16,
+    "I;16B": ImageFormat.UInt16,
+    "I;16L": ImageFormat.UInt16,
+    "I": ImageFormat.Int32,
+    "F": ImageFormat.Float,
+}
+
+
+def _from_pil(img) -> tuple[np.ndarray, ImageFormat]:
+    # Palette/exotic modes are promoted like FreeImage's palette->24/32-bit
+    # conversion (Image.cpp:710-740).
+    if img.mode == "P":
+        has_alpha = "transparency" in img.info
+        img = img.convert("RGBA" if has_alpha else "RGB")
+    elif img.mode == "LA":
+        img = img.convert("RGBA")
+    elif img.mode == "1":
+        img = img.convert("L")
+    elif img.mode in ("CMYK", "YCbCr", "HSV"):
+        img = img.convert("RGB")
+    fmt = _PIL_MODE_TO_FORMAT.get(img.mode)
+    if fmt is None:
+        img = img.convert("RGBA")
+        fmt = ImageFormat.RGBA8
+    arr = np.asarray(img)
+    if fmt is ImageFormat.UInt16:
+        arr = arr.astype(np.uint16)
+    return arr, fmt
+
+
+def load(source) -> tuple[np.ndarray, ImageFormat]:
+    """Load from path / bytes / file-like; sniffs type from content.
+
+    Returns (top-down storage array, format).
+    """
+    if isinstance(source, (str, os.PathLike)):
+        with open(source, "rb") as f:
+            data = f.read()
+    elif isinstance(source, (bytes, bytearray, memoryview)):
+        data = bytes(source)
+    else:
+        data = source.read()
+
+    if data.startswith(b"#?RADIANCE") or data.startswith(b"#?RGBE"):
+        return decode_hdr(data), ImageFormat.RGBF
+    if data[:2] in (b"PF", b"Pf") and data[2:3] in (b"\n", b" ", b"\r"):
+        return decode_pfm(data)
+    if not _HAVE_PIL:
+        raise DecodeError("PIL unavailable and format not built-in")
+    try:
+        img = _pil.open(io.BytesIO(data))
+        img.load()
+    except Exception as exc:
+        raise DecodeError(str(exc)) from exc
+    return _from_pil(img)
+
+
+_FORMAT_TO_PIL_MODE = {
+    ImageFormat.Gray8: "L",
+    ImageFormat.RGB8: "RGB",
+    ImageFormat.RGBA8: "RGBA",
+    ImageFormat.UInt16: "I;16",
+    ImageFormat.Int32: "I",
+    ImageFormat.Float: "F",
+}
+
+
+def save(data: np.ndarray, fmt: ImageFormat, file_name: str) -> bool:
+    """Save storage array to a file; format chosen by extension."""
+    ext = os.path.splitext(file_name)[1].lower()
+    try:
+        if ext in (".hdr", ".pic"):
+            if data.ndim != 3 or data.shape[2] != 3:
+                return False
+            with open(file_name, "wb") as f:
+                f.write(encode_hdr(np.asarray(data, np.float64)))
+            return True
+        if ext == ".pfm":
+            with open(file_name, "wb") as f:
+                f.write(encode_pfm(np.asarray(data, np.float32)))
+            return True
+        if not _HAVE_PIL:
+            return False
+        mode = _FORMAT_TO_PIL_MODE.get(fmt)
+        if mode is None:
+            return False
+        _pil.fromarray(np.asarray(data), mode=mode).save(file_name)
+        return True
+    except Exception:
+        return False
