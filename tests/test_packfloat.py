@@ -70,7 +70,11 @@ def test_b10g11r11_roundtrip():
     packed = pack_b10g11r11(rgb)
     back = unpack_b10g11r11(packed)
     rel = np.abs(back - rgb) / np.maximum(rgb, 1e-10)
-    assert rel[rgb > 0].max() < 0.02
+    # Normal range: half-ulp relative error; below 2^-14 values are denormal
+    # with absolute step 2^-20/2^-19.
+    normal = rgb >= 2.0**-14
+    assert rel[normal].max() < 0.02
+    assert np.abs(back - rgb)[~normal].max() <= 2.0**-19
 
 
 def test_rgb9e5_exact():
