@@ -1,0 +1,522 @@
+"""BC7 block encoder (batched JAX).
+
+TPU-native replacement for bc7e.ispc / bc7enc
+(`/root/reference/lib/src/S3tcConverter.cpp:593-646`).  Strategy: fixed-shape
+candidate enumeration over modes {6, 1, 3, 7, 5} with least-squares endpoint
+refinement, masked best-candidate reductions instead of the CPU encoders'
+data-dependent early-outs (SURVEY.md §7).
+
+Quality ladder (mirrors the reference's ultrafast..slowest table at
+`S3tcConverter.cpp:170-227` in role):
+  0: mode 6 only
+  1: modes 6 + 1 (4 partitions)
+  2: modes 6 + 1 (8 partitions) + 5
+  3: modes 6 + 1 (16) + 3 (8) + 5
+  4: modes 6 + 1 (32) + 3 (16) + 7 (16) + 5
+
+All arithmetic matching the decoder runs in the integer 0..255 endpoint
+domain; interpolation uses the spec weight tables with (x*(64-w)+y*w+32)>>6.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cuttlefish_tpu.kernels import bc7_tables as T
+from cuttlefish_tpu.kernels.bc import _ls_solve
+
+_PART2 = jnp.asarray(T.PARTITION2)  # [64,16]
+_ANCHOR2 = jnp.asarray(T.ANCHOR2)  # [64]
+_W2 = jnp.asarray(T.WEIGHTS2)
+_W3 = jnp.asarray(T.WEIGHTS3)
+_W4 = jnp.asarray(T.WEIGHTS4)
+
+
+# ---------------------------------------------------------------------------
+# Endpoint quantization (targets in the 0..255 float domain)
+# ---------------------------------------------------------------------------
+
+
+def _replicate(v, bits):
+    """Bit-replicate a `bits`-wide int to 8 bits."""
+    if bits == 8:
+        return v
+    return (v << (8 - bits)) | (v >> (2 * bits - 8))
+
+
+def _quant_pbit_each(t, bits, ch_w):
+    """Per-endpoint pbit: t [M,C] float -> (v [M,C], p [M], dec [M,C])."""
+    maxv = (1 << bits) - 1
+    full = (1 << (bits + 1)) - 1
+    best = None
+    for p in (0, 1):
+        v = jnp.clip(jnp.round((t / 255.0 * full - p) / 2.0), 0, maxv).astype(
+            jnp.int32
+        )
+        dec = _replicate((v << 1) | p, bits + 1)
+        err = (((t - dec) ** 2) * ch_w).sum(-1)
+        cand = (v, jnp.full(err.shape, p, jnp.int32), dec, err)
+        if best is None:
+            best = cand
+        else:
+            take = cand[3] < best[3]
+            best = tuple(
+                jnp.where(take[(...,) + (None,) * (b.ndim - 1)], c, b)
+                for c, b in zip(cand, best)
+            )
+    return best[0], best[1], best[2]
+
+
+def _quant_pbit_shared(t0, t1, bits, ch_w):
+    """Shared pbit across both endpoints: returns (v0, v1, p, d0, d1)."""
+    maxv = (1 << bits) - 1
+    full = (1 << (bits + 1)) - 1
+    best = None
+    for p in (0, 1):
+        v0 = jnp.clip(jnp.round((t0 / 255.0 * full - p) / 2.0), 0, maxv).astype(
+            jnp.int32
+        )
+        v1 = jnp.clip(jnp.round((t1 / 255.0 * full - p) / 2.0), 0, maxv).astype(
+            jnp.int32
+        )
+        d0 = _replicate((v0 << 1) | p, bits + 1)
+        d1 = _replicate((v1 << 1) | p, bits + 1)
+        err = (((t0 - d0) ** 2 + (t1 - d1) ** 2) * ch_w).sum(-1)
+        cand = (v0, v1, jnp.full(err.shape, p, jnp.int32), d0, d1, err)
+        if best is None:
+            best = cand
+        else:
+            take = cand[5] < best[5]
+            best = tuple(
+                jnp.where(take[(...,) + (None,) * (b.ndim - 1)], c, b)
+                for c, b in zip(cand, best)
+            )
+    return best[:5]
+
+
+def _quant_plain(t, bits):
+    """No pbit: t [M,C] -> (v, dec)."""
+    maxv = (1 << bits) - 1
+    v = jnp.clip(jnp.round(t / 255.0 * maxv), 0, maxv).astype(jnp.int32)
+    return v, _replicate(v, bits)
+
+
+# ---------------------------------------------------------------------------
+# Subset fitting
+# ---------------------------------------------------------------------------
+
+
+def _masked_seed(colors, mask):
+    """Principal-axis extreme points of the masked pixel set.
+
+    colors [M,16,C] (0..255), mask [M,16] -> (hi, lo) [M,C].
+    """
+    cnt = mask.sum(1, keepdims=True) + 1e-6
+    mean = (colors * mask[..., None]).sum(1) / cnt
+    centered = (colors - mean[:, None, :]) * mask[..., None]
+    cov = jnp.einsum("nic,nid->ncd", centered, centered)
+    norms = (centered * centered).sum(-1)
+    start = jnp.take_along_axis(centered, norms.argmax(1)[:, None, None], axis=1)[
+        :, 0
+    ]
+    n0 = jnp.linalg.norm(start, axis=-1, keepdims=True)
+    v = jnp.where(n0 > 1e-10, start / (n0 + 1e-20), jnp.ones_like(start))
+    for _ in range(4):
+        nv = jnp.einsum("ncd,nd->nc", cov, v)
+        n = jnp.linalg.norm(nv, axis=-1, keepdims=True)
+        v = jnp.where(n > 1e-10, nv / (n + 1e-20), v)
+    t = jnp.einsum("nic,nc->ni", centered, v)
+    neg = jnp.where(mask > 0, t, jnp.inf)
+    pos = jnp.where(mask > 0, t, -jnp.inf)
+    hi = jnp.take_along_axis(colors, pos.argmax(1)[:, None, None], axis=1)[:, 0]
+    lo = jnp.take_along_axis(colors, neg.argmin(1)[:, None, None], axis=1)[:, 0]
+    return hi, lo
+
+
+def _palette(d0, d1, weights):
+    """Integer palette: d0,d1 [M,C] int, weights [L] -> [M,L,C] int."""
+    w = weights[None, :, None]
+    return (d0[:, None, :] * (64 - w) + d1[:, None, :] * w + 32) >> 6
+
+
+def _assign(colors, pal, mask, ch_w):
+    d = colors[:, :, None, :] - pal[:, None, :, :].astype(colors.dtype)
+    e = jnp.einsum("nlkc,c->nlk", d * d, ch_w)
+    idx = e.argmin(axis=-1).astype(jnp.int32)
+    err = (jnp.min(e, axis=-1) * mask).sum(axis=1)
+    return idx, err
+
+
+def _fit_subset(colors, mask, weights, quant, iters, ch_w):
+    """Fit one subset: returns (state, idx [M,16], err [M]).
+
+    colors [M,16,4] in 0..255; mask selects the subset's pixels.  `quant`
+    maps float endpoint pairs to (state..., d0, d1) with d* the decoded
+    integer endpoints; state is passed through for packing.
+    """
+    wf = weights.astype(jnp.float32) / 64.0
+
+    def candidate(e0, e1):
+        st = quant(e0, e1)
+        d0, d1 = st[-2], st[-1]
+        pal = _palette(d0, d1, weights)
+        idx, err = _assign(colors, pal, mask, ch_w)
+        return st, idx, err
+
+    hi, lo = _masked_seed(colors, mask)
+    best = candidate(hi, lo)
+    for _ in range(iters):
+        w = wf[best[1]]
+        e1f, e0f = _ls_solve(colors, w, px_valid=mask)  # w=1 -> d1
+        st, idx, err = candidate(e0f, e1f)
+        take = err < best[2]
+        best = (
+            tuple(
+                jnp.where(take[(...,) + (None,) * (s.ndim - 1)], a, b)
+                for a, b in zip(st, best[0])
+            ),
+            jnp.where(take[:, None], idx, best[1]),
+            jnp.where(take, err, best[2]),
+        )
+    return best
+
+
+# ---------------------------------------------------------------------------
+# Bit packing
+# ---------------------------------------------------------------------------
+
+
+class _Packer:
+    """Static-position bit packer into 4 little-endian uint32 words."""
+
+    def __init__(self, n):
+        self.words = [jnp.zeros((n,), jnp.uint32) for _ in range(4)]
+        self.pos = 0
+
+    def put(self, value, nbits):
+        v = value.astype(jnp.uint32) & jnp.uint32((1 << nbits) - 1)
+        w, b = divmod(self.pos, 32)
+        self.words[w] = self.words[w] | (v << jnp.uint32(b))
+        if b + nbits > 32:
+            self.words[w + 1] = self.words[w + 1] | (v >> jnp.uint32(32 - b))
+        self.pos += nbits
+
+    def put_dynamic(self, value, pos, maxbits):
+        """Scatter `value` ([M]) at dynamic bit position `pos` ([M])."""
+        v = value.astype(jnp.uint32)
+        for w in range(4):
+            rel = pos - 32 * w
+            lo = v << jnp.uint32(jnp.clip(rel, 0, 31))
+            hi = v >> jnp.uint32(jnp.clip(-rel, 0, 31))
+            part = jnp.where(rel >= 0, lo, hi)
+            valid = (rel > -maxbits) & (rel < 32)
+            self.words[w] = self.words[w] | jnp.where(valid, part, 0)
+
+    def stack(self):
+        return jnp.stack(self.words, axis=-1)
+
+
+def _pack_indices(packer, idx, nbits, anchors, start):
+    """Pack per-pixel indices with anchor bit elision.
+
+    anchors: list of [M] int arrays (pixel positions whose index loses its
+    MSB — guaranteed clear by the caller's endpoint-swap fixup).
+    """
+    m = idx.shape[0]
+    is_anchor = jnp.zeros((m, 16), bool)
+    for a in anchors:
+        is_anchor = is_anchor | (
+            jnp.arange(16)[None, :] == a[:, None]
+        )
+    bits = jnp.full((m, 16), nbits, jnp.int32) - is_anchor.astype(jnp.int32)
+    pos = start + jnp.cumsum(bits, axis=1) - bits
+    for i in range(16):
+        packer.put_dynamic(idx[:, i], pos[:, i], nbits)
+
+
+# ---------------------------------------------------------------------------
+# Mode encoders
+# ---------------------------------------------------------------------------
+
+
+def _anchor_fixup(idx, sel_mask, anchor_pos, nlevels):
+    """If the anchor pixel's index has its MSB set, flag a swap and invert
+    the subset's indices.  Returns (swap [M] bool, idx')."""
+    a = jnp.take_along_axis(idx, anchor_pos[:, None], axis=1)[:, 0]
+    swap = a >= (nlevels // 2)
+    inv = (nlevels - 1) - idx
+    idx = jnp.where(swap[:, None] & sel_mask, inv, idx)
+    return swap, idx
+
+
+def _encode_mode6(colors, iters, ch_w):
+    """Mode 6: 1 subset, RGBA 7.7.7.7 + per-endpoint pbit, 4-bit indices."""
+    m = colors.shape[0]
+    ones = jnp.ones((m, 16), jnp.float32)
+
+    def quant(e0, e1):
+        v0, p0, d0 = _quant_pbit_each(e0, 7, ch_w)
+        v1, p1, d1 = _quant_pbit_each(e1, 7, ch_w)
+        return (v0, v1, p0, p1, d0, d1)
+
+    (v0, v1, p0, p1, d0, d1), idx, err = _fit_subset(
+        colors, ones, _W4, quant, iters, ch_w
+    )
+    swap, idx = _anchor_fixup(idx, ones > 0, jnp.zeros((m,), jnp.int32), 16)
+    v0, v1 = jnp.where(swap[:, None], v1, v0), jnp.where(swap[:, None], v0, v1)
+    p0, p1 = jnp.where(swap, p1, p0), jnp.where(swap, p0, p1)
+
+    pk = _Packer(m)
+    pk.put(jnp.full((m,), 1 << 6, jnp.int32), 7)  # mode
+    for c in range(4):  # R0 R1 G0 G1 B0 B1 A0 A1
+        pk.put(v0[:, c], 7)
+        pk.put(v1[:, c], 7)
+    pk.put(p0, 1)
+    pk.put(p1, 1)
+    _pack_indices(pk, idx, 4, [jnp.zeros((m,), jnp.int32)], pk.pos)
+    return pk.stack(), err
+
+
+def _rank_partitions(colors, ch_w, k):
+    """Cheap per-partition proxy score; returns top-k partition ids [N,k].
+
+    Score = within-subset variance (total weighted SSE about subset means).
+    """
+    masks = _PART2.astype(jnp.float32)  # [64,16]
+    n1 = masks.sum(1)
+    n0 = 16.0 - n1
+    s1 = jnp.einsum("nic,pi->npc", colors, masks)
+    s0 = colors.sum(1)[:, None, :] - s1
+    tot = jnp.einsum("nic,c->n", colors * colors, ch_w)
+    red = jnp.einsum("npc,c->np", s1 * s1, ch_w) / n1[None, :] + jnp.einsum(
+        "npc,c->np", s0 * s0, ch_w
+    ) / n0[None, :]
+    score = tot[:, None] - red
+    _, pidx = jax.lax.top_k(-score, k)
+    return pidx.astype(jnp.int32)
+
+
+def _gather_best(state_list, err, axis1_size):
+    """Reduce [N,K,...] candidate pytrees to the best K per block."""
+    best_k = err.argmin(axis=1)
+
+    def g(x):
+        xk = x.reshape((err.shape[0], axis1_size) + x.shape[1:])
+        return jnp.take_along_axis(
+            xk, best_k[(...,) + (None,) * xk.ndim][:, : 1].reshape(
+                (err.shape[0],) + (1,) * (xk.ndim - 1)
+            ), axis=1
+        )[:, 0]
+
+    return [g(x) for x in state_list], err.min(axis=1)
+
+
+def _encode_two_subset(colors, iters, ch_w, num_partitions, mode):
+    """Modes 1/3/7: 2 subsets over the 64-pattern table.
+
+    mode 1: RGB 6.6 + shared pbit/subset, 3-bit idx
+    mode 3: RGB 7.7 + per-endpoint pbit,  2-bit idx
+    mode 7: RGBA 5.5 + per-endpoint pbit, 2-bit idx
+    """
+    n = colors.shape[0]
+    k = num_partitions
+    pidx = _rank_partitions(colors, ch_w, k)  # [N,k]
+    masks = _PART2[pidx.reshape(-1)].astype(jnp.float32)  # [N*k,16]
+    cols = jnp.repeat(colors, k, axis=0)  # [N*k,16,4]
+
+    if mode == 1:
+        weights, nlev, bits = _W3, 8, 6
+        cw = ch_w * jnp.array([1, 1, 1, 0], jnp.float32)
+
+        def quant(e0, e1):
+            v0, v1, p, d0, d1 = _quant_pbit_shared(
+                e0[:, :3], e1[:, :3], bits, cw[:3]
+            )
+            d0 = jnp.concatenate([d0, jnp.full_like(d0[:, :1], 255)], -1)
+            d1 = jnp.concatenate([d1, jnp.full_like(d1[:, :1], 255)], -1)
+            return (v0, v1, p, p, d0, d1)
+
+    elif mode == 3:
+        weights, nlev, bits = _W2, 4, 7
+        cw = ch_w * jnp.array([1, 1, 1, 0], jnp.float32)
+
+        def quant(e0, e1):
+            v0, p0, d0 = _quant_pbit_each(e0[:, :3], bits, cw[:3])
+            v1, p1, d1 = _quant_pbit_each(e1[:, :3], bits, cw[:3])
+            d0 = jnp.concatenate([d0, jnp.full_like(d0[:, :1], 255)], -1)
+            d1 = jnp.concatenate([d1, jnp.full_like(d1[:, :1], 255)], -1)
+            return (v0, v1, p0, p1, d0, d1)
+
+    else:  # mode 7
+        weights, nlev, bits = _W2, 4, 5
+        cw = ch_w
+
+        def quant(e0, e1):
+            v0, p0, d0 = _quant_pbit_each(e0, bits, cw)
+            v1, p1, d1 = _quant_pbit_each(e1, bits, cw)
+            return (v0, v1, p0, p1, d0, d1)
+
+    # Alpha error for alpha-less modes: palette alpha is fixed 255, so add
+    # the (a-255)^2 term once per pixel.
+    alpha_pen = 0.0
+    if mode in (1, 3):
+        alpha_pen = (ch_w[3] * (cols[..., 3] - 255.0) ** 2).sum(1)
+
+    st0, idx0, err0 = _fit_subset(cols, 1.0 - masks, weights, quant, iters, cw)
+    st1, idx1, err1 = _fit_subset(cols, masks, weights, quant, iters, cw)
+    err = err0 + err1 + alpha_pen  # [N*k]
+
+    idx = jnp.where(masks > 0, idx1, idx0)
+    state = list(st0) + list(st1) + [idx, pidx.reshape(-1)]
+    state, best_err = _gather_best(state, err.reshape(n, k), k)
+    (v00, v01, p00, p01, _, _, v10, v11, p10, p11, _, _, idx, part) = state
+
+    sel1 = _PART2[part] > 0  # [N,16] bool
+    anchor0 = jnp.zeros((n,), jnp.int32)
+    anchor1 = _ANCHOR2[part]
+
+    swap0, idx = _anchor_fixup(idx, ~sel1, anchor0, nlev)
+    swap1, idx = _anchor_fixup(idx, sel1, anchor1, nlev)
+
+    def sw(a, b, flag):
+        f = flag[(...,) + (None,) * (a.ndim - 1)]
+        return jnp.where(f, b, a), jnp.where(f, a, b)
+
+    v00, v01 = sw(v00, v01, swap0)
+    p00, p01 = sw(p00, p01, swap0)
+    v10, v11 = sw(v10, v11, swap1)
+    p10, p11 = sw(p10, p11, swap1)
+
+    pk = _Packer(n)
+    nch = 4 if mode == 7 else 3
+    if mode == 1:
+        pk.put(jnp.full((n,), 2, jnp.int32), 2)
+    elif mode == 3:
+        pk.put(jnp.full((n,), 8, jnp.int32), 4)
+    else:
+        pk.put(jnp.full((n,), 128, jnp.int32), 8)
+    pk.put(part, 6)
+    for c in range(nch):
+        pk.put(v00[:, c], bits)
+        pk.put(v01[:, c], bits)
+        pk.put(v10[:, c], bits)
+        pk.put(v11[:, c], bits)
+    if mode == 1:
+        pk.put(p00, 1)  # shared pbit subset 0
+        pk.put(p10, 1)  # shared pbit subset 1
+    else:
+        pk.put(p00, 1)
+        pk.put(p01, 1)
+        pk.put(p10, 1)
+        pk.put(p11, 1)
+    nbits = 3 if mode == 1 else 2
+    _pack_indices(pk, idx, nbits, [anchor0, anchor1], pk.pos)
+    return pk.stack(), best_err
+
+
+def _encode_mode5(colors, iters, ch_w):
+    """Mode 5: 1 subset, rotation 0, RGB 7.7 + A 8.8, 2+2 bit indices."""
+    m = colors.shape[0]
+    ones = jnp.ones((m, 16), jnp.float32)
+    cw = ch_w * jnp.array([1, 1, 1, 0], jnp.float32)
+
+    def quant_rgb(e0, e1):
+        v0, d0 = _quant_plain(e0[:, :3], 7)
+        v1, d1 = _quant_plain(e1[:, :3], 7)
+        d0 = jnp.concatenate([d0, jnp.zeros_like(d0[:, :1])], -1)
+        d1 = jnp.concatenate([d1, jnp.zeros_like(d1[:, :1])], -1)
+        return (v0, v1, d0, d1)
+
+    (v0, v1, _, _), cidx, cerr = _fit_subset(colors, ones, _W2, quant_rgb, iters, cw)
+    swapc, cidx = _anchor_fixup(cidx, ones > 0, jnp.zeros((m,), jnp.int32), 4)
+    v0, v1 = jnp.where(swapc[:, None], v1, v0), jnp.where(swapc[:, None], v0, v1)
+
+    # Alpha: scalar 8-bit endpoints, 2-bit indices.
+    a = colors[..., 3]
+    a_hi = a.max(1)
+    a_lo = a.min(1)
+
+    def acand(e0, e1):
+        q0 = jnp.clip(jnp.round(e0), 0, 255).astype(jnp.int32)
+        q1 = jnp.clip(jnp.round(e1), 0, 255).astype(jnp.int32)
+        pal = (
+            q0[:, None] * (64 - _W2[None, :]) + q1[:, None] * _W2[None, :] + 32
+        ) >> 6
+        e = (a[:, :, None] - pal[:, None, :]) ** 2
+        idx = e.argmin(-1).astype(jnp.int32)
+        return q0, q1, idx, e.min(-1).sum(1)
+
+    abest = acand(a_hi, a_lo)
+    wf2 = _W2.astype(jnp.float32) / 64.0
+    for _ in range(iters):
+        w = wf2[abest[2]]
+        e1f, e0f = _ls_solve(a[..., None], w)
+        cand = acand(e0f[:, 0], e1f[:, 0])
+        take = cand[3] < abest[3]
+        abest = tuple(
+            jnp.where(take[(...,) + (None,) * (b.ndim - 1)], c, b)
+            for c, b in zip(cand, abest)
+        )
+    a0, a1, aidx, aerr = abest
+    swapa = jnp.take_along_axis(aidx, jnp.zeros((m, 1), jnp.int32), 1)[:, 0] >= 2
+    a0, a1 = jnp.where(swapa, a1, a0), jnp.where(swapa, a0, a1)
+    aidx = jnp.where(swapa[:, None], 3 - aidx, aidx)
+
+    err = cerr + ch_w[3] * aerr
+
+    pk = _Packer(m)
+    pk.put(jnp.full((m,), 1 << 5, jnp.int32), 6)  # mode
+    pk.put(jnp.zeros((m,), jnp.int32), 2)  # rotation 0
+    for c in range(3):
+        pk.put(v0[:, c], 7)
+        pk.put(v1[:, c], 7)
+    pk.put(a0, 8)
+    pk.put(a1, 8)
+    zero = [jnp.zeros((m,), jnp.int32)]
+    _pack_indices(pk, cidx, 2, zero, pk.pos)
+    _pack_indices(pk, aidx, 2, zero, 97)  # alpha indices start at bit 97
+    return pk.stack(), err
+
+
+_QUALITY_PLAN = {
+    0: {"iters": 1, "modes": {6: None}},
+    1: {"iters": 2, "modes": {6: None, 1: 4}},
+    2: {"iters": 2, "modes": {6: None, 1: 8, 5: None}},
+    3: {"iters": 3, "modes": {6: None, 1: 16, 3: 8, 5: None}},
+    4: {"iters": 4, "modes": {6: None, 1: 32, 3: 16, 7: 16, 5: None}},
+}
+
+
+@functools.partial(jax.jit, static_argnames=("quality", "perceptual"))
+def encode_bc7(
+    blocks: jnp.ndarray, quality: int = 2, perceptual: bool = False
+) -> jnp.ndarray:
+    """Encode [N,16,4] float RGBA blocks (0..1) to BC7 [N,4] uint32 words."""
+    colors = jnp.clip(blocks.astype(jnp.float32), 0.0, 1.0) * 255.0
+    if perceptual:
+        ch_w = jnp.array([0.55, 1.1, 0.35, 1.0], jnp.float32)
+    else:
+        ch_w = jnp.ones((4,), jnp.float32)
+    plan = _QUALITY_PLAN[max(0, min(4, int(quality)))]
+    iters = plan["iters"]
+
+    words = None
+    err = None
+    for mode, parts in plan["modes"].items():
+        if mode == 6:
+            w, e = _encode_mode6(colors, iters, ch_w)
+        elif mode == 5:
+            w, e = _encode_mode5(colors, iters, ch_w)
+        else:
+            w, e = _encode_two_subset(colors, iters, ch_w, parts, mode)
+        if words is None:
+            words, err = w, e
+        else:
+            take = e < err
+            words = jnp.where(take[:, None], w, words)
+            err = jnp.where(take, e, err)
+    return words
