@@ -1,0 +1,111 @@
+"""BC6H block decoder (numpy/python, per the D3D11.3 functional spec).
+
+Covers the one-region modes 11 (10.10) and 12 (11.9 delta) that the encoder
+emits; the remaining modes raise (extend together with the encoder).
+Returns half-float bits; use `half_bits_to_f32` for values.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from cuttlefish_tpu.kernels.bc7_tables import WEIGHTS4
+from cuttlefish_tpu.packfloat import half_bits_to_f32
+
+
+def _unquant_unsigned(q: int, bits: int) -> int:
+    maxq = (1 << bits) - 1
+    if q == 0:
+        return 0
+    if q == maxq:
+        return 0xFFFF
+    return ((q << 16) + 0x8000) >> bits
+
+
+def _unquant_signed(q: int, bits: int) -> int:
+    s = q < 0
+    aq = abs(q)
+    maxa = (1 << (bits - 1)) - 1
+    if aq == 0:
+        u = 0
+    elif aq >= maxa:
+        u = 0x7FFF
+    else:
+        u = ((aq << 15) + 0x4000) >> (bits - 1)
+    return -u if s else u
+
+
+def _finalize(v: int, signed: bool) -> int:
+    if signed:
+        mag = (abs(v) * 31) >> 5
+        return (0x8000 | mag) if v < 0 else mag
+    return (v * 31) >> 6
+
+
+def _sext(v: int, bits: int) -> int:
+    if v & (1 << (bits - 1)):
+        return v - (1 << bits)
+    return v
+
+
+def _decode_block(block: int, signed: bool) -> np.ndarray:
+    out = np.zeros((16, 3), np.uint16)
+    header2 = block & 0x3
+    if header2 in (0, 1):
+        raise NotImplementedError("BC6H two-region modes not supported yet")
+    header5 = block & 0x1F
+    pos = 5
+    def rd(n):
+        nonlocal pos
+        v = (block >> pos) & ((1 << n) - 1)
+        pos += n
+        return v
+
+    if header5 == 0x03:  # mode 11: 10.10 absolute
+        e0 = [rd(10) for _ in range(3)]
+        e1 = [rd(10) for _ in range(3)]
+        if signed:
+            e0 = [_sext(v, 10) for v in e0]
+            e1 = [_sext(v, 10) for v in e1]
+        bits = 10
+    elif header5 == 0x07:  # mode 12: 11-bit base, 9-bit delta
+        e0 = [rd(10) for _ in range(3)]
+        e1 = []
+        for c in range(3):
+            d = _sext(rd(9), 9)
+            e0[c] |= rd(1) << 10
+            e1.append(d)
+        if signed:
+            e0 = [_sext(v, 11) for v in e0]
+        e1 = [(e0[c] + e1[c]) & 0x7FF for c in range(3)]
+        if signed:
+            e1 = [_sext(v, 11) for v in e1]
+        bits = 11
+    else:
+        raise NotImplementedError(f"BC6H mode header {header5:#x} not supported")
+
+    unq = _unquant_signed if signed else _unquant_unsigned
+    u0 = [unq(v, bits) for v in e0]
+    u1 = [unq(v, bits) for v in e1]
+    for i in range(16):
+        n = 3 if i == 0 else 4
+        w = WEIGHTS4[(block >> pos) & ((1 << n) - 1)]
+        pos += n
+        for c in range(3):
+            interp = (u0[c] * (64 - w) + u1[c] * w + 32) >> 6
+            out[i, c] = _finalize(int(interp), signed) & 0xFFFF
+    return out
+
+
+def decode_bc6h(data: np.ndarray, signed: bool = False) -> np.ndarray:
+    """[N*16] or [N,16] uint8 -> [N,16,3] uint16 half bits."""
+    data = np.asarray(data, np.uint8).reshape(-1, 16)
+    out = np.zeros((data.shape[0], 16, 3), np.uint16)
+    for n in range(data.shape[0]):
+        out[n] = _decode_block(int.from_bytes(data[n].tobytes(), "little"), signed)
+    return out
+
+
+def decode_bc6h_f32(data: np.ndarray, signed: bool = False) -> np.ndarray:
+    """Decode to float32 values."""
+    return half_bits_to_f32(decode_bc6h(data, signed))

@@ -176,7 +176,7 @@ def _fit_subset(colors, mask, weights, quant, iters, ch_w):
         take = err < best[2]
         best = (
             tuple(
-                jnp.where(take[(...,) + (None,) * (s.ndim - 1)], a, b)
+                jnp.where(take[(...,) + (None,) * (a.ndim - 1)], a, b)
                 for a, b in zip(st, best[0])
             ),
             jnp.where(take[:, None], idx, best[1]),
