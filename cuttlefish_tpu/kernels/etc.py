@@ -1,0 +1,622 @@
+"""ETC1 / ETC2 / EAC block encoders (batched JAX).
+
+TPU-native replacement for etc2comp (`/root/reference/lib/src/EtcConverter.cpp`).
+Implemented modes:
+  - ETC1: individual (4.4.4) and differential (5.5.5 + 3.3.3) base colors,
+    2x4 / 4x2 subblocks (flip), 8 intensity modifier tables, enumerated
+    exhaustively as fixed-shape candidates.
+  - ETC2 adds the planar mode (RGB 6.7.6 corner colors, least-squares plane
+    fit + B-overflow signaling).  T/H modes are a planned extension.
+  - EAC: 8-bit alpha and 11-bit R/RG (signed + unsigned), base/multiplier/
+    table search seeded from the block range.
+
+ETC blocks are big-endian 64-bit words with column-major pixel order; the
+kernels emit byte-swapped uint32 pairs so the little-endian serializer in
+convert.blocks writes spec-order bytes.
+
+Quality ladder: base-color luma perturbation radius and EAC multiplier
+search width scale with quality (EtcConverter.cpp:34-54 maps quality to
+etc2comp "effort" — here effort = candidate count).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Intensity modifiers, indexed [table, pixel_index]: [a, b, -a, -b].
+_ETC1_MODS_NP = np.array(
+    [
+        [2, 8, -2, -8],
+        [5, 17, -5, -17],
+        [9, 29, -9, -29],
+        [13, 42, -13, -42],
+        [18, 60, -18, -60],
+        [24, 80, -24, -80],
+        [33, 106, -33, -106],
+        [47, 183, -47, -183],
+    ],
+    np.int32,
+)
+_ETC1_MODS = jnp.asarray(_ETC1_MODS_NP)
+
+# EAC modifier table [16, 8] (indices 0-3 negative, 4-7 positive).
+_EAC_MODS_NP = np.array(
+    [
+        [-3, -6, -9, -15, 2, 5, 8, 14],
+        [-3, -7, -10, -13, 2, 6, 9, 12],
+        [-2, -5, -8, -13, 1, 4, 7, 12],
+        [-2, -4, -6, -13, 1, 3, 5, 12],
+        [-3, -6, -8, -12, 2, 5, 7, 11],
+        [-3, -7, -9, -11, 2, 6, 8, 10],
+        [-4, -7, -8, -11, 3, 6, 7, 10],
+        [-3, -5, -8, -11, 2, 4, 7, 10],
+        [-2, -6, -8, -10, 1, 5, 7, 9],
+        [-2, -5, -8, -10, 1, 4, 7, 9],
+        [-2, -4, -8, -10, 1, 3, 7, 9],
+        [-2, -5, -7, -10, 1, 4, 6, 9],
+        [-3, -4, -7, -10, 2, 3, 6, 9],
+        [-1, -2, -3, -10, 0, 1, 2, 9],
+        [-4, -6, -8, -9, 3, 5, 7, 8],
+        [-3, -5, -7, -9, 2, 4, 6, 8],
+    ],
+    np.int32,
+)
+_EAC_MODS = jnp.asarray(_EAC_MODS_NP)
+
+# Raster (4*y+x) -> ETC column-major pixel number (4*x+y).
+_COLMAJOR_NP = np.array([4 * (i % 4) + i // 4 for i in range(16)], np.int32)
+# Inverse: ETC pixel number p -> raster index.
+_RASTER_OF_P_NP = np.argsort(_COLMAJOR_NP).astype(np.int32)
+
+# Subblock membership per flip: flip=0 -> columns 0-1 vs 2-3;
+# flip=1 -> rows 0-1 vs 2-3.  1.0 = pixel in subblock 2.
+_SUB2_NP = np.zeros((2, 16), np.float32)
+for _i in range(16):
+    _x, _y = _i % 4, _i // 4
+    _SUB2_NP[0, _i] = 1.0 if _x >= 2 else 0.0
+    _SUB2_NP[1, _i] = 1.0 if _y >= 2 else 0.0
+_SUB2 = jnp.asarray(_SUB2_NP)
+
+
+def _expand4(v):
+    return (v << 4) | v
+
+
+def _expand5(v):
+    return (v << 3) | (v >> 2)
+
+
+def _swap_words(hi, lo):
+    """(bits 63..32, bits 31..0) -> two byte-swapped LE uint32s."""
+
+    def bswap(w):
+        w = w.astype(jnp.uint32)
+        return (
+            ((w & 0xFF) << 24)
+            | ((w & 0xFF00) << 8)
+            | ((w >> 8) & 0xFF00)
+            | (w >> 24)
+        )
+
+    return jnp.stack([bswap(hi), bswap(lo)], axis=-1)
+
+
+# Punch-through modifier set (opaque bit 0): index 0 -> +0, index 1 -> +b,
+# index 2 -> transparent (handled by the caller), index 3 -> -b.
+_ETC_A1_MODS_NP = _ETC1_MODS_NP.copy()
+_ETC_A1_MODS_NP[:, 0] = 0
+_ETC_A1_MODS_NP[:, 2] = 0
+_ETC_A1_MODS = jnp.asarray(_ETC_A1_MODS_NP)
+
+
+def _best_table_fit(colors, base_dec, sub_mask, ch_w, mods=None, mod_allowed=None):
+    """Exhaustive table/modifier fit for one subblock assignment.
+
+    colors [M,16,3] 0..255, base_dec [M,3] decoded base, sub_mask [M,16]
+    (1 = pixel counts toward this subblock's error) -> (table [M],
+    idx [M,16], err [M]).  `mods` [8,4] overrides the modifier table;
+    `mod_allowed` [4] masks out forbidden indices (punch-through idx 2).
+    """
+    if mods is None:
+        mods = _ETC1_MODS
+    # [M,16,8,4]: candidate value per pixel/table/mod.
+    cand = base_dec[:, None, None, None, :] + mods[None, None, :, :, None]
+    cand = jnp.clip(cand, 0, 255).astype(jnp.float32)
+    d = colors[:, :, None, None, :] - cand
+    e = jnp.einsum("nptmc,c->nptm", d * d, ch_w)
+    if mod_allowed is not None:
+        e = e + jnp.where(mod_allowed, 0.0, jnp.inf)[None, None, None, :]
+    idx_pm = e.argmin(-1).astype(jnp.int32)  # [M,16,8]
+    e_pm = e.min(-1)  # [M,16,8]
+    e_t = (e_pm * sub_mask[:, :, None]).sum(1)  # [M,8]
+    table = e_t.argmin(-1).astype(jnp.int32)  # [M]
+    err = e_t.min(-1)
+    idx = jnp.take_along_axis(idx_pm, table[:, None, None], axis=2)[:, :, 0]
+    return table, idx, err
+
+
+def _quant_bases(mean1, mean2, diff: bool):
+    """Quantize two subblock means. Returns (stored fields, decoded bases)."""
+    if diff:
+        b1 = jnp.clip(jnp.round(mean1 * 31.0 / 255.0), 0, 31).astype(jnp.int32)
+        b2 = jnp.clip(jnp.round(mean2 * 31.0 / 255.0), 0, 31).astype(jnp.int32)
+        d = jnp.clip(b2 - b1, -4, 3)
+        b2 = b1 + d
+        return (b1, d), (_expand5(b1).astype(jnp.float32), _expand5(b2).astype(jnp.float32))
+    b1 = jnp.clip(jnp.round(mean1 * 15.0 / 255.0), 0, 15).astype(jnp.int32)
+    b2 = jnp.clip(jnp.round(mean2 * 15.0 / 255.0), 0, 15).astype(jnp.int32)
+    return (b1, b2), (_expand4(b1).astype(jnp.float32), _expand4(b2).astype(jnp.float32))
+
+
+def _pack_etc1(fields, diff, flip, t1, t2, idx_raster):
+    """Assemble the 64-bit ETC1 word. idx_raster [M,16] 2-bit indices in
+    raster order; pixel p (column-major) takes its bits from the raster map."""
+    (f1, f2) = fields  # each [M,3] int32 (r,g,b): base1 and base2-or-delta
+    m = t1.shape[0]
+    hi = jnp.zeros((m,), jnp.uint32)
+    if diff:
+        for c in range(3):
+            hi = hi | (f1[:, c].astype(jnp.uint32) << jnp.uint32(59 - 8 * c - 32))
+            hi = hi | ((f2[:, c] & 0x7).astype(jnp.uint32) << jnp.uint32(56 - 8 * c - 32))
+    else:
+        for c in range(3):
+            hi = hi | (f1[:, c].astype(jnp.uint32) << jnp.uint32(60 - 8 * c - 32))
+            hi = hi | (f2[:, c].astype(jnp.uint32) << jnp.uint32(56 - 8 * c - 32))
+    hi = hi | (t1.astype(jnp.uint32) << jnp.uint32(5))
+    hi = hi | (t2.astype(jnp.uint32) << jnp.uint32(2))
+    if diff:
+        hi = hi | jnp.uint32(2)  # diff bit (bit 33)
+    if flip:
+        hi = hi | jnp.uint32(1)  # flip bit (bit 32)
+
+    # Index planes: bit p = pixel p (column-major); pixel p reads raster
+    # index _RASTER_OF_P[p].
+    idx_p = idx_raster[:, _RASTER_OF_P_NP]  # [M,16] by pixel number
+    msb = (idx_p >> 1).astype(jnp.uint32)
+    lsb = (idx_p & 1).astype(jnp.uint32)
+    shifts = jnp.arange(16, dtype=jnp.uint32)[None, :]
+    lo = (lsb << shifts).sum(1, dtype=jnp.uint32) | (
+        (msb << shifts).sum(1, dtype=jnp.uint32) << jnp.uint32(16)
+    )
+    return hi, lo
+
+
+def _etc1_candidate(colors, ch_w, diff: bool, flip: int, luma_shift: float):
+    """One fixed-shape ETC1 candidate; returns (err [M], (hi, lo))."""
+    sub2 = _SUB2[flip][None, :]  # [1,16]
+    sub1 = 1.0 - sub2
+    n1 = sub1.sum()
+    n2 = sub2.sum()
+    mean1 = jnp.einsum("npc,np->nc", colors, jnp.broadcast_to(sub1, colors.shape[:2])) / n1
+    mean2 = jnp.einsum("npc,np->nc", colors, jnp.broadcast_to(sub2, colors.shape[:2])) / n2
+    mean1 = mean1 + luma_shift
+    mean2 = mean2 + luma_shift
+    fields, (dec1, dec2) = _quant_bases(mean1, mean2, diff)
+    sub1b = jnp.broadcast_to(sub1, colors.shape[:2])
+    sub2b = jnp.broadcast_to(sub2, colors.shape[:2])
+    t1, idx1, err1 = _best_table_fit(colors, dec1, sub1b, ch_w)
+    t2, idx2, err2 = _best_table_fit(colors, dec2, sub2b, ch_w)
+    idx = jnp.where(sub2b > 0, idx2, idx1)
+    hi, lo = _pack_etc1(fields, diff, flip, t1, t2, idx)
+    return err1 + err2, (hi, lo)
+
+
+# ---------------------------------------------------------------------------
+# ETC2 planar mode
+# ---------------------------------------------------------------------------
+
+_PLANAR_XW = jnp.asarray(
+    np.array([[(i % 4) for i in range(16)]], np.float32)
+)
+_PLANAR_YW = jnp.asarray(
+    np.array([[(i // 4) for i in range(16)]], np.float32)
+)
+
+
+def _quant_planar(c, bits):
+    maxv = (1 << bits) - 1
+    v = jnp.clip(jnp.round(c * maxv / 255.0), 0, maxv).astype(jnp.int32)
+    if bits == 6:
+        dec = (v << 2) | (v >> 4)
+    else:
+        dec = (v << 1) | (v >> 6)
+    return v, dec.astype(jnp.float32)
+
+
+def _planar_candidate(colors):
+    """Least-squares plane fit -> (err [M], (O,H,V) quantized fields, decs)."""
+    # Model: p(x,y) = O + x/4*(H-O) + y/4*(V-O).  LS over (1, x/4, y/4).
+    x = _PLANAR_XW / 4.0
+    y = _PLANAR_YW / 4.0
+    # Normal equations for basis [1-x-y, x, y] with coefficients [O,H,V].
+    b0 = 1.0 - x - y
+    basis = jnp.stack([b0[0], x[0], y[0]], axis=0)  # [3,16]
+    g = basis @ basis.T  # [3,3]
+    ginv = jnp.linalg.inv(g)
+    proj = ginv @ basis  # [3,16]
+    coef = jnp.einsum("kp,npc->nkc", proj, colors)  # [N,3,3] = O,H,V
+    qo_r, do_r = _quant_planar(coef[:, 0, 0], 6)
+    qo_g, do_g = _quant_planar(coef[:, 0, 1], 7)
+    qo_b, do_b = _quant_planar(coef[:, 0, 2], 6)
+    qh_r, dh_r = _quant_planar(coef[:, 1, 0], 6)
+    qh_g, dh_g = _quant_planar(coef[:, 1, 1], 7)
+    qh_b, dh_b = _quant_planar(coef[:, 1, 2], 6)
+    qv_r, dv_r = _quant_planar(coef[:, 2, 0], 6)
+    qv_g, dv_g = _quant_planar(coef[:, 2, 1], 7)
+    qv_b, dv_b = _quant_planar(coef[:, 2, 2], 6)
+    dO = jnp.stack([do_r, do_g, do_b], -1)
+    dH = jnp.stack([dh_r, dh_g, dh_b], -1)
+    dV = jnp.stack([dv_r, dv_g, dv_b], -1)
+    # Exact decoder model: (x*(H-O) + y*(V-O) + 4*O + 2) >> 2, clamped.
+    xi = _PLANAR_XW[..., None]
+    yi = _PLANAR_YW[..., None]
+    val = (
+        xi * (dH[:, None, :] - dO[:, None, :])
+        + yi * (dV[:, None, :] - dO[:, None, :])
+        + 4.0 * dO[:, None, :]
+        + 2.0
+    )
+    dec = jnp.clip(jnp.floor(val / 4.0), 0, 255)
+    err_px = (colors - dec) ** 2
+    fields = (qo_r, qo_g, qo_b, qh_r, qh_g, qh_b, qv_r, qv_g, qv_b)
+    return err_px, fields
+
+
+def _pack_planar(fields, m):
+    """Planar bit layout with B-overflow mode signaling.
+
+    Scattered field positions per the Khronos Data Format spec; the free
+    bits (63, 47..45, 42) are chosen per block so the differential-mode B
+    check overflows: BO[4:3] + free bits form B1, BO[2:1]-area forms dB.
+    """
+    (ro, go, bo, rh, gh, bh, rv, gv, bv) = [f.astype(jnp.uint32) for f in fields]
+    hi = jnp.zeros((m,), jnp.uint32)
+    lo = jnp.zeros((m,), jnp.uint32)
+
+    # R_O[5:0] -> 62..57
+    hi = hi | (ro << jnp.uint32(57 - 32))
+    # G_O[6] -> 56, G_O[5:0] -> 54..49
+    hi = hi | ((go >> 6) << jnp.uint32(56 - 32))
+    hi = hi | ((go & 0x3F) << jnp.uint32(49 - 32))
+    # B_O[5] -> 48, B_O[4:3] -> 44..43, B_O[2:0] -> 41..39
+    hi = hi | ((bo >> 5) << jnp.uint32(48 - 32))
+    hi = hi | (((bo >> 3) & 0x3) << jnp.uint32(43 - 32))
+    hi = hi | ((bo & 0x7) << jnp.uint32(39 - 32))
+    # R_H[5:1] -> 38..34, R_H[0] -> 32; diff bit 33 = 1
+    hi = hi | ((rh >> 1) << jnp.uint32(34 - 32))
+    hi = hi | (rh & 0x1)
+    hi = hi | jnp.uint32(2)
+    # G_H[6:0] -> 31..25, B_H[5:0] -> 24..19
+    lo = lo | (gh << jnp.uint32(25))
+    lo = lo | (bh << jnp.uint32(19))
+    # R_V[5:0] -> 18..13, G_V[6:0] -> 12..6, B_V[5:0] -> 5..0
+    lo = lo | (rv << jnp.uint32(13))
+    lo = lo | (gv << jnp.uint32(6))
+    lo = lo | bv
+
+    # Mode signaling: the differential decoder reads B1 = bits 47..43 and
+    # dB = bits 42..40; free bits 47..45 and 42 must force
+    # B1 + sext(dB) outside [0,31].  bits 44..43 = BO[4:3], 41..40 = BO[2:1].
+    bo43 = (bo >> 3) & 0x3
+    bo21 = (bo >> 1) & 0x3
+    need_a = (bo43 + bo21) >= 4  # set 47..45=111, 42=0 -> sum overflows high
+    hi = hi | jnp.where(need_a, jnp.uint32(0x7) << jnp.uint32(45 - 32), 0)
+    hi = hi | jnp.where(need_a, 0, jnp.uint32(1) << jnp.uint32(42 - 32))
+    # Also the R and G differential checks must NOT overflow, or the block
+    # would decode as T/H.  R1 = bits 63..59 = [63, RO[5:2]]; dR = bits
+    # 58..56 = [RO[1:0], GO[6]]; choosing bit 63=0 keeps R1 <= 15 and
+    # R1 + sext(dR) within range unless dR is negative with tiny R1 --
+    # handled by setting bit 63 when RO[5:2] is small and dR negative.
+    r1 = (ro >> 2) & 0xF
+    dr = ((ro & 0x3) << 1) | (go >> 6)
+    dr_s = jnp.where(dr >= 4, dr.astype(jnp.int32) - 8, dr.astype(jnp.int32))
+    r_under = (r1.astype(jnp.int32) + dr_s) < 0
+    hi = hi | jnp.where(r_under, jnp.uint32(1) << jnp.uint32(63 - 32), 0)
+    # G check: G1 = bits 55..51 = [55, GO[5:2]]; dG = bits 50..48 =
+    # [GO[1:0], BO[5]]; same guard with free bit 55.
+    g1 = (go >> 2) & 0xF
+    dg = ((go & 0x3) << 1) | (bo >> 5)
+    dg_s = jnp.where(dg >= 4, dg.astype(jnp.int32) - 8, dg.astype(jnp.int32))
+    g_under = (g1.astype(jnp.int32) + dg_s) < 0
+    hi = hi | jnp.where(g_under, jnp.uint32(1) << jnp.uint32(55 - 32), 0)
+    return hi, lo
+
+
+_ETC_SHIFTS = {0: (0.0,), 1: (0.0,), 2: (0.0,), 3: (-8.0, 0.0, 8.0), 4: (-12.0, -6.0, 0.0, 6.0, 12.0)}
+
+
+@functools.partial(jax.jit, static_argnames=("quality", "etc2"))
+def encode_etc_rgb(
+    blocks: jnp.ndarray,
+    quality: int = 2,
+    etc2: bool = False,
+    ch_weights: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Encode [N,16,>=3] float RGB(A) blocks (0..1) to ETC1/ETC2 RGB words."""
+    colors = jnp.clip(blocks[..., :3].astype(jnp.float32), 0, 1) * 255.0
+    ch_w = jnp.ones((3,), jnp.float32) if ch_weights is None else ch_weights
+    quality = max(0, min(4, int(quality)))
+
+    best_err = None
+    best = None
+    for flip in (0, 1):
+        for diff in (True, False):
+            for shift in _ETC_SHIFTS[quality]:
+                err, words = _etc1_candidate(colors, ch_w, diff, flip, shift)
+                if best_err is None:
+                    best_err, best = err, words
+                else:
+                    take = err < best_err
+                    best = tuple(jnp.where(take, w, b) for w, b in zip(words, best))
+                    best_err = jnp.where(take, err, best_err)
+
+    if etc2:
+        err_px, fields = _planar_candidate(colors)
+        perr = jnp.einsum("npc,c->n", err_px, ch_w)
+        hi, lo = _pack_planar(fields, colors.shape[0])
+        take = perr < best_err
+        best = tuple(jnp.where(take, w, b) for w, b in zip((hi, lo), best))
+        best_err = jnp.where(take, perr, best_err)
+
+    return _swap_words(*best)
+
+
+# ---------------------------------------------------------------------------
+# EAC (8-bit alpha and 11-bit single channel)
+# ---------------------------------------------------------------------------
+
+
+def _eac_pack(base, mult, table, idx_raster):
+    """base/mult/table [M], idx [M,16] 3-bit -> byte-swapped uint32 pair.
+
+    Layout (64-bit BE): base 63..56, mult 55..52, table 51..48, then pixel
+    p's index at bits 45-3p..47-3p (MSB-first, column-major pixels).
+    """
+    idx_p = idx_raster[:, _RASTER_OF_P_NP].astype(jnp.uint32)
+    hi = (
+        ((base.astype(jnp.uint32) & 0xFF) << jnp.uint32(24))
+        | (mult.astype(jnp.uint32) << jnp.uint32(20))
+        | (table.astype(jnp.uint32) << jnp.uint32(16))
+    )
+    lo = jnp.zeros_like(hi)
+    for p in range(16):
+        off = 45 - 3 * p  # absolute bit of this index's LSB
+        if off >= 32:
+            hi = hi | (idx_p[:, p] << jnp.uint32(off - 32))
+        elif off >= 30:  # straddles the word boundary
+            hi = hi | (idx_p[:, p] >> jnp.uint32(32 - off))
+            lo = lo | (idx_p[:, p] << jnp.uint32(off))
+        else:
+            lo = lo | (idx_p[:, p] << jnp.uint32(off))
+    return _swap_words(hi, lo)
+
+
+_EAC_MULT_CANDS = {0: 1, 1: 2, 2: 3, 3: 5, 4: 7}
+
+
+def _encode_eac_generic(vals, quality, decode_fn, base_range, mult_of_range):
+    """Shared EAC search: vals [M,16] in storage domain.
+
+    decode_fn(base [M], mult [M], mods [16,8-broadcast]) -> palette values
+    [M,T,8]; searches tables x multiplier candidates around the range fit.
+    """
+    m = vals.shape[0]
+    lo = vals.min(1)
+    hi = vals.max(1)
+    center = (lo + hi) * 0.5
+    base = jnp.clip(jnp.round(center), base_range[0], base_range[1]).astype(jnp.int32)
+    span = (hi - lo) * 0.5
+
+    ncand = _EAC_MULT_CANDS[max(0, min(4, int(quality)))]
+    max_pos = _EAC_MODS_NP[:, 4:].max(1)  # [16]
+    best = None
+    for t in range(16):
+        mods = _EAC_MODS[t]  # [8]
+        m0 = jnp.clip(
+            jnp.round(span * mult_of_range / float(max_pos[t])), 1, 15
+        ).astype(jnp.int32)
+        for dm in range(-(ncand // 2), ncand - ncand // 2):
+            mult = jnp.clip(m0 + dm, 1, 15)
+            pal = decode_fn(base, mult, mods)  # [M,8]
+            e = (vals[:, :, None] - pal[:, None, :]) ** 2
+            idx = e.argmin(-1).astype(jnp.int32)
+            err = e.min(-1).sum(1)
+            cand = (
+                base,
+                mult,
+                jnp.full((m,), t, jnp.int32),
+                idx,
+                err,
+            )
+            if best is None:
+                best = cand
+            else:
+                take = cand[4] < best[4]
+                best = tuple(
+                    jnp.where(take[(...,) + (None,) * (b.ndim - 1)], c, b)
+                    for c, b in zip(cand, best)
+                )
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=("quality",))
+def encode_eac_alpha(vals: jnp.ndarray, quality: int = 2) -> jnp.ndarray:
+    """[N,16] floats 0..1 -> EAC 8-bit alpha words [N,2] (byte-swapped)."""
+    v = jnp.clip(vals.astype(jnp.float32), 0, 1) * 255.0
+
+    def decode(base, mult, mods):
+        pal = base[:, None].astype(jnp.float32) + mods[None, :].astype(
+            jnp.float32
+        ) * mult[:, None].astype(jnp.float32)
+        return jnp.clip(pal, 0, 255)
+
+    base, mult, table, idx, _ = _encode_eac_generic(
+        v, quality, decode, (0, 255), 1.0
+    )
+    return _eac_pack(base, mult, table, idx)
+
+
+@functools.partial(jax.jit, static_argnames=("quality", "signed"))
+def encode_eac_r11(
+    vals: jnp.ndarray, quality: int = 2, signed: bool = False
+) -> jnp.ndarray:
+    """[N,16] floats ([0,1] unsigned / [-1,1] signed) -> EAC R11 words.
+
+    11-bit decode model: value = base*8+4 + mod*mult*8 (mult>0), or
+    base*8+4 + mod (mult==0; we always emit mult>=1).  Signed: base is
+    int8, value = base*8 + mod*mult*8 in [-1023,1023].
+    """
+    if signed:
+        v = jnp.clip(vals.astype(jnp.float32), -1, 1) * 1023.0
+
+        def decode(base, mult, mods):
+            pal = base[:, None].astype(jnp.float32) * 8.0 + mods[
+                None, :
+            ].astype(jnp.float32) * mult[:, None].astype(jnp.float32) * 8.0
+            return jnp.clip(pal, -1023, 1023)
+
+        base, mult, table, idx, _ = _encode_eac_generic(
+            v / 8.0, quality, lambda b, m, md: decode(b, m, md) / 8.0, (-127, 127), 1.0
+        )
+        # Re-run selection in the true domain for exactness of indices.
+        pal = jnp.clip(
+            base[:, None].astype(jnp.float32) * 8.0
+            + _EAC_MODS[table].astype(jnp.float32)
+            * mult[:, None].astype(jnp.float32)
+            * 8.0,
+            -1023,
+            1023,
+        )
+        e = (v[:, :, None] - pal[:, None, :]) ** 2
+        idx = e.argmin(-1).astype(jnp.int32)
+        base_bits = base & 0xFF
+        return _eac_pack(base_bits, mult, table, idx)
+
+    v = jnp.clip(vals.astype(jnp.float32), 0, 1) * 2047.0
+
+    def decode(base, mult, mods):
+        pal = (
+            base[:, None].astype(jnp.float32) * 8.0
+            + 4.0
+            + mods[None, :].astype(jnp.float32)
+            * mult[:, None].astype(jnp.float32)
+            * 8.0
+        )
+        return jnp.clip(pal, 0, 2047)
+
+    base, mult, table, idx, _ = _encode_eac_generic(
+        v / 8.0, quality, lambda b, m, md: decode(b, m, md) / 8.0, (0, 255), 1.0
+    )
+    pal = jnp.clip(
+        base[:, None].astype(jnp.float32) * 8.0
+        + 4.0
+        + _EAC_MODS[table].astype(jnp.float32)
+        * mult[:, None].astype(jnp.float32)
+        * 8.0,
+        0,
+        2047,
+    )
+    e = (v[:, :, None] - pal[:, None, :]) ** 2
+    idx = e.argmin(-1).astype(jnp.int32)
+    return _eac_pack(base, mult, table, idx)
+
+
+def _etc_a1_candidate(colors, alpha_mask, ch_w, flip: int, luma_shift: float):
+    """Punch-through (opaque=0) candidate: diff bases, [0,+b,T,-b] mods.
+
+    alpha_mask [M,16]: 1 = opaque.  Transparent pixels get index 2 and are
+    excluded from the fit error.
+    """
+    sub2 = _SUB2[flip][None, :]
+    sub1 = 1.0 - sub2
+    w1 = sub1 * alpha_mask
+    w2 = sub2 * alpha_mask
+    n1 = w1.sum(1, keepdims=True) + 1e-6
+    n2 = w2.sum(1, keepdims=True) + 1e-6
+    mean1 = jnp.einsum("npc,np->nc", colors, w1) / n1
+    mean2 = jnp.einsum("npc,np->nc", colors, w2) / n2
+    fields, (dec1, dec2) = _quant_bases(
+        mean1 + luma_shift, mean2 + luma_shift, diff=True
+    )
+    allowed = jnp.asarray(np.array([1, 1, 0, 1], bool))
+    t1, idx1, err1 = _best_table_fit(colors, dec1, w1, ch_w, _ETC_A1_MODS, allowed)
+    t2, idx2, err2 = _best_table_fit(colors, dec2, w2, ch_w, _ETC_A1_MODS, allowed)
+    sub2b = jnp.broadcast_to(sub2, colors.shape[:2])
+    idx = jnp.where(sub2b > 0, idx2, idx1)
+    idx = jnp.where(alpha_mask < 0.5, 2, idx)
+    # opaque flag (bit 33) = 0: pack as diff layout then clear the bit.
+    hi, lo = _pack_etc1(fields, True, flip, t1, t2, idx)
+    hi = hi & ~jnp.uint32(2)
+    return err1 + err2, (hi, lo)
+
+
+@functools.partial(jax.jit, static_argnames=("quality",))
+def encode_etc2_a1(
+    blocks: jnp.ndarray, quality: int = 2, ch_weights=None
+) -> jnp.ndarray:
+    """ETC2 punch-through alpha (R8G8B8A1): [N,16,4] -> [N,2] words.
+
+    Opaque blocks use the diff/planar ETC2 path (opaque bit = 1, which is
+    the diff bit position); blocks with any texel a < 0.5 use the
+    punch-through modifier set with index 2 transparent.
+    """
+    colors = jnp.clip(blocks[..., :3].astype(jnp.float32), 0, 1) * 255.0
+    alpha_mask = (blocks[..., 3] >= 0.5).astype(jnp.float32)
+    ch_w = jnp.ones((3,), jnp.float32) if ch_weights is None else ch_weights
+    quality = max(0, min(4, int(quality)))
+
+    # Opaque path: differential-only (individual mode doesn't exist in A1)
+    # + planar.
+    best_err = None
+    best_o = None
+    for flip in (0, 1):
+        for shift in _ETC_SHIFTS[quality]:
+            err, words = _etc1_candidate(colors, ch_w, True, flip, shift)
+            if best_err is None:
+                best_err, best_o = err, words
+            else:
+                take = err < best_err
+                best_o = tuple(jnp.where(take, w, b) for w, b in zip(words, best_o))
+                best_err = jnp.where(take, err, best_err)
+    err_px, fields = _planar_candidate(colors)
+    perr = jnp.einsum("npc,c->n", err_px, ch_w)
+    hi_p, lo_p = _pack_planar(fields, colors.shape[0])
+    take = perr < best_err
+    best_o = tuple(jnp.where(take, w, b) for w, b in zip((hi_p, lo_p), best_o))
+
+    # Punch-through path.
+    best_t = None
+    terr = None
+    for flip in (0, 1):
+        for shift in _ETC_SHIFTS[quality]:
+            err, words = _etc_a1_candidate(colors, alpha_mask, ch_w, flip, shift)
+            if terr is None:
+                terr, best_t = err, words
+            else:
+                take = err < terr
+                best_t = tuple(jnp.where(take, w, b) for w, b in zip(words, best_t))
+                terr = jnp.where(take, err, terr)
+
+    has_alpha = (alpha_mask < 0.5).any(axis=1)
+    out = tuple(jnp.where(has_alpha, t, o) for t, o in zip(best_t, best_o))
+    return _swap_words(*out)
+
+
+@functools.partial(jax.jit, static_argnames=("quality",))
+def encode_etc2_rgba(blocks: jnp.ndarray, quality: int = 2, ch_weights=None) -> jnp.ndarray:
+    """[N,16,4] -> [N,4] words: EAC alpha block then ETC2 RGB block."""
+    alpha = encode_eac_alpha(blocks[..., 3], quality=quality)
+    rgb = encode_etc_rgb(blocks, quality=quality, etc2=True, ch_weights=ch_weights)
+    return jnp.concatenate([alpha, rgb], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("quality", "signed"))
+def encode_eac_rg11(blocks: jnp.ndarray, quality: int = 2, signed: bool = False) -> jnp.ndarray:
+    """[N,16,>=2] -> [N,4] words: R11 then G11."""
+    r = encode_eac_r11(blocks[..., 0], quality=quality, signed=signed)
+    g = encode_eac_r11(blocks[..., 1], quality=quality, signed=signed)
+    return jnp.concatenate([r, g], axis=-1)

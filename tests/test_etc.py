@@ -1,0 +1,167 @@
+"""ETC1/ETC2/EAC encoder tests: decode parity, quality floors, pipeline."""
+
+import numpy as np
+import pytest
+
+from cuttlefish_tpu.convert import EncodeParams, create_converter
+from cuttlefish_tpu.decode.etc import (
+    decode_eac_alpha,
+    decode_eac_r11,
+    decode_eac_rg11,
+    decode_etc2_a1,
+    decode_etc2_rgba,
+    decode_etc_rgb,
+)
+from cuttlefish_tpu.formats import Quality, TextureFormat, TextureType
+from cuttlefish_tpu.kernels import etc
+
+_F = TextureFormat
+_T = TextureType
+
+
+def _bytes(words):
+    w = np.ascontiguousarray(np.asarray(words).astype("<u4"))
+    return w.view(np.uint8).reshape(w.shape[0], -1)
+
+
+def _psnr(a, b, peak=1.0):
+    mse = np.mean((np.asarray(a, np.float64) - np.asarray(b, np.float64)) ** 2)
+    return np.inf if mse == 0 else 10 * np.log10(peak * peak / mse)
+
+
+class TestEtc1:
+    def test_solid(self):
+        solid = np.tile(np.array([[0.3, 0.5, 0.8, 1]], np.float32), (2, 16, 1))
+        dec = decode_etc_rgb(_bytes(etc.encode_etc_rgb(solid, quality=2)))
+        assert np.abs(dec / 255.0 - solid[..., :3]).max() < 6.0 / 255.0
+
+    def test_luma_gradient(self):
+        # Luma-modulated content is ETC1's home turf.
+        base = np.array([0.6, 0.4, 0.2], np.float32)
+        t = np.linspace(-0.2, 0.2, 16, dtype=np.float32)
+        blocks = (base[None, None, :] + t[None, :, None]).repeat(8, 0)
+        blocks = np.concatenate(
+            [blocks, np.ones((8, 16, 1), np.float32)], -1
+        ).astype(np.float32)
+        dec = decode_etc_rgb(_bytes(etc.encode_etc_rgb(blocks, quality=2)))
+        assert _psnr(dec / 255.0, blocks[..., :3]) > 30
+
+    def test_subblock_split(self):
+        # Left/right halves in different colors: flip=0 subblocks fit both.
+        blocks = np.zeros((1, 16, 4), np.float32)
+        for i in range(16):
+            blocks[0, i, :3] = [0.8, 0.2, 0.2] if i % 4 < 2 else [0.2, 0.2, 0.8]
+        dec = decode_etc_rgb(_bytes(etc.encode_etc_rgb(blocks, quality=2)))
+        assert _psnr(dec / 255.0, blocks[..., :3]) > 30
+
+    def test_quality_monotone(self):
+        rng = np.random.default_rng(3)
+        blocks = rng.random((64, 16, 4), np.float32)
+        errs = []
+        for q in (0, 4):
+            dec = decode_etc_rgb(_bytes(etc.encode_etc_rgb(blocks, quality=q)))
+            errs.append(np.mean((dec / 255.0 - blocks[..., :3]) ** 2))
+        assert errs[1] <= errs[0] + 1e-9
+
+
+class TestEtc2:
+    def test_planar_gradient(self):
+        rng = np.random.default_rng(1)
+        grad = np.zeros((16, 16, 4), np.float32)
+        for i in range(16):
+            o = rng.random(3) * 0.5
+            h = rng.random(3) * 0.5 + 0.2
+            v = rng.random(3) * 0.5 + 0.2
+            for y in range(4):
+                for x in range(4):
+                    grad[i, 4 * y + x, :3] = o + x / 4 * (h - o) + y / 4 * (v - o)
+        dec = decode_etc_rgb(
+            _bytes(etc.encode_etc_rgb(grad, quality=2, etc2=True)), etc2=True
+        )
+        assert _psnr(dec / 255.0, grad[..., :3]) > 40
+
+    def test_etc2_beats_etc1_on_gradients(self):
+        rng = np.random.default_rng(2)
+        grad = np.zeros((16, 16, 4), np.float32)
+        for i in range(16):
+            o, h, v = rng.random(3) * 0.6, rng.random(3) * 0.6, rng.random(3) * 0.6
+            for y in range(4):
+                for x in range(4):
+                    grad[i, 4 * y + x, :3] = o + x / 4 * (h - o) + y / 4 * (v - o)
+        d1 = decode_etc_rgb(_bytes(etc.encode_etc_rgb(grad, quality=2)), etc2=False)
+        d2 = decode_etc_rgb(
+            _bytes(etc.encode_etc_rgb(grad, quality=2, etc2=True)), etc2=True
+        )
+        e1 = np.mean((d1 / 255.0 - grad[..., :3]) ** 2)
+        e2 = np.mean((d2 / 255.0 - grad[..., :3]) ** 2)
+        assert e2 <= e1
+
+    def test_rgba(self):
+        rng = np.random.default_rng(4)
+        blocks = rng.random((32, 16, 4), np.float32)
+        blocks[..., 3] = np.linspace(0.1, 0.9, 16, dtype=np.float32)[None, :]
+        dec = decode_etc2_rgba(_bytes(etc.encode_etc2_rgba(blocks, quality=2)))
+        assert _psnr(dec[..., 3] / 255.0, blocks[..., 3]) > 28
+
+    def test_punch_through(self):
+        rng = np.random.default_rng(5)
+        blocks = rng.random((16, 16, 4), np.float32)
+        blocks[..., 3] = 1.0
+        blocks[:, ::3, 3] = 0.0
+        dec = decode_etc2_a1(_bytes(etc.encode_etc2_a1(blocks, quality=2)))
+        assert (dec[:, ::3, 3] == 0).all()
+        opaque = np.ones(16, bool)
+        opaque[::3] = False
+        assert (dec[:, opaque, 3] == 255).all()
+
+    def test_punch_through_opaque_block(self):
+        rng = np.random.default_rng(6)
+        blocks = rng.random((8, 16, 4), np.float32)
+        blocks[..., 3] = 1.0
+        dec = decode_etc2_a1(_bytes(etc.encode_etc2_a1(blocks, quality=2)))
+        assert (dec[..., 3] == 255).all()
+
+
+class TestEac:
+    def test_alpha_ramp(self):
+        ramp = np.tile(np.linspace(0.1, 0.9, 16, dtype=np.float32)[None, :], (4, 1))
+        dec = decode_eac_alpha(_bytes(etc.encode_eac_alpha(ramp, quality=2)))
+        assert np.abs(dec / 255.0 - ramp).max() < 0.07
+
+    @pytest.mark.parametrize("signed", [False, True])
+    def test_r11(self, signed):
+        rng = np.random.default_rng(7)
+        v = rng.random((64, 16), np.float32)
+        if signed:
+            v = v * 2 - 1
+        dec = decode_eac_r11(
+            _bytes(etc.encode_eac_r11(v, quality=2, signed=signed)), signed=signed
+        )
+        assert _psnr(dec, v, peak=2.0 if signed else 1.0) > 28
+
+    def test_rg11(self):
+        rng = np.random.default_rng(8)
+        v = rng.random((16, 16, 4), np.float32)
+        dec = decode_eac_rg11(_bytes(etc.encode_eac_rg11(v, quality=2)))
+        assert _psnr(dec, v[..., :2]) > 28
+
+
+class TestPipeline:
+    @pytest.mark.parametrize(
+        "fmt,type_,block_bytes",
+        [
+            (_F.ETC1, _T.UNorm, 8),
+            (_F.ETC2_R8G8B8, _T.UNorm, 8),
+            (_F.ETC2_R8G8B8A1, _T.UNorm, 8),
+            (_F.ETC2_R8G8B8A8, _T.UNorm, 16),
+            (_F.EAC_R11, _T.UNorm, 8),
+            (_F.EAC_R11, _T.SNorm, 8),
+            (_F.EAC_R11G11, _T.UNorm, 16),
+        ],
+    )
+    def test_output_size(self, fmt, type_, block_bytes):
+        conv = create_converter(fmt, type_)
+        assert conv is not None
+        surface = np.random.default_rng(9).random((20, 24, 4)).astype(np.float32)
+        data = conv.encode(surface, EncodeParams(quality=Quality.Low))
+        assert len(data) == 6 * 5 * block_bytes
