@@ -1,0 +1,107 @@
+"""ASTC encoder tests: decode parity, quality floors, all block sizes."""
+
+import numpy as np
+import pytest
+
+from cuttlefish_tpu.convert import EncodeParams, create_converter
+from cuttlefish_tpu.decode.astc import decode_astc
+from cuttlefish_tpu.formats import Quality, TextureFormat, TextureType
+from cuttlefish_tpu.kernels import astc
+
+_F = TextureFormat
+_T = TextureType
+
+
+def _bytes(words):
+    w = np.ascontiguousarray(np.asarray(words).astype("<u4"))
+    return w.view(np.uint8).reshape(w.shape[0], -1)
+
+
+def _psnr(a, b):
+    mse = np.mean((np.asarray(a, np.float64) - np.asarray(b, np.float64)) ** 2)
+    return np.inf if mse == 0 else 10 * np.log10(1.0 / mse)
+
+
+def _smooth(n, texels, rng):
+    c0 = rng.random((n, 1, 4), np.float32)
+    c1 = rng.random((n, 1, 4), np.float32)
+    t = rng.random((n, texels, 1), np.float32)
+    b = c0 * t + c1 * (1 - t)
+    b[..., 3] = 1.0
+    return b.astype(np.float32)
+
+
+class TestAstc4x4:
+    def test_solid_void_extent(self):
+        solid = np.tile(np.array([[0.2, 0.6, 0.9, 0.7]], np.float32), (2, 16, 1))
+        words = np.asarray(astc.encode_astc(solid, 4, 4, quality=2))
+        # Void-extent magic in the low bits.
+        assert ((words[:, 0] & 0x1FF) == 0x1FC).all()
+        dec = decode_astc(_bytes(words), 4, 4)
+        assert np.abs(dec / 255.0 - solid).max() < 2.5 / 255.0
+
+    def test_opaque_quality(self):
+        rng = np.random.default_rng(1)
+        blocks = _smooth(64, 16, rng)
+        dec = decode_astc(_bytes(astc.encode_astc(blocks, 4, 4, quality=2)), 4, 4)
+        assert _psnr(dec / 255.0, blocks) > 35
+
+    def test_gradient_near_exact(self):
+        # A luma ramp is exactly representable by 3-bit weights + 8-bit eps.
+        ramp = np.linspace(0.1, 0.8, 16, dtype=np.float32)
+        blocks = np.stack([ramp, ramp, ramp, np.ones(16, np.float32)], -1)[None]
+        dec = decode_astc(_bytes(astc.encode_astc(blocks, 4, 4, quality=2)), 4, 4)
+        # A 16-step ramp through 8 weight levels floors near 34 dB.
+        assert _psnr(dec / 255.0, blocks) > 32
+
+    def test_alpha_uses_cem12(self):
+        rng = np.random.default_rng(2)
+        blocks = _smooth(32, 16, rng)
+        blocks[..., 3] = 0.5
+        dec = decode_astc(_bytes(astc.encode_astc(blocks, 4, 4, quality=2)), 4, 4)
+        # Constant alpha must be represented well (CEM12 endpoints).
+        assert np.abs(dec[..., 3] / 255.0 - 0.5).max() < 0.02
+
+    def test_quality_monotone(self):
+        rng = np.random.default_rng(3)
+        blocks = rng.random((32, 16, 4), np.float32)
+        errs = []
+        for q in (0, 4):
+            dec = decode_astc(_bytes(astc.encode_astc(blocks, 4, 4, quality=q)), 4, 4)
+            errs.append(np.mean((dec / 255.0 - blocks) ** 2))
+        assert errs[1] <= errs[0] + 1e-9
+
+
+class TestAllBlockSizes:
+    @pytest.mark.parametrize(
+        "bw,bh",
+        [(4, 4), (5, 4), (5, 5), (6, 5), (6, 6), (8, 5), (8, 6), (8, 8),
+         (10, 5), (10, 6), (10, 8), (10, 10), (12, 10), (12, 12)],
+    )
+    def test_roundtrip(self, bw, bh):
+        rng = np.random.default_rng(bw * 100 + bh)
+        blocks = _smooth(8, bw * bh, rng)
+        words = np.asarray(astc.encode_astc(blocks, bw, bh, quality=1))
+        assert words.shape == (8, 4)
+        dec = decode_astc(_bytes(words), bw, bh)
+        # Larger blocks decimate harder; floor scales with texel count.
+        floor = 30 if bw * bh <= 25 else 18
+        assert _psnr(dec / 255.0, blocks) > floor
+
+
+class TestPipeline:
+    @pytest.mark.parametrize("fmt", [_F.ASTC_4x4, _F.ASTC_6x6, _F.ASTC_8x8])
+    def test_converter(self, fmt):
+        conv = create_converter(fmt, _T.UNorm)
+        assert conv is not None
+        surface = np.random.default_rng(5).random((20, 24, 4)).astype(np.float32)
+        data = conv.encode(surface, EncodeParams(quality=Quality.Low))
+        from cuttlefish_tpu.formats import block_height, block_width
+
+        nbx = -(-24 // block_width(fmt))
+        nby = -(-20 // block_height(fmt))
+        assert len(data) == nbx * nby * 16
+
+    def test_hdr_unimplemented(self):
+        with pytest.raises(NotImplementedError):
+            create_converter(_F.ASTC_4x4, _T.UFloat)
