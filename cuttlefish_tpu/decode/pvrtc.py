@@ -1,0 +1,74 @@
+"""PVRTC1 decoder (numpy, matching the encoder's word layout).
+
+Decodes 4bpp and 2bpp PVRTC1 surfaces: unpacks per-block A/B colors,
+bilinearly upscales with wraparound, applies modulation.  Input blocks in
+raster order (de-Morton first via kernels.pvrtc.morton_order).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from cuttlefish_tpu.kernels.pvrtc import _MOD_W_4BPP, upscale_bilinear
+
+
+def _expand5(v):
+    return (v << 3) | (v >> 2)
+
+
+def _unpack_a(cw: np.ndarray) -> np.ndarray:
+    """Color A: bits 16..31 -> [N,4] float 0..1."""
+    field = (cw >> 16) & 0xFFFF
+    opaque = (field >> 15) & 1
+    r = _expand5((field >> 10) & 0x1F)
+    g = _expand5((field >> 5) & 0x1F)
+    b = _expand5(field & 0x1F)
+    # Translucent A-mode (3-bit alpha, 4:4:4) not emitted yet.
+    a = np.where(opaque == 1, 255, 255)
+    return np.stack([r, g, b, a], -1).astype(np.float32) / 255.0
+
+
+def _unpack_b(cw: np.ndarray) -> np.ndarray:
+    """Color B: bits 0..15 (bit 0 = mode flag) -> [N,4] float 0..1."""
+    field = cw & 0xFFFF
+    opaque = (field >> 15) & 1
+    r = _expand5((field >> 10) & 0x1F)
+    g = _expand5((field >> 5) & 0x1F)
+    b4 = (field >> 1) & 0xF
+    b5 = (b4 << 1) | (b4 >> 3)
+    b = _expand5(b5)
+    a = np.where(opaque == 1, 255, 255)
+    return np.stack([r, g, b, a], -1).astype(np.float32) / 255.0
+
+
+def decode_pvrtc1(
+    data: np.ndarray, width: int, height: int, bpp2: bool = False
+) -> np.ndarray:
+    """Raster-order block words -> (H, W, 4) float32 decoded surface."""
+    import jax.numpy as jnp
+
+    bw, bh = (8, 4) if bpp2 else (4, 4)
+    nbx, nby = width // bw, height // bh
+    words = np.asarray(data, np.uint8).reshape(-1, 8).view("<u4")
+    mod = words[:, 0].astype(np.uint64)
+    cw = words[:, 1].astype(np.uint32)
+    a = _unpack_a(cw).reshape(nby, nbx, 4)
+    b = _unpack_b(cw).reshape(nby, nbx, 4)
+    a_img = np.asarray(upscale_bilinear(jnp.asarray(a), bw, bh))
+    b_img = np.asarray(upscale_bilinear(jnp.asarray(b), bw, bh))
+
+    bits = 1 if bpp2 else 2
+    weights = _MOD_W_4BPP if not bpp2 else np.array([0, 8], np.float32)
+    out = np.zeros((height, width, 4), np.float32)
+    for by in range(nby):
+        for bx in range(nbx):
+            m = int(mod[by * nbx + bx])
+            for fy in range(bh):
+                for fx in range(bw):
+                    idx = (m >> (bits * (fy * bw + fx))) & ((1 << bits) - 1)
+                    w8 = weights[idx]
+                    y, x = by * bh + fy, bx * bw + fx
+                    out[y, x] = (
+                        a_img[y, x] * (8 - w8) + b_img[y, x] * w8
+                    ) / 8.0
+    return out

@@ -1,0 +1,114 @@
+"""PVRTC1 encoder tests."""
+
+import numpy as np
+import pytest
+
+from cuttlefish_tpu.convert import EncodeParams, create_converter
+from cuttlefish_tpu.decode.pvrtc import decode_pvrtc1
+from cuttlefish_tpu.formats import Quality, TextureFormat, TextureType
+from cuttlefish_tpu.kernels.pvrtc import encode_pvrtc1, morton_order
+
+_F = TextureFormat
+_T = TextureType
+
+
+def _psnr(a, b):
+    mse = np.mean((np.asarray(a, np.float64) - np.asarray(b, np.float64)) ** 2)
+    return np.inf if mse == 0 else 10 * np.log10(1.0 / mse)
+
+
+def _smooth_surface(h, w, rng):
+    arr = rng.random((h, w, 4)).astype(np.float32)
+    for _ in range(4):
+        arr = (
+            arr
+            + np.roll(arr, 1, 0)
+            + np.roll(arr, -1, 0)
+            + np.roll(arr, 1, 1)
+            + np.roll(arr, -1, 1)
+        ) / 5
+    arr[..., 3] = 1.0
+    return arr.astype(np.float32)
+
+
+class TestMorton:
+    def test_square_pow2(self):
+        perm = morton_order(4, 4)
+        assert sorted(perm) == list(range(16))
+        # First stored blocks follow the z-curve: (0,0),(1,0),(0,1),(1,1).
+        assert perm[0] == 0
+        assert perm[1] in (1, 4)
+
+    def test_nonsquare(self):
+        perm = morton_order(8, 2)
+        assert sorted(perm) == list(range(16))
+
+
+class TestPvrtc1:
+    def test_solid(self):
+        surf = np.tile(
+            np.array([0.3, 0.5, 0.8, 1.0], np.float32), (16, 16, 1)
+        )
+        words = np.asarray(encode_pvrtc1(surf, bpp2=False, quality=2))
+        dec = decode_pvrtc1(
+            np.ascontiguousarray(words.astype("<u4")).view(np.uint8), 16, 16
+        )
+        assert np.abs(dec[..., :3] - surf[..., :3]).max() < 0.03
+
+    def test_smooth_quality(self):
+        rng = np.random.default_rng(1)
+        surf = _smooth_surface(32, 32, rng)
+        words = np.asarray(encode_pvrtc1(surf, bpp2=False, quality=2))
+        dec = decode_pvrtc1(
+            np.ascontiguousarray(words.astype("<u4")).view(np.uint8), 32, 32
+        )
+        assert _psnr(dec[..., :3], surf[..., :3]) > 30
+
+    def test_2bpp(self):
+        rng = np.random.default_rng(2)
+        surf = _smooth_surface(32, 32, rng)
+        words = np.asarray(encode_pvrtc1(surf, bpp2=True, quality=2))
+        assert words.shape == (4 * 8, 2)
+        dec = decode_pvrtc1(
+            np.ascontiguousarray(words.astype("<u4")).view(np.uint8),
+            32, 32, bpp2=True,
+        )
+        assert _psnr(dec[..., :3], surf[..., :3]) > 24
+
+    def test_refinement_helps(self):
+        rng = np.random.default_rng(3)
+        surf = _smooth_surface(32, 32, rng)
+        errs = []
+        for q in (0, 4):
+            words = np.asarray(encode_pvrtc1(surf, bpp2=False, quality=q))
+            dec = decode_pvrtc1(
+                np.ascontiguousarray(words.astype("<u4")).view(np.uint8), 32, 32
+            )
+            errs.append(np.mean((dec[..., :3] - surf[..., :3]) ** 2))
+        assert errs[1] <= errs[0] + 1e-9
+
+
+class TestPipeline:
+    @pytest.mark.parametrize(
+        "fmt,bpp2",
+        [
+            (_F.PVRTC1_RGB_4BPP, False),
+            (_F.PVRTC1_RGBA_4BPP, False),
+            (_F.PVRTC1_RGB_2BPP, True),
+            (_F.PVRTC1_RGBA_2BPP, True),
+        ],
+    )
+    def test_converter(self, fmt, bpp2):
+        conv = create_converter(fmt, _T.UNorm)
+        surface = _smooth_surface(32, 32, np.random.default_rng(4))
+        data = conv.encode(surface, EncodeParams(quality=Quality.Low))
+        assert len(data) == (32 * 32 * (2 if bpp2 else 4)) // 8
+
+    def test_npot_rejected(self):
+        conv = create_converter(_F.PVRTC1_RGB_4BPP, _T.UNorm)
+        with pytest.raises(ValueError):
+            conv.encode(np.zeros((20, 24, 4), np.float32), EncodeParams())
+
+    def test_pvrtc2_unimplemented(self):
+        with pytest.raises(NotImplementedError):
+            create_converter(_F.PVRTC2_RGBA_4BPP, _T.UNorm)
