@@ -145,6 +145,28 @@ def encode_pfm(data: np.ndarray) -> bytes:
     ).tobytes()
 
 
+def _native_to_format(arr: np.ndarray, depth: int) -> tuple[np.ndarray, ImageFormat]:
+    """Map the native codec's (array, bit depth) to our storage formats."""
+    channels = 1 if arr.ndim == 2 else arr.shape[2]
+    if depth == 16:
+        if channels == 1:
+            return arr, ImageFormat.UInt16
+        # Multi-channel 16-bit: promote to float RGBA-ish storage.
+        return (arr.astype(np.float32) / 65535.0), (
+            ImageFormat.RGBF if channels == 3 else ImageFormat.RGBAF
+        )
+    fmt = {
+        1: ImageFormat.Gray8,
+        2: ImageFormat.RGBA8,  # gray+alpha promoted below
+        3: ImageFormat.RGB8,
+        4: ImageFormat.RGBA8,
+    }[channels]
+    if channels == 2:  # gray+alpha -> RGBA like FreeImage's promotion
+        g = arr[..., 0]
+        arr = np.stack([g, g, g, arr[..., 1]], axis=-1)
+    return arr, fmt
+
+
 # ---------------------------------------------------------------------------
 # PIL bridge.
 # ---------------------------------------------------------------------------
@@ -200,6 +222,17 @@ def load(source) -> tuple[np.ndarray, ImageFormat]:
         return decode_hdr(data), ImageFormat.RGBF
     if data[:2] in (b"PF", b"Pf") and data[2:3] in (b"\n", b" ", b"\r"):
         return decode_pfm(data)
+    # Native C++ codec first (the FreeImage-analog layer); PIL covers the
+    # long tail (JPEG, TIFF, ...) and any native-path failure.
+    if data.startswith(b"\x89PNG\r\n\x1a\n"):
+        try:
+            from cuttlefish_tpu import native
+
+            if native.available():
+                arr, depth = native.png_decode(data)
+                return _native_to_format(arr, depth)
+        except Exception:
+            pass
     if not _HAVE_PIL:
         raise DecodeError("PIL unavailable and format not built-in")
     try:

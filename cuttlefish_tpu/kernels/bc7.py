@@ -143,12 +143,46 @@ def _palette(d0, d1, weights):
     return (d0[:, None, :] * (64 - w) + d1[:, None, :] * w + 32) >> 6
 
 
-def _assign(colors, pal, mask, ch_w):
-    d = colors[:, :, None, :] - pal[:, None, :, :].astype(colors.dtype)
-    e = jnp.einsum("nlkc,c->nlk", d * d, ch_w)
-    idx = e.argmin(axis=-1).astype(jnp.int32)
-    err = (jnp.min(e, axis=-1) * mask).sum(axis=1)
-    return idx, err
+def _exact_texel_error(colors, d0, d1, w_t, ch_w):
+    """Exact decode-model error for per-texel weights w_t [M,T] (0..64)."""
+    p = (
+        d0[:, None, :] * (64 - w_t[:, :, None]) + d1[:, None, :] * w_t[:, :, None] + 32
+    ) >> 6
+    d = colors - p.astype(colors.dtype)
+    return jnp.einsum("ntc,c->nt", d * d, ch_w)
+
+
+def _assign(colors, d0, d1, weights, mask, ch_w):
+    """Nearest-palette index per texel via line projection.
+
+    Instead of sweeping all L palette entries (O(L) distance tensors), each
+    texel's continuous interpolation weight w* = B/C is derived from the
+    quadratic err(w) = A - 2wB + w^2 C along the endpoint line, then only
+    the two weight levels bracketing w* are compared on the exact integer
+    decode model.  colors [M,T,C] float, d0/d1 [M,C] int decoded endpoints,
+    weights [L] int (0..64).  Returns (idx [M,T], exact masked err [M]).
+    """
+    L = weights.shape[0]
+    df = (d1 - d0).astype(jnp.float32)  # [M,C]
+    cw = (df * df * ch_w[None, :]).sum(-1)  # [M]
+    diff = colors - d0[:, None, :].astype(colors.dtype)
+    b = jnp.einsum("ntc,nc->nt", diff * ch_w[None, None, :], df)
+    t = b / (cw[:, None] + 1e-10)  # continuous weight in lerp space (0..1)
+    # Map to the (nearly uniform) weight ladder and test k-1, k, k+1.
+    k = jnp.clip(jnp.round(t * (L - 1)), 0, L - 1).astype(jnp.int32)
+    best_idx = None
+    best_err = None
+    for dk in (-1, 0, 1):
+        kk = jnp.clip(k + dk, 0, L - 1)
+        w_t = weights[kk]
+        e = _exact_texel_error(colors, d0, d1, w_t, ch_w)
+        if best_err is None:
+            best_idx, best_err = kk, e
+        else:
+            take = e < best_err
+            best_idx = jnp.where(take, kk, best_idx)
+            best_err = jnp.where(take, e, best_err)
+    return best_idx, (best_err * mask).sum(axis=1)
 
 
 def _fit_subset(colors, mask, weights, quant, iters, ch_w):
@@ -163,8 +197,7 @@ def _fit_subset(colors, mask, weights, quant, iters, ch_w):
     def candidate(e0, e1):
         st = quant(e0, e1)
         d0, d1 = st[-2], st[-1]
-        pal = _palette(d0, d1, weights)
-        idx, err = _assign(colors, pal, mask, ch_w)
+        idx, err = _assign(colors, d0, d1, weights, mask, ch_w)
         return st, idx, err
 
     hi, lo = _masked_seed(colors, mask)
