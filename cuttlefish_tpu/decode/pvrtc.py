@@ -16,28 +16,52 @@ def _expand5(v):
     return (v << 3) | (v >> 2)
 
 
+def _expand4(v):
+    return v * 17
+
+
 def _unpack_a(cw: np.ndarray) -> np.ndarray:
-    """Color A: bits 16..31 -> [N,4] float 0..1."""
+    """Color A: bits 16..31 -> [N,4] float 0..1.
+
+    Opaque (bit 31): 5.5.5; translucent: A3 R4 G4 B4 with alpha decoded as
+    (a3 << 1) expanded to 8 bits.
+    """
     field = (cw >> 16) & 0xFFFF
-    opaque = (field >> 15) & 1
-    r = _expand5((field >> 10) & 0x1F)
-    g = _expand5((field >> 5) & 0x1F)
-    b = _expand5(field & 0x1F)
-    # Translucent A-mode (3-bit alpha, 4:4:4) not emitted yet.
-    a = np.where(opaque == 1, 255, 255)
+    opaque = ((field >> 15) & 1).astype(bool)
+    ro = _expand5((field >> 10) & 0x1F)
+    go = _expand5((field >> 5) & 0x1F)
+    bo = _expand5(field & 0x1F)
+    rt = _expand4((field >> 8) & 0xF)
+    gt = _expand4((field >> 4) & 0xF)
+    bt = _expand4(field & 0xF)
+    at = _expand4(((field >> 12) & 0x7) << 1)
+    r = np.where(opaque, ro, rt)
+    g = np.where(opaque, go, gt)
+    b = np.where(opaque, bo, bt)
+    a = np.where(opaque, 255, at)
     return np.stack([r, g, b, a], -1).astype(np.float32) / 255.0
 
 
 def _unpack_b(cw: np.ndarray) -> np.ndarray:
-    """Color B: bits 0..15 (bit 0 = mode flag) -> [N,4] float 0..1."""
+    """Color B: bits 0..15 (bit 0 = mode flag) -> [N,4] float 0..1.
+
+    Opaque: 5.5.4; translucent: A3 R4 G4 B3.
+    """
     field = cw & 0xFFFF
-    opaque = (field >> 15) & 1
-    r = _expand5((field >> 10) & 0x1F)
-    g = _expand5((field >> 5) & 0x1F)
-    b4 = (field >> 1) & 0xF
-    b5 = (b4 << 1) | (b4 >> 3)
-    b = _expand5(b5)
-    a = np.where(opaque == 1, 255, 255)
+    opaque = ((field >> 15) & 1).astype(bool)
+    ro = _expand5((field >> 10) & 0x1F)
+    go = _expand5((field >> 5) & 0x1F)
+    b4o = (field >> 1) & 0xF
+    bo = _expand5((b4o << 1) | (b4o >> 3))
+    rt = _expand4((field >> 8) & 0xF)
+    gt = _expand4((field >> 4) & 0xF)
+    b3 = (field >> 1) & 0x7
+    bt = _expand4((b3 << 1) | (b3 >> 2))
+    at = _expand4(((field >> 12) & 0x7) << 1)
+    r = np.where(opaque, ro, rt)
+    g = np.where(opaque, go, gt)
+    b = np.where(opaque, bo, bt)
+    a = np.where(opaque, 255, at)
     return np.stack([r, g, b, a], -1).astype(np.float32) / 255.0
 
 

@@ -185,12 +185,14 @@ def _assign(colors, d0, d1, weights, mask, ch_w):
     return best_idx, (best_err * mask).sum(axis=1)
 
 
-def _fit_subset(colors, mask, weights, quant, iters, ch_w):
+def _fit_subset(colors, mask, weights, quant, iters, ch_w, seed=None):
     """Fit one subset: returns (state, idx [M,16], err [M]).
 
     colors [M,16,4] in 0..255; mask selects the subset's pixels.  `quant`
     maps float endpoint pairs to (state..., d0, d1) with d* the decoded
-    integer endpoints; state is passed through for packing.
+    integer endpoints; state is passed through for packing.  `seed` may
+    supply precomputed (hi, lo) endpoints (e.g. a shared per-block
+    projection) to skip the per-candidate PCA.
     """
     wf = weights.astype(jnp.float32) / 64.0
 
@@ -200,7 +202,7 @@ def _fit_subset(colors, mask, weights, quant, iters, ch_w):
         idx, err = _assign(colors, d0, d1, weights, mask, ch_w)
         return st, idx, err
 
-    hi, lo = _masked_seed(colors, mask)
+    hi, lo = _masked_seed(colors, mask) if seed is None else seed
     best = candidate(hi, lo)
     for _ in range(iters):
         w = wf[best[1]]
@@ -333,21 +335,6 @@ def _rank_partitions(colors, ch_w, k):
     return pidx.astype(jnp.int32)
 
 
-def _gather_best(state_list, err, axis1_size):
-    """Reduce [N,K,...] candidate pytrees to the best K per block."""
-    best_k = err.argmin(axis=1)
-
-    def g(x):
-        xk = x.reshape((err.shape[0], axis1_size) + x.shape[1:])
-        return jnp.take_along_axis(
-            xk, best_k[(...,) + (None,) * xk.ndim][:, : 1].reshape(
-                (err.shape[0],) + (1,) * (xk.ndim - 1)
-            ), axis=1
-        )[:, 0]
-
-    return [g(x) for x in state_list], err.min(axis=1)
-
-
 def _encode_two_subset(colors, iters, ch_w, num_partitions, mode):
     """Modes 1/3/7: 2 subsets over the 64-pattern table.
 
@@ -360,6 +347,30 @@ def _encode_two_subset(colors, iters, ch_w, num_partitions, mode):
     pidx = _rank_partitions(colors, ch_w, k)  # [N,k]
     masks = _PART2[pidx.reshape(-1)].astype(jnp.float32)  # [N*k,16]
     cols = jnp.repeat(colors, k, axis=0)  # [N*k,16,4]
+
+    # Shared seed: one principal-axis projection per block; per candidate
+    # subset the extremes come from masked argmin/argmax of the shared
+    # projections.  (Per-candidate PCA dominates mode-1 runtime otherwise.)
+    mean = colors.mean(axis=1, keepdims=True)
+    centered = colors - mean
+    cov = jnp.einsum("nic,nid->ncd", centered, centered)
+    norms = (centered * centered).sum(-1)
+    start = jnp.take_along_axis(centered, norms.argmax(1)[:, None, None], 1)[:, 0]
+    n0 = jnp.linalg.norm(start, axis=-1, keepdims=True)
+    axis = jnp.where(n0 > 1e-10, start / (n0 + 1e-20), jnp.ones_like(start))
+    for _ in range(4):
+        nv = jnp.einsum("ncd,nd->nc", cov, axis)
+        nn = jnp.linalg.norm(nv, axis=-1, keepdims=True)
+        axis = jnp.where(nn > 1e-10, nv / (nn + 1e-20), axis)
+    proj = jnp.einsum("nic,nc->ni", centered, axis)  # [N,16]
+    proj_k = jnp.repeat(proj, k, axis=0)  # [N*k,16]
+
+    def subset_seed(m):
+        pos = jnp.where(m > 0, proj_k, -jnp.inf)
+        neg = jnp.where(m > 0, proj_k, jnp.inf)
+        hi = jnp.take_along_axis(cols, pos.argmax(1)[:, None, None], 1)[:, 0]
+        lo = jnp.take_along_axis(cols, neg.argmin(1)[:, None, None], 1)[:, 0]
+        return hi, lo
 
     if mode == 1:
         weights, nlev, bits = _W3, 8, 6
@@ -393,20 +404,49 @@ def _encode_two_subset(colors, iters, ch_w, num_partitions, mode):
             v1, p1, d1 = _quant_pbit_each(e1, bits, cw)
             return (v0, v1, p0, p1, d0, d1)
 
-    # Alpha error for alpha-less modes: palette alpha is fixed 255, so add
-    # the (a-255)^2 term once per pixel.
+    # Phase A: screen all k partition candidates with the continuous
+    # line-projection error (err(t*) = A - B^2/C for the unclamped optimum
+    # along the seed segment) — no quantization or exact palette evals.
+    def screen(m):
+        hi, lo = subset_seed(m)
+        df = hi - lo
+        cquad = (df * df * cw[None, :]).sum(-1)  # [M]
+        diff = cols - lo[:, None, :]
+        a = jnp.einsum("ntc,c->nt", diff * diff, cw)
+        b = jnp.einsum("ntc,nc->nt", diff * cw[None, None, :], df)
+        t = jnp.clip(b / (cquad[:, None] + 1e-10), 0.0, 1.0)
+        e = a - 2.0 * t * b + t * t * cquad[:, None]
+        return (e * m).sum(1)
+
+    best_k = (screen(1.0 - masks) + screen(masks)).reshape(n, k).argmin(axis=1)
+    part = jnp.take_along_axis(pidx, best_k[:, None], axis=1)[:, 0]  # [N]
+
+    # Phase B: full refinement of the winning partition only (batch N).
+    masks_b = _PART2[part].astype(jnp.float32)  # [N,16]
+
+    def seed_of(m):
+        pos = jnp.where(m > 0, proj, -jnp.inf)
+        neg = jnp.where(m > 0, proj, jnp.inf)
+        hi = jnp.take_along_axis(colors, pos.argmax(1)[:, None, None], 1)[:, 0]
+        lo = jnp.take_along_axis(colors, neg.argmin(1)[:, None, None], 1)[:, 0]
+        return hi, lo
+
+    st0, idx0, err0 = _fit_subset(
+        colors, 1.0 - masks_b, weights, quant, iters, cw,
+        seed=seed_of(1.0 - masks_b),
+    )
+    st1, idx1, err1 = _fit_subset(
+        colors, masks_b, weights, quant, iters, cw, seed=seed_of(masks_b)
+    )
+    # Alpha error for alpha-less modes: palette alpha is fixed 255.
     alpha_pen = 0.0
     if mode in (1, 3):
-        alpha_pen = (ch_w[3] * (cols[..., 3] - 255.0) ** 2).sum(1)
+        alpha_pen = (ch_w[3] * (colors[..., 3] - 255.0) ** 2).sum(1)
+    best_err = err0 + err1 + alpha_pen  # [N]
 
-    st0, idx0, err0 = _fit_subset(cols, 1.0 - masks, weights, quant, iters, cw)
-    st1, idx1, err1 = _fit_subset(cols, masks, weights, quant, iters, cw)
-    err = err0 + err1 + alpha_pen  # [N*k]
-
-    idx = jnp.where(masks > 0, idx1, idx0)
-    state = list(st0) + list(st1) + [idx, pidx.reshape(-1)]
-    state, best_err = _gather_best(state, err.reshape(n, k), k)
-    (v00, v01, p00, p01, _, _, v10, v11, p10, p11, _, _, idx, part) = state
+    idx = jnp.where(masks_b > 0, idx1, idx0)
+    (v00, v01, p00, p01, _, _) = st0
+    (v10, v11, p10, p11, _, _) = st1
 
     sel1 = _PART2[part] > 0  # [N,16] bool
     anchor0 = jnp.zeros((n,), jnp.int32)

@@ -59,32 +59,68 @@ def morton_order(nbx: int, nby: int) -> np.ndarray:
     return out
 
 
-def _quant555(c):
-    """[...,3] float 0..1 -> (packed 15-bit int, decoded float)."""
-    q = jnp.clip(jnp.round(c * 31.0), 0, 31).astype(jnp.int32)
-    dec = jnp.stack(
-        [((q[..., i] << 3) | (q[..., i] >> 2)).astype(jnp.float32) / 255.0 for i in range(3)],
-        axis=-1,
-    )
-    packed = (q[..., 0] << 10) | (q[..., 1] << 5) | q[..., 2]
+def _e5(q):
+    return ((q << 3) | (q >> 2)).astype(jnp.float32) / 255.0
+
+
+def _e4(q):
+    return (q * 17).astype(jnp.float32) / 255.0
+
+
+def _e3to4(q):
+    q4 = (q << 1) | (q >> 2)
+    return _e4(q4)
+
+
+def _quant_a(c):
+    """Color A field (bits 16..31): opaque 1.5.5.5 or translucent 0.3.4.4.4.
+
+    c [...,4] float RGBA 0..1 -> (packed 16-bit int, decoded RGBA float).
+    Endpoints with alpha >= 15/16 use the opaque mode (full color
+    precision); others store 3-bit alpha (decoded as the 0..14/15 ladder).
+    """
+    opaque = c[..., 3] >= 15.0 / 16.0
+    # Opaque: 5.5.5.
+    qo = jnp.clip(jnp.round(c[..., :3] * 31.0), 0, 31).astype(jnp.int32)
+    pack_o = 0x8000 | (qo[..., 0] << 10) | (qo[..., 1] << 5) | qo[..., 2]
+    dec_o = jnp.stack(
+        [_e5(qo[..., 0]), _e5(qo[..., 1]), _e5(qo[..., 2]),
+         jnp.ones_like(c[..., 3])], -1)
+    # Translucent: A3 R4 G4 B4.
+    qa = jnp.clip(jnp.round(c[..., 3] * 16.0 / 2.0), 0, 7).astype(jnp.int32)
+    qt = jnp.clip(jnp.round(c[..., :3] * 15.0), 0, 15).astype(jnp.int32)
+    pack_t = (qa << 12) | (qt[..., 0] << 8) | (qt[..., 1] << 4) | qt[..., 2]
+    a4 = (qa << 1)
+    dec_t = jnp.stack(
+        [_e4(qt[..., 0]), _e4(qt[..., 1]), _e4(qt[..., 2]),
+         (a4 * 17).astype(jnp.float32) / 255.0], -1)
+    packed = jnp.where(opaque, pack_o, pack_t)
+    dec = jnp.where(opaque[..., None], dec_o, dec_t)
     return packed, dec
 
 
-def _quant554(c):
-    """B color: 5.5.4 (blue loses a bit to the mode flag)."""
-    r = jnp.clip(jnp.round(c[..., 0] * 31.0), 0, 31).astype(jnp.int32)
-    g = jnp.clip(jnp.round(c[..., 1] * 31.0), 0, 31).astype(jnp.int32)
-    b = jnp.clip(jnp.round(c[..., 2] * 15.0), 0, 15).astype(jnp.int32)
-    b5 = (b << 1) | (b >> 3)
-    dec = jnp.stack(
-        [
-            ((r << 3) | (r >> 2)).astype(jnp.float32) / 255.0,
-            ((g << 3) | (g >> 2)).astype(jnp.float32) / 255.0,
-            ((b5 << 3) | (b5 >> 2)).astype(jnp.float32) / 255.0,
-        ],
-        axis=-1,
-    )
-    packed = (r << 10) | (g << 5) | (b << 1)
+def _quant_b(c):
+    """Color B field (bits 0..15): opaque 1.5.5.4 or translucent 0.3.4.4.3
+    (blue gives a bit to the modulation-mode flag at bit 0)."""
+    opaque = c[..., 3] >= 15.0 / 16.0
+    r5 = jnp.clip(jnp.round(c[..., 0] * 31.0), 0, 31).astype(jnp.int32)
+    g5 = jnp.clip(jnp.round(c[..., 1] * 31.0), 0, 31).astype(jnp.int32)
+    b4 = jnp.clip(jnp.round(c[..., 2] * 15.0), 0, 15).astype(jnp.int32)
+    pack_o = 0x8000 | (r5 << 10) | (g5 << 5) | (b4 << 1)
+    b5 = (b4 << 1) | (b4 >> 3)
+    dec_o = jnp.stack(
+        [_e5(r5), _e5(g5), _e5(b5), jnp.ones_like(c[..., 3])], -1)
+    qa = jnp.clip(jnp.round(c[..., 3] * 16.0 / 2.0), 0, 7).astype(jnp.int32)
+    r4 = jnp.clip(jnp.round(c[..., 0] * 15.0), 0, 15).astype(jnp.int32)
+    g4 = jnp.clip(jnp.round(c[..., 1] * 15.0), 0, 15).astype(jnp.int32)
+    b3 = jnp.clip(jnp.round(c[..., 2] * 7.0), 0, 7).astype(jnp.int32)
+    pack_t = (qa << 12) | (r4 << 8) | (g4 << 4) | (b3 << 1)
+    a4 = (qa << 1)
+    dec_t = jnp.stack(
+        [_e4(r4), _e4(g4), _e3to4(b3), (a4 * 17).astype(jnp.float32) / 255.0],
+        -1)
+    packed = jnp.where(opaque, pack_o, pack_t)
+    dec = jnp.where(opaque[..., None], dec_o, dec_t)
     return packed, dec
 
 
@@ -120,11 +156,11 @@ def upscale_bilinear(grid: jnp.ndarray, bw: int, bh: int) -> jnp.ndarray:
 
 
 def _block_endpoints(surface: jnp.ndarray, bw: int, bh: int):
-    """Per-block principal-axis extreme colors -> (lo, hi) [nby,nbx,3]."""
-    h, w, _ = surface.shape
+    """Per-block principal-axis extreme colors -> (lo, hi) [nby,nbx,C]."""
+    h, w, nch = surface.shape
     nby, nbx = h // bh, w // bw
-    blocks = surface.reshape(nby, bh, nbx, bw, 3).transpose(0, 2, 1, 3, 4)
-    blocks = blocks.reshape(nby * nbx, bh * bw, 3)
+    blocks = surface.reshape(nby, bh, nbx, bw, nch).transpose(0, 2, 1, 3, 4)
+    blocks = blocks.reshape(nby * nbx, bh * bw, nch)
     mean = blocks.mean(1, keepdims=True)
     centered = blocks - mean
     cov = jnp.einsum("nic,nid->ncd", centered, centered)
@@ -139,7 +175,7 @@ def _block_endpoints(surface: jnp.ndarray, bw: int, bh: int):
     t = jnp.einsum("nic,nc->ni", centered, v)
     hi = jnp.take_along_axis(blocks, t.argmax(1)[:, None, None], 1)[:, 0]
     lo = jnp.take_along_axis(blocks, t.argmin(1)[:, None, None], 1)[:, 0]
-    return lo.reshape(nby, nbx, 3), hi.reshape(nby, nbx, 3)
+    return lo.reshape(nby, nbx, nch), hi.reshape(nby, nbx, nch)
 
 
 @functools.partial(jax.jit, static_argnames=("bpp2", "quality"))
@@ -149,27 +185,28 @@ def encode_pvrtc1(
     """Encode an RGB(A) surface (H, W, 4) float 0..1 -> [nblocks, 2] uint32
     words in raster order (caller applies the Morton permutation).
 
-    Alpha handling is opaque-only for now (opaque flags set); punch-through
-    and translucent endpoint modes are planned extensions.
+    Endpoints with alpha below 15/16 use the translucent color modes
+    (3-bit alpha + reduced color precision); the punch-through modulation
+    mode (flag bit 0) is a planned extension.
     """
     bw, bh = (8, 4) if bpp2 else (4, 4)
-    rgb = surface[..., :3].astype(jnp.float32)
-    h, w, _ = rgb.shape
+    rgba = surface[..., :4].astype(jnp.float32)
+    h, w, _ = rgba.shape
     nby, nbx = h // bh, w // bw
 
-    lo, hi = _block_endpoints(rgb, bw, bh)
+    lo, hi = _block_endpoints(rgba, bw, bh)
     refines = {0: 0, 1: 0, 2: 1, 3: 2, 4: 3}[max(0, min(4, int(quality)))]
 
     mod_w = jnp.asarray(_MOD_W_4BPP if not bpp2 else np.array([0, 8], np.float32))
 
     def modulate(lo_g, hi_g):
-        _, dec_a = _quant555(lo_g)
-        _, dec_b = _quant554(hi_g)
+        _, dec_a = _quant_a(lo_g)
+        _, dec_b = _quant_b(hi_g)
         a_img = upscale_bilinear(dec_a, bw, bh)
         b_img = upscale_bilinear(dec_b, bw, bh)
         d = b_img - a_img
         denom = (d * d).sum(-1) + 1e-8
-        t = ((rgb - a_img) * d).sum(-1) / denom  # ideal in [0,1]
+        t = ((rgba - a_img) * d).sum(-1) / denom  # ideal in [0,1]
         # Pick nearest modulation weight.
         cand = mod_w[None, None, :] / 8.0
         mi = jnp.argmin(jnp.abs(t[..., None] - cand), axis=-1).astype(jnp.int32)
@@ -184,8 +221,8 @@ def encode_pvrtc1(
         wb = wmod.reshape(nby, bh, nbx, bw).transpose(0, 2, 1, 3).reshape(
             nby * nbx, bh * bw
         )
-        cb = rgb.reshape(nby, bh, nbx, bw, 3).transpose(0, 2, 1, 3, 4).reshape(
-            nby * nbx, bh * bw, 3
+        cb = rgba.reshape(nby, bh, nbx, bw, 4).transpose(0, 2, 1, 3, 4).reshape(
+            nby * nbx, bh * bw, 4
         )
         a11 = ((1 - wb) ** 2).sum(1)
         a12 = (wb * (1 - wb)).sum(1)
@@ -198,15 +235,15 @@ def encode_pvrtc1(
         new_lo = (a22[:, None] * b0 - a12[:, None] * b1) / safe
         new_hi = (a11[:, None] * b1 - a12[:, None] * b0) / safe
         mean = cb.mean(1)
-        new_lo = jnp.where(ok[:, None], new_lo, mean).reshape(nby, nbx, 3)
-        new_hi = jnp.where(ok[:, None], new_hi, mean).reshape(nby, nbx, 3)
+        new_lo = jnp.where(ok[:, None], new_lo, mean).reshape(nby, nbx, 4)
+        new_hi = jnp.where(ok[:, None], new_hi, mean).reshape(nby, nbx, 4)
         new_lo = jnp.clip(new_lo, 0.0, 1.0)
         new_hi = jnp.clip(new_hi, 0.0, 1.0)
         mi, a_img, b_img = modulate(new_lo, new_hi)
         lo, hi = new_lo, new_hi
 
-    pa, _ = _quant555(lo)
-    pb, _ = _quant554(hi)
+    pa, _ = _quant_a(lo)
+    pb, _ = _quant_b(hi)
 
     # Modulation word per block: 2 bits per texel raster order (1 bit for
     # 2bpp), texel (fx, fy) at bit (fy*bw+fx)*bits.
@@ -218,12 +255,10 @@ def encode_pvrtc1(
     modword = (mb.astype(jnp.uint32) << shifts).sum(axis=1, dtype=jnp.uint32)
 
     # Color word (upper 32 bits of the block): bit 0 = modulation mode (0 =
-    # standard), bits 1..14 = B (554, already positioned by _quant554),
-    # bit 15 = B opaque flag, bits 16..30 = A (555), bit 31 = A opaque flag.
+    # standard), bits 1..15 = color B incl. its opaque flag (positioned by
+    # _quant_b), bits 16..31 = color A incl. its opaque flag.
     colorword = (
         (pa.reshape(-1).astype(jnp.uint32) << jnp.uint32(16))
-        | jnp.uint32(0x80000000)  # A opaque flag
         | pb.reshape(-1).astype(jnp.uint32)
-        | jnp.uint32(0x8000)  # B opaque flag
     )
     return jnp.stack([modword, colorword], axis=-1)

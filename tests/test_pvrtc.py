@@ -112,3 +112,25 @@ class TestPipeline:
     def test_pvrtc2_unimplemented(self):
         with pytest.raises(NotImplementedError):
             create_converter(_F.PVRTC2_RGBA_4BPP, _T.UNorm)
+
+
+class TestAlpha:
+    def test_translucent_endpoints(self):
+        rng = np.random.default_rng(5)
+        surf = _smooth_surface(32, 32, rng)
+        surf[..., 3] = np.linspace(0.1, 0.9, 32, dtype=np.float32)[None, :]
+        words = np.asarray(encode_pvrtc1(surf, bpp2=False, quality=2))
+        dec = decode_pvrtc1(
+            np.ascontiguousarray(words.astype("<u4")).view(np.uint8), 32, 32
+        )
+        assert _psnr(dec[..., 3], surf[..., 3]) > 18
+        assert _psnr(dec[..., :3], surf[..., :3]) > 26
+
+    def test_opaque_stays_exact_alpha(self):
+        rng = np.random.default_rng(6)
+        surf = _smooth_surface(16, 16, rng)
+        words = np.asarray(encode_pvrtc1(surf, bpp2=False, quality=1))
+        dec = decode_pvrtc1(
+            np.ascontiguousarray(words.astype("<u4")).view(np.uint8), 16, 16
+        )
+        assert np.abs(dec[..., 3] - 1.0).max() < 1e-6
