@@ -44,7 +44,7 @@ def _decode_etc_rgb_block(block: int, etc2: bool) -> np.ndarray:
         b2 = [b1[c] + d2[c] for c in range(3)]
         if etc2:
             if not 0 <= b2[0] <= 31:
-                raise NotImplementedError("ETC2 T mode not supported yet")
+                return _decode_t(block)
             if not 0 <= b2[1] <= 31:
                 raise NotImplementedError("ETC2 H mode not supported yet")
             if not 0 <= b2[2] <= 31:
@@ -75,6 +75,39 @@ def _decode_etc_rgb_block(block: int, etc2: bool) -> np.ndarray:
         mod = _ETC1_MODS_NP[table][(msb << 1) | lsb]
         ri = 4 * y + x
         out[ri] = [_clamp(base[c] + mod) for c in range(3)]
+    return out
+
+
+_T_DIST = [3, 6, 11, 16, 23, 32, 41, 64]
+
+
+def _decode_t(block: int) -> np.ndarray:
+    """T mode: palette [C1, C2+d, C2, C2-d] with 4-bit colors."""
+    def e4(v):
+        return (v << 4) | v
+
+    r1 = (((block >> 59) & 0x3) << 2) | ((block >> 56) & 0x3)
+    g1 = (block >> 52) & 0xF
+    b1 = (block >> 48) & 0xF
+    r2 = (block >> 44) & 0xF
+    g2 = (block >> 40) & 0xF
+    b2 = (block >> 36) & 0xF
+    didx = (((block >> 34) & 0x3) << 1) | ((block >> 32) & 1)
+    d = _T_DIST[didx]
+    c1 = [e4(r1), e4(g1), e4(b1)]
+    c2 = [e4(r2), e4(g2), e4(b2)]
+    pal = [
+        c1,
+        [_clamp(v + d) for v in c2],
+        c2,
+        [_clamp(v - d) for v in c2],
+    ]
+    out = np.zeros((16, 3), np.uint8)
+    for p in range(16):
+        x, y = p // 4, p % 4
+        msb = (block >> (16 + p)) & 1
+        lsb = (block >> p) & 1
+        out[4 * y + x] = pal[(msb << 1) | lsb]
     return out
 
 

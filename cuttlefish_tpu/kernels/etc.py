@@ -6,7 +6,10 @@ Implemented modes:
     2x4 / 4x2 subblocks (flip), 8 intensity modifier tables, enumerated
     exhaustively as fixed-shape candidates.
   - ETC2 adds the planar mode (RGB 6.7.6 corner colors, least-squares plane
-    fit + B-overflow signaling).  T/H modes are a planned extension.
+    fit + B-overflow signaling) and the T mode (two 4-bit colors, paint
+    palette [C1, C2+d, C2, C2-d], R-overflow signaling).  H mode is a
+    planned extension (its G-overflow signaling couples free bits with
+    color data and needs a perturbation fallback).
   - EAC: 8-bit alpha and 11-bit R/RG (signed + unsigned), base/multiplier/
     table search seeded from the block range.
 
@@ -326,6 +329,115 @@ def _pack_planar(fields, m):
     return hi, lo
 
 
+# ---------------------------------------------------------------------------
+# ETC2 T mode: two 4-bit colors, palette [C1, C2+d, C2, C2-d]
+# ---------------------------------------------------------------------------
+
+_ETC2_DIST_NP = np.array([3, 6, 11, 16, 23, 32, 41, 64], np.int32)
+_ETC2_DIST = jnp.asarray(_ETC2_DIST_NP)
+
+
+def _quant444(c):
+    """[M,3] float 0..255 -> (q [M,3] int 0..15, dec [M,3] float)."""
+    q = jnp.clip(jnp.round(c * 15.0 / 255.0), 0, 15).astype(jnp.int32)
+    return q, _expand4(q).astype(jnp.float32)
+
+
+def _pack_t(q1, q2, didx, idx_raster):
+    """T-mode word: colors [M,3] 4-bit, distance index [M], 2-bit indices.
+
+    Fields: R1[3:2]@60, R1[1:0]@56, G1@52, B1@48, R2@44, G2@40, B2@36,
+    d[2:1]@34, d[0]@32, diff bit 33 = 1.  Free bits 63..61 and 58 force the
+    differential R check out of range (mode signaling).
+    """
+    r1, g1, b1 = q1[:, 0], q1[:, 1], q1[:, 2]
+    r32 = r1 >> 2
+    r10 = r1 & 0x3
+    hi = jnp.zeros((r1.shape[0],), jnp.uint32)
+    hi = hi | (r32.astype(jnp.uint32) << jnp.uint32(59 - 32))
+    hi = hi | (r10.astype(jnp.uint32) << jnp.uint32(56 - 32))
+    hi = hi | (g1.astype(jnp.uint32) << jnp.uint32(52 - 32))
+    hi = hi | (b1.astype(jnp.uint32) << jnp.uint32(48 - 32))
+    hi = hi | (q2[:, 0].astype(jnp.uint32) << jnp.uint32(44 - 32))
+    hi = hi | (q2[:, 1].astype(jnp.uint32) << jnp.uint32(40 - 32))
+    hi = hi | (q2[:, 2].astype(jnp.uint32) << jnp.uint32(36 - 32))
+    hi = hi | ((didx >> 1).astype(jnp.uint32) << jnp.uint32(34 - 32))
+    hi = hi | ((didx & 1).astype(jnp.uint32))
+    hi = hi | jnp.uint32(2)  # diff bit
+    # Signal R overflow: A (b63..61=111, b58=0) iff r32+r10 >= 4, else B.
+    use_a = (r32 + r10) >= 4
+    hi = hi | jnp.where(use_a, jnp.uint32(0x7) << jnp.uint32(61 - 32), 0)
+    hi = hi | jnp.where(use_a, 0, jnp.uint32(1) << jnp.uint32(58 - 32))
+
+    idx_p = idx_raster[:, _RASTER_OF_P_NP]
+    msb = (idx_p >> 1).astype(jnp.uint32)
+    lsb = (idx_p & 1).astype(jnp.uint32)
+    shifts = jnp.arange(16, dtype=jnp.uint32)[None, :]
+    lo = (lsb << shifts).sum(1, dtype=jnp.uint32) | (
+        (msb << shifts).sum(1, dtype=jnp.uint32) << jnp.uint32(16)
+    )
+    return hi, lo
+
+
+def _etc2_t_candidate(colors, ch_w):
+    """Best T-mode encoding: cluster split + distance search.
+
+    colors [M,16,3] 0..255 -> (err [M], (hi, lo)).
+    """
+    m = colors.shape[0]
+    mean = colors.mean(1, keepdims=True)
+    centered = colors - mean
+    cov = jnp.einsum("nic,nid->ncd", centered, centered)
+    norms = (centered * centered).sum(-1)
+    start = jnp.take_along_axis(centered, norms.argmax(1)[:, None, None], 1)[:, 0]
+    n0 = jnp.linalg.norm(start, axis=-1, keepdims=True)
+    v = jnp.where(n0 > 1e-10, start / (n0 + 1e-20), jnp.ones_like(start))
+    for _ in range(3):
+        nv = jnp.einsum("ncd,nd->nc", cov, v)
+        nn = jnp.linalg.norm(nv, axis=-1, keepdims=True)
+        v = jnp.where(nn > 1e-10, nv / (nn + 1e-20), v)
+    t = jnp.einsum("nic,nc->ni", centered, v)
+    split = t > 0  # [M,16]
+
+    def cluster_mean(mask):
+        cnt = mask.sum(1, keepdims=True) + 1e-6
+        return (colors * mask[..., None]).sum(1) / cnt
+
+    mean_pos = cluster_mean(split.astype(jnp.float32))
+    mean_neg = cluster_mean((~split).astype(jnp.float32))
+
+    best = None
+    for c1f, c2f in ((mean_pos, mean_neg), (mean_neg, mean_pos)):
+        q1, d1 = _quant444(c1f)
+        q2, d2 = _quant444(c2f)
+        for di in range(8):
+            dist = float(_ETC2_DIST_NP[di])
+            pal = jnp.stack(
+                [
+                    d1,
+                    jnp.clip(d2 + dist, 0, 255),
+                    d2,
+                    jnp.clip(d2 - dist, 0, 255),
+                ],
+                axis=1,
+            )  # [M,4,3]
+            diff = colors[:, :, None, :] - pal[:, None, :, :]
+            e = jnp.einsum("npkc,c->npk", diff * diff, ch_w)
+            idx = e.argmin(-1).astype(jnp.int32)
+            err = e.min(-1).sum(1)
+            cand = (q1, q2, jnp.full((m,), di, jnp.int32), idx, err)
+            if best is None:
+                best = cand
+            else:
+                take = cand[4] < best[4]
+                best = tuple(
+                    jnp.where(take[(...,) + (None,) * (b.ndim - 1)], c, b)
+                    for c, b in zip(cand, best)
+                )
+    q1, q2, didx, idx, err = best
+    return err, _pack_t(q1, q2, didx, idx)
+
+
 _ETC_SHIFTS = {0: (0.0,), 1: (0.0,), 2: (0.0,), 3: (-8.0, 0.0, 8.0), 4: (-12.0, -6.0, 0.0, 6.0, 12.0)}
 
 
@@ -361,6 +473,11 @@ def encode_etc_rgb(
         take = perr < best_err
         best = tuple(jnp.where(take, w, b) for w, b in zip((hi, lo), best))
         best_err = jnp.where(take, perr, best_err)
+
+        terr, twords = _etc2_t_candidate(colors, ch_w)
+        take = terr < best_err
+        best = tuple(jnp.where(take, w, b) for w, b in zip(twords, best))
+        best_err = jnp.where(take, terr, best_err)
 
     return _swap_words(*best)
 

@@ -165,3 +165,22 @@ class TestPipeline:
         surface = np.random.default_rng(9).random((20, 24, 4)).astype(np.float32)
         data = conv.encode(surface, EncodeParams(quality=Quality.Low))
         assert len(data) == 6 * 5 * block_bytes
+
+
+class TestTMode:
+    def test_two_cluster_blocks(self):
+        rng = np.random.default_rng(12)
+        c0 = rng.random((64, 1, 4)).astype(np.float32)
+        c1 = rng.random((64, 1, 4)).astype(np.float32)
+        sel = rng.random((64, 16, 1)) > 0.6
+        blocks = np.where(sel, c0, c1).astype(np.float32)
+        blocks[..., 3] = 1.0
+        d1 = decode_etc_rgb(_bytes(etc.encode_etc_rgb(blocks, quality=2)), etc2=False)
+        d2 = decode_etc_rgb(
+            _bytes(etc.encode_etc_rgb(blocks, quality=2, etc2=True)), etc2=True
+        )
+        p1 = _psnr(d1 / 255.0, blocks[..., :3])
+        p2 = _psnr(d2 / 255.0, blocks[..., :3])
+        # T mode must lift chroma-bimodal content far above ETC1.
+        assert p2 > p1 + 5
+        assert p2 > 30
