@@ -21,8 +21,8 @@ import numpy as np
 BASELINE_BC7_MTEXELS = 10.0
 
 IMAGE = 1024  # 1024x1024 RGBA
-WARMUP = 2
-ITERS = 5
+WARMUP = 3
+ITERS = 15
 QUALITY = 2
 
 
