@@ -2,7 +2,7 @@
 
 TPU-native replacement for bc7e.ispc / bc7enc
 (`/root/reference/lib/src/S3tcConverter.cpp:593-646`).  Strategy: fixed-shape
-candidate enumeration over modes {6, 1, 3, 7, 5} with least-squares endpoint
+candidate enumeration over modes {6, 1, 3, 7, 5, 4} with least-squares endpoint
 refinement, masked best-candidate reductions instead of the CPU encoders'
 data-dependent early-outs (SURVEY.md §7).
 
@@ -10,9 +10,9 @@ Quality ladder (mirrors the reference's ultrafast..slowest table at
 `S3tcConverter.cpp:170-227` in role):
   0: mode 6 only
   1: modes 6 + 1 (4 partitions)
-  2: modes 6 + 1 (8 partitions) + 5
-  3: modes 6 + 1 (16) + 3 (8) + 5
-  4: modes 6 + 1 (32) + 3 (16) + 7 (16) + 5
+  2: modes 6 + 1 (8 partitions) + 5 + 4
+  3: modes 6 + 1 (16) + 3 (8) + 5 + 4
+  4: modes 6 + 1 (32) + 3 (16) + 7 (16) + 5 + 4
 
 All arithmetic matching the decoder runs in the integer 0..255 endpoint
 domain; interpolation uses the spec weight tables with (x*(64-w)+y*w+32)>>6.
@@ -491,6 +491,116 @@ def _encode_two_subset(colors, iters, ch_w, num_partitions, mode):
     return pk.stack(), best_err
 
 
+def _fit_scalar(vals, weights, quant_bits, iters):
+    """Scalar channel fit (mode 4/5 alpha): returns (q0, q1, idx, err).
+
+    vals [M,16] 0..255; endpoints quantized to `quant_bits` with bit
+    replication; `weights` is the 0..64 interpolation ladder.
+    """
+    lvl = weights.shape[0]
+    maxq = (1 << quant_bits) - 1
+
+    def dequant(q):
+        return _replicate(q, quant_bits)
+
+    def cand(e0, e1):
+        q0 = jnp.clip(jnp.round(e0 * maxq / 255.0), 0, maxq).astype(jnp.int32)
+        q1 = jnp.clip(jnp.round(e1 * maxq / 255.0), 0, maxq).astype(jnp.int32)
+        d0 = dequant(q0)
+        d1 = dequant(q1)
+        pal = (
+            d0[:, None] * (64 - weights[None, :]) + d1[:, None] * weights[None, :] + 32
+        ) >> 6
+        e = (vals[:, :, None] - pal[:, None, :].astype(vals.dtype)) ** 2
+        idx = e.argmin(-1).astype(jnp.int32)
+        return q0, q1, idx, e.min(-1).sum(1)
+
+    best = cand(vals.max(1), vals.min(1))
+    wf = weights.astype(jnp.float32) / 64.0
+    for _ in range(iters):
+        w = wf[best[2]]
+        e1f, e0f = _ls_solve(vals[..., None], w)
+        c = cand(e0f[:, 0], e1f[:, 0])
+        take = c[3] < best[3]
+        best = tuple(
+            jnp.where(take[(...,) + (None,) * (b.ndim - 1)], x, b)
+            for x, b in zip(c, best)
+        )
+    return best
+
+
+def _scalar_anchor_fix(q0, q1, idx, lvl):
+    a = idx[:, 0]
+    swap = a >= lvl // 2
+    q0n = jnp.where(swap, q1, q0)
+    q1n = jnp.where(swap, q0, q1)
+    idx = jnp.where(swap[:, None], (lvl - 1) - idx, idx)
+    return q0n, q1n, idx
+
+
+def _encode_mode4(colors, iters, ch_w):
+    """Mode 4: 1 subset, rotation 0, RGB 5.5 + A 6.6, 2-bit + 3-bit indices.
+
+    idx_mode selects which index set (2-bit vs 3-bit) drives color vs alpha;
+    both settings are evaluated.  Layout: mode(5) rot(2) idxMode(1)
+    R0 R1 G0 G1 B0 B1 (5 each) A0 A1 (6 each), then the 2-bit stream
+    (31 bits) and the 3-bit stream (47 bits).
+    """
+    m = colors.shape[0]
+    ones = jnp.ones((m, 16), jnp.float32)
+    cw = ch_w * jnp.array([1, 1, 1, 0], jnp.float32)
+    a = colors[..., 3]
+
+    def quant_rgb(e0, e1):
+        v0, d0 = _quant_plain(e0[:, :3], 5)
+        v1, d1 = _quant_plain(e1[:, :3], 5)
+        d0 = jnp.concatenate([d0, jnp.zeros_like(d0[:, :1])], -1)
+        d1 = jnp.concatenate([d1, jnp.zeros_like(d1[:, :1])], -1)
+        return (v0, v1, d0, d1)
+
+    best_words = None
+    best_err = None
+    for idx_mode in (0, 1):
+        cweights = _W2 if idx_mode == 0 else _W3
+        aweights = _W3 if idx_mode == 0 else _W2
+        (v0, v1, _, _), cidx, cerr = _fit_subset(
+            colors, ones, cweights, quant_rgb, iters, cw
+        )
+        clvl = cweights.shape[0]
+        ca = cidx[:, 0]
+        cswap = ca >= clvl // 2
+        v0n = jnp.where(cswap[:, None], v1, v0)
+        v1n = jnp.where(cswap[:, None], v0, v1)
+        cidx = jnp.where(cswap[:, None], (clvl - 1) - cidx, cidx)
+
+        q0, q1, aidx, aerr = _fit_scalar(a, aweights, 6, iters)
+        q0, q1, aidx = _scalar_anchor_fix(q0, q1, aidx, aweights.shape[0])
+
+        err = cerr + ch_w[3] * aerr
+        pk = _Packer(m)
+        pk.put(jnp.full((m,), 1 << 4, jnp.int32), 5)  # mode 4
+        pk.put(jnp.zeros((m,), jnp.int32), 2)  # rotation 0
+        pk.put(jnp.full((m,), idx_mode, jnp.int32), 1)
+        for c in range(3):
+            pk.put(v0n[:, c], 5)
+            pk.put(v1n[:, c], 5)
+        pk.put(q0, 6)
+        pk.put(q1, 6)
+        zero = [jnp.zeros((m,), jnp.int32)]
+        idx2 = cidx if idx_mode == 0 else aidx
+        idx3 = aidx if idx_mode == 0 else cidx
+        _pack_indices(pk, idx2, 2, zero, 50)
+        _pack_indices(pk, idx3, 3, zero, 81)
+        words = pk.stack()
+        if best_words is None:
+            best_words, best_err = words, err
+        else:
+            take = err < best_err
+            best_words = jnp.where(take[:, None], words, best_words)
+            best_err = jnp.where(take, err, best_err)
+    return best_words, best_err
+
+
 def _encode_mode5(colors, iters, ch_w):
     """Mode 5: 1 subset, rotation 0, RGB 7.7 + A 8.8, 2+2 bit indices."""
     m = colors.shape[0]
@@ -558,9 +668,9 @@ def _encode_mode5(colors, iters, ch_w):
 _QUALITY_PLAN = {
     0: {"iters": 1, "modes": {6: None}},
     1: {"iters": 2, "modes": {6: None, 1: 4}},
-    2: {"iters": 2, "modes": {6: None, 1: 8, 5: None}},
-    3: {"iters": 3, "modes": {6: None, 1: 16, 3: 8, 5: None}},
-    4: {"iters": 4, "modes": {6: None, 1: 32, 3: 16, 7: 16, 5: None}},
+    2: {"iters": 2, "modes": {6: None, 1: 8, 5: None, 4: None}},
+    3: {"iters": 3, "modes": {6: None, 1: 16, 3: 8, 5: None, 4: None}},
+    4: {"iters": 4, "modes": {6: None, 1: 32, 3: 16, 7: 16, 5: None, 4: None}},
 }
 
 
@@ -584,6 +694,8 @@ def encode_bc7(
             w, e = _encode_mode6(colors, iters, ch_w)
         elif mode == 5:
             w, e = _encode_mode5(colors, iters, ch_w)
+        elif mode == 4:
+            w, e = _encode_mode4(colors, iters, ch_w)
         else:
             w, e = _encode_two_subset(colors, iters, ch_w, parts, mode)
         if words is None:

@@ -61,9 +61,8 @@ class TestBc7:
             32, rng, alpha=np.linspace(0.2, 0.9, 16, dtype=np.float32)[None, :]
         )
         dec = decode_bc7(_bytes(bc7.encode_bc7(blocks, quality=2)))
-        # Mode 5's 2-bit alpha indices cap a 0.2-0.9 ramp at ~26 dB (Lloyd
-        # bound); mode 4 (3-bit alpha) would lift this -- future work.
-        assert _psnr(dec[..., 3] / 255.0, blocks[..., 3]) > 25.5
+        # Mode 4's 3-bit alpha indices reach ~29.5 dB on a 0.2-0.9 ramp.
+        assert _psnr(dec[..., 3] / 255.0, blocks[..., 3]) > 28
 
     def test_quality_monotone(self):
         rng = np.random.default_rng(3)
