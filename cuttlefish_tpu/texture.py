@@ -13,6 +13,7 @@ from __future__ import annotations
 import dataclasses
 import io
 import os
+import time
 
 import numpy as np
 
@@ -385,6 +386,8 @@ class Texture:
         self._color_mask = color_mask or ColorMask()
 
         textures: list[list[list[bytes]]] = []
+        t0 = time.perf_counter()
+        texels = 0
         try:
             for mip in range(self._mip_levels):
                 mip_data = []
@@ -392,6 +395,7 @@ class Texture:
                     face_data = []
                     for f in range(self._faces):
                         surface = self._images[mip][d][f].rgbaf()
+                        texels += surface.shape[0] * surface.shape[1]
                         face_data.append(bytes(converter.encode(surface, params)))
                     mip_data.append(face_data)
                 textures.append(mip_data)
@@ -399,6 +403,13 @@ class Texture:
             self._format = TextureFormat.Unknown
             self._textures = None
             raise
+        elapsed = time.perf_counter() - t0
+        # Per-encode throughput counter (SURVEY.md §5 observability).
+        self.last_convert_stats = {
+            "texels": texels,
+            "seconds": elapsed,
+            "mtexels_per_sec": texels / elapsed / 1e6 if elapsed > 0 else 0.0,
+        }
         self._textures = textures
         return True
 
