@@ -130,10 +130,12 @@ def _masked_seed(colors, mask):
         n = jnp.linalg.norm(nv, axis=-1, keepdims=True)
         v = jnp.where(n > 1e-10, nv / (n + 1e-20), v)
     t = jnp.einsum("nic,nc->ni", centered, v)
-    neg = jnp.where(mask > 0, t, jnp.inf)
-    pos = jnp.where(mask > 0, t, -jnp.inf)
-    hi = jnp.take_along_axis(colors, pos.argmax(1)[:, None, None], axis=1)[:, 0]
-    lo = jnp.take_along_axis(colors, neg.argmin(1)[:, None, None], axis=1)[:, 0]
+    # Extremes ON the principal axis (reductions only — per-block gathers
+    # are pathologically slow on TPU).
+    tmax = jnp.where(mask > 0, t, -jnp.inf).max(1)
+    tmin = jnp.where(mask > 0, t, jnp.inf).min(1)
+    hi = mean + v * tmax[:, None]
+    lo = mean + v * tmin[:, None]
     return hi, lo
 
 
@@ -363,14 +365,6 @@ def _encode_two_subset(colors, iters, ch_w, num_partitions, mode):
         nn = jnp.linalg.norm(nv, axis=-1, keepdims=True)
         axis = jnp.where(nn > 1e-10, nv / (nn + 1e-20), axis)
     proj = jnp.einsum("nic,nc->ni", centered, axis)  # [N,16]
-    proj_k = jnp.repeat(proj, k, axis=0)  # [N*k,16]
-
-    def subset_seed(m):
-        pos = jnp.where(m > 0, proj_k, -jnp.inf)
-        neg = jnp.where(m > 0, proj_k, jnp.inf)
-        hi = jnp.take_along_axis(cols, pos.argmax(1)[:, None, None], 1)[:, 0]
-        lo = jnp.take_along_axis(cols, neg.argmin(1)[:, None, None], 1)[:, 0]
-        return hi, lo
 
     if mode == 1:
         weights, nlev, bits = _W3, 8, 6
@@ -406,9 +400,19 @@ def _encode_two_subset(colors, iters, ch_w, num_partitions, mode):
 
     # Phase A: screen all k partition candidates with the continuous
     # line-projection error (err(t*) = A - B^2/C for the unclamped optimum
-    # along the seed segment) — no quantization or exact palette evals.
+    # along the seed segment) — no quantization, exact palette evals, or
+    # gathers.  Seeds are the masked projection extremes placed ON the
+    # shared block axis (pure reductions).
+    axis_k = jnp.repeat(axis, k, axis=0)  # [N*k,C]
+
     def screen(m):
-        hi, lo = subset_seed(m)
+        cnt = m.sum(1, keepdims=True) + 1e-6
+        mean_s = (cols * m[..., None]).sum(1) / cnt  # [M,C]
+        ts = jnp.einsum("ntc,nc->nt", cols - mean_s[:, None, :], axis_k)
+        tmax = jnp.where(m > 0, ts, -jnp.inf).max(1)
+        tmin = jnp.where(m > 0, ts, jnp.inf).min(1)
+        lo = mean_s + axis_k * tmin[:, None]
+        hi = mean_s + axis_k * tmax[:, None]
         df = hi - lo
         cquad = (df * df * cw[None, :]).sum(-1)  # [M]
         diff = cols - lo[:, None, :]
@@ -425,11 +429,12 @@ def _encode_two_subset(colors, iters, ch_w, num_partitions, mode):
     masks_b = _PART2[part].astype(jnp.float32)  # [N,16]
 
     def seed_of(m):
-        pos = jnp.where(m > 0, proj, -jnp.inf)
-        neg = jnp.where(m > 0, proj, jnp.inf)
-        hi = jnp.take_along_axis(colors, pos.argmax(1)[:, None, None], 1)[:, 0]
-        lo = jnp.take_along_axis(colors, neg.argmin(1)[:, None, None], 1)[:, 0]
-        return hi, lo
+        cnt = m.sum(1, keepdims=True) + 1e-6
+        mean_s = (colors * m[..., None]).sum(1) / cnt
+        ts = jnp.einsum("ntc,nc->nt", colors - mean_s[:, None, :], axis)
+        tmax = jnp.where(m > 0, ts, -jnp.inf).max(1)
+        tmin = jnp.where(m > 0, ts, jnp.inf).min(1)
+        return mean_s + axis * tmax[:, None], mean_s + axis * tmin[:, None]
 
     st0, idx0, err0 = _fit_subset(
         colors, 1.0 - masks_b, weights, quant, iters, cw,
