@@ -20,9 +20,9 @@ import numpy as np
 
 BASELINE_BC7_MTEXELS = 10.0
 
-IMAGE = 1024  # 1024x1024 RGBA
-WARMUP = 3
-ITERS = 15
+IMAGE = 2048  # 2048x2048 RGBA
+WARMUP = 2
+ITERS = 10
 QUALITY = 2
 
 
@@ -67,7 +67,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "bc7_encode_throughput_q2_1024",
+                "metric": "bc7_encode_throughput_q2_2048",
                 "value": round(mtexels, 3),
                 "unit": "Mtexels/sec/chip",
                 "vs_baseline": round(mtexels / BASELINE_BC7_MTEXELS, 3),

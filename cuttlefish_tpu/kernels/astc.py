@@ -267,8 +267,8 @@ def _fit_single_partition(colors, bw, bh, gw, gh, wbits, ep_bits, use_alpha, ite
     mean = target.mean(1, keepdims=True)
     axis = _principal_axis(target - mean)
     t = jnp.einsum("nic,nc->ni", target - mean, axis)
-    e1s = jnp.take_along_axis(target, t.argmax(1)[:, None, None], 1)[:, 0]
-    e0s = jnp.take_along_axis(target, t.argmin(1)[:, None, None], 1)[:, 0]
+    e1s = mean[:, 0] + axis * t.max(1)[:, None]
+    e0s = mean[:, 0] + axis * t.min(1)[:, None]
 
     def texel_w64(gq):
         """Grid quantized weights -> per-texel 0..64 (exact fixed point)."""

@@ -49,6 +49,21 @@ def _ls_iters(quality: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+def select_at_max(values: jnp.ndarray, data: jnp.ndarray) -> jnp.ndarray:
+    """data row at the FIRST maximal value, gather-free.
+
+    values [N,T], data [N,T,C] -> [N,C].  Per-block dynamic gathers
+    (take_along_axis) are pathologically slow on TPU; a one-hot select +
+    reduction compiles to pure vector ops.  Ties pick the first occurrence
+    (averaging ties can cancel to zero on symmetric blocks, e.g. a
+    half-red/half-blue block where every residual has equal norm).
+    """
+    is_max = values == values.max(1, keepdims=True)
+    first = is_max & (jnp.cumsum(is_max.astype(jnp.int32), axis=1) == 1)
+    onehot = first.astype(data.dtype)
+    return jnp.einsum("nt,ntc->nc", onehot, data)
+
+
 def _principal_axis(centered: jnp.ndarray) -> jnp.ndarray:
     """Dominant eigenvector of per-block covariance. centered: [N,16,C].
 
@@ -58,9 +73,7 @@ def _principal_axis(centered: jnp.ndarray) -> jnp.ndarray:
     """
     cov = jnp.einsum("nic,nid->ncd", centered, centered)
     norms = (centered * centered).sum(-1)
-    start = jnp.take_along_axis(centered, norms.argmax(1)[:, None, None], axis=1)[
-        :, 0
-    ]
+    start = select_at_max(norms, centered)
     fallback = jnp.ones_like(start)
     n0 = jnp.linalg.norm(start, axis=-1, keepdims=True)
     v = jnp.where(n0 > 1e-10, start / (n0 + 1e-20), fallback)
@@ -74,14 +87,15 @@ def _principal_axis(centered: jnp.ndarray) -> jnp.ndarray:
 def _project_endpoints(colors: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Seed endpoints: extreme points along the principal axis.
 
-    colors: [N,16,C] -> (hi, lo) each [N,C].
+    colors: [N,16,C] -> (hi, lo) each [N,C], gather-free (the extremes sit
+    on the axis line through the mean).
     """
     mean = colors.mean(axis=1, keepdims=True)
     centered = colors - mean
     axis = _principal_axis(centered)
     t = jnp.einsum("nic,nc->ni", centered, axis)
-    hi = jnp.take_along_axis(colors, t.argmax(1)[:, None, None], axis=1)[:, 0]
-    lo = jnp.take_along_axis(colors, t.argmin(1)[:, None, None], axis=1)[:, 0]
+    hi = mean[:, 0] + axis * t.max(1)[:, None]
+    lo = mean[:, 0] + axis * t.min(1)[:, None]
     return hi, lo
 
 

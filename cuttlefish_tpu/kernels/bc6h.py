@@ -128,8 +128,8 @@ def _fit_mode(proxy, bits: int, signed: bool, iters: int, delta_bits: int = 0):
     mean = proxy.mean(1, keepdims=True)
     axis = _principal_axis(proxy - mean)
     t = jnp.einsum("nic,nc->ni", proxy - mean, axis)
-    hi = jnp.take_along_axis(proxy, t.argmax(1)[:, None, None], 1)[:, 0]
-    lo = jnp.take_along_axis(proxy, t.argmin(1)[:, None, None], 1)[:, 0]
+    hi = mean[:, 0] + axis * t.max(1)[:, None]
+    lo = mean[:, 0] + axis * t.min(1)[:, None]
 
     best = candidate(hi, lo)
     wf = _W4.astype(jnp.float32) / 64.0

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cuttlefish_tpu.kernels import bc7_tables as T
-from cuttlefish_tpu.kernels.bc import _ls_solve
+from cuttlefish_tpu.kernels.bc import _ls_solve, select_at_max
 
 _PART2 = jnp.asarray(T.PARTITION2)  # [64,16]
 _ANCHOR2 = jnp.asarray(T.ANCHOR2)  # [64]
@@ -120,9 +120,7 @@ def _masked_seed(colors, mask):
     centered = (colors - mean[:, None, :]) * mask[..., None]
     cov = jnp.einsum("nic,nid->ncd", centered, centered)
     norms = (centered * centered).sum(-1)
-    start = jnp.take_along_axis(centered, norms.argmax(1)[:, None, None], axis=1)[
-        :, 0
-    ]
+    start = select_at_max(norms, centered)
     n0 = jnp.linalg.norm(start, axis=-1, keepdims=True)
     v = jnp.where(n0 > 1e-10, start / (n0 + 1e-20), jnp.ones_like(start))
     for _ in range(4):
@@ -357,7 +355,7 @@ def _encode_two_subset(colors, iters, ch_w, num_partitions, mode):
     centered = colors - mean
     cov = jnp.einsum("nic,nid->ncd", centered, centered)
     norms = (centered * centered).sum(-1)
-    start = jnp.take_along_axis(centered, norms.argmax(1)[:, None, None], 1)[:, 0]
+    start = select_at_max(norms, centered)
     n0 = jnp.linalg.norm(start, axis=-1, keepdims=True)
     axis = jnp.where(n0 > 1e-10, start / (n0 + 1e-20), jnp.ones_like(start))
     for _ in range(4):

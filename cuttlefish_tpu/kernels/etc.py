@@ -389,7 +389,8 @@ def _etc2_t_candidate(colors, ch_w):
     centered = colors - mean
     cov = jnp.einsum("nic,nid->ncd", centered, centered)
     norms = (centered * centered).sum(-1)
-    start = jnp.take_along_axis(centered, norms.argmax(1)[:, None, None], 1)[:, 0]
+    from cuttlefish_tpu.kernels.bc import select_at_max
+    start = select_at_max(norms, centered)
     n0 = jnp.linalg.norm(start, axis=-1, keepdims=True)
     v = jnp.where(n0 > 1e-10, start / (n0 + 1e-20), jnp.ones_like(start))
     for _ in range(3):

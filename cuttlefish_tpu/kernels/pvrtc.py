@@ -165,7 +165,8 @@ def _block_endpoints(surface: jnp.ndarray, bw: int, bh: int):
     centered = blocks - mean
     cov = jnp.einsum("nic,nid->ncd", centered, centered)
     norms = (centered * centered).sum(-1)
-    start = jnp.take_along_axis(centered, norms.argmax(1)[:, None, None], 1)[:, 0]
+    from cuttlefish_tpu.kernels.bc import select_at_max
+    start = select_at_max(norms, centered)
     n0 = jnp.linalg.norm(start, axis=-1, keepdims=True)
     v = jnp.where(n0 > 1e-10, start / (n0 + 1e-20), jnp.ones_like(start))
     for _ in range(4):
@@ -173,8 +174,8 @@ def _block_endpoints(surface: jnp.ndarray, bw: int, bh: int):
         nn = jnp.linalg.norm(nv, axis=-1, keepdims=True)
         v = jnp.where(nn > 1e-10, nv / (nn + 1e-20), v)
     t = jnp.einsum("nic,nc->ni", centered, v)
-    hi = jnp.take_along_axis(blocks, t.argmax(1)[:, None, None], 1)[:, 0]
-    lo = jnp.take_along_axis(blocks, t.argmin(1)[:, None, None], 1)[:, 0]
+    hi = mean[:, 0] + v * t.max(1)[:, None]
+    lo = mean[:, 0] + v * t.min(1)[:, None]
     return lo.reshape(nby, nbx, nch), hi.reshape(nby, nbx, nch)
 
 

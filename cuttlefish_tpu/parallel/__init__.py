@@ -14,6 +14,7 @@ from cuttlefish_tpu.parallel.mesh import (  # noqa: F401
     block_sharding,
     default_mesh,
     get_mesh,
+    init_distributed,
     set_mesh,
     shard_blocks,
     use_mesh,

@@ -14,6 +14,31 @@ BLOCK_AXIS = "blocks"
 _state = threading.local()
 
 
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> Mesh:
+    """Multi-host runtime init + global mesh (SURVEY.md §2.3).
+
+    Wraps `jax.distributed.initialize` (args may come from the environment
+    on TPU pods) and returns a 1-D mesh over all global devices.  Blocks are
+    embarrassingly parallel, so this is pure DP: each host encodes its block
+    shard over ICI and the container writer gathers bytes on process 0.
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+    mesh = default_mesh()
+    set_mesh(mesh)
+    return mesh
+
+
 def default_mesh() -> Mesh:
     """1-D mesh over all local devices."""
     devices = np.asarray(jax.devices())
