@@ -46,7 +46,7 @@ def _decode_etc_rgb_block(block: int, etc2: bool) -> np.ndarray:
             if not 0 <= b2[0] <= 31:
                 return _decode_t(block)
             if not 0 <= b2[1] <= 31:
-                raise NotImplementedError("ETC2 H mode not supported yet")
+                return _decode_h(block)
             if not 0 <= b2[2] <= 31:
                 return _decode_planar(block)
         base1 = [_expand5(v) for v in b1]
@@ -100,6 +100,42 @@ def _decode_t(block: int) -> np.ndarray:
         c1,
         [_clamp(v + d) for v in c2],
         c2,
+        [_clamp(v - d) for v in c2],
+    ]
+    out = np.zeros((16, 3), np.uint8)
+    for p in range(16):
+        x, y = p // 4, p % 4
+        msb = (block >> (16 + p)) & 1
+        lsb = (block >> p) & 1
+        out[4 * y + x] = pal[(msb << 1) | lsb]
+    return out
+
+
+def _decode_h(block: int) -> np.ndarray:
+    """H mode: palette [C1+d, C1-d, C2+d, C2-d]; d[0] from color ordering."""
+    def e4(v):
+        return (v << 4) | v
+
+    r1 = (block >> 59) & 0xF
+    g1 = (((block >> 56) & 0x7) << 1) | ((block >> 52) & 1)
+    b1 = (((block >> 51) & 1) << 3) | ((block >> 48) & 0x7)
+    r2 = (block >> 44) & 0xF
+    g2 = (block >> 40) & 0xF
+    b2 = (block >> 36) & 0xF
+    packed1 = (r1 << 8) | (g1 << 4) | b1
+    packed2 = (r2 << 8) | (g2 << 4) | b2
+    didx = (
+        (((block >> 34) & 1) << 2)
+        | (((block >> 32) & 1) << 1)
+        | (1 if packed1 >= packed2 else 0)
+    )
+    d = _T_DIST[didx]
+    c1 = [e4(r1), e4(g1), e4(b1)]
+    c2 = [e4(r2), e4(g2), e4(b2)]
+    pal = [
+        [_clamp(v + d) for v in c1],
+        [_clamp(v - d) for v in c1],
+        [_clamp(v + d) for v in c2],
         [_clamp(v - d) for v in c2],
     ]
     out = np.zeros((16, 3), np.uint8)

@@ -6,10 +6,11 @@ Implemented modes:
     2x4 / 4x2 subblocks (flip), 8 intensity modifier tables, enumerated
     exhaustively as fixed-shape candidates.
   - ETC2 adds the planar mode (RGB 6.7.6 corner colors, least-squares plane
-    fit + B-overflow signaling) and the T mode (two 4-bit colors, paint
-    palette [C1, C2+d, C2, C2-d], R-overflow signaling).  H mode is a
-    planned extension (its G-overflow signaling couples free bits with
-    color data and needs a perturbation fallback).
+    fit + B-overflow signaling), the T mode (two 4-bit colors, paint
+    palette [C1, C2+d, C2, C2-d], R-overflow signaling), and the H mode
+    (palette [C1+d, C1-d, C2+d, C2-d], G-overflow signaling with a blue
+    low-bit perturbation fallback, low distance bit encoded by color
+    ordering).
   - EAC: 8-bit alpha and 11-bit R/RG (signed + unsigned), base/multiplier/
     table search seeded from the block range.
 
@@ -439,6 +440,140 @@ def _etc2_t_candidate(colors, ch_w):
     return err, _pack_t(q1, q2, didx, idx)
 
 
+# ---------------------------------------------------------------------------
+# ETC2 H mode: two 4-bit colors, palette [C1+d, C1-d, C2+d, C2-d]
+# ---------------------------------------------------------------------------
+
+
+def _h_blue_fixup(g1_0, b1):
+    """Perturb C1's blue low bits so the G-overflow signaling is reachable.
+
+    The differential G check reads G1read = [free3, G1[0], B1[3]] and
+    dG = B1[2:0]; with q = 2*G1[0] + B1[3] and s = sext(B1[2:0]) the free
+    bits can force overflow iff q+s >= 4 (high) or q+s < 0 (low).  When
+    0 <= q+s <= 3 the nearest escaping s' replaces blue's low bits (the
+    candidate is evaluated with the perturbed color, so the cost is
+    accounted).  Returns (new_b1, free3_value).
+    """
+    q = 2 * g1_0 + (b1 >> 3)
+    r = b1 & 0x7
+    s = jnp.where(r >= 4, r - 8, r)
+    stuck = (q + s >= 0) & (q + s <= 3)
+    esc_up = 4 - q  # valid when q >= 1 (s' must be <= 3)
+    esc_down = -1 - q
+    use_up = (q >= 1) & (jnp.abs(esc_up - s) <= jnp.abs(esc_down - s))
+    s_new = jnp.where(stuck, jnp.where(use_up, esc_up, esc_down), s)
+    b1_new = (b1 & 0x8) | (s_new & 0x7)
+    free3 = jnp.where(q + s_new >= 4, 7, 0)
+    return b1_new, free3
+
+
+def _pack_h(q1, q2, didx, idx_raster):
+    """H-mode word.  Fields: R1@62..59, G1[3:1]@58..56, G1[0]@52, B1[3]@51,
+    B1[2:0]@50..48, R2@47..44, G2@43..40, B2@39..36, d[2]@34, d[1]@32,
+    d[0] = (packed(C1) >= packed(C2)); diff bit 33 = 1; free bits 55..53
+    force the G check out of range, bit 63 keeps the R check in range.
+    (q1's blue is already fixup-adjusted by the caller.)
+    """
+    r1, g1, b1 = q1[:, 0], q1[:, 1], q1[:, 2]
+    m = r1.shape[0]
+    _, free3 = _h_blue_fixup(g1 & 1, b1)
+    hi = jnp.zeros((m,), jnp.uint32)
+    hi = hi | (r1.astype(jnp.uint32) << jnp.uint32(59 - 32))
+    hi = hi | ((g1 >> 1).astype(jnp.uint32) << jnp.uint32(56 - 32))
+    hi = hi | ((g1 & 1).astype(jnp.uint32) << jnp.uint32(52 - 32))
+    hi = hi | ((b1 >> 3).astype(jnp.uint32) << jnp.uint32(51 - 32))
+    hi = hi | ((b1 & 0x7).astype(jnp.uint32) << jnp.uint32(48 - 32))
+    hi = hi | (q2[:, 0].astype(jnp.uint32) << jnp.uint32(44 - 32))
+    hi = hi | (q2[:, 1].astype(jnp.uint32) << jnp.uint32(40 - 32))
+    hi = hi | (q2[:, 2].astype(jnp.uint32) << jnp.uint32(36 - 32))
+    hi = hi | ((didx >> 2).astype(jnp.uint32) << jnp.uint32(34 - 32))
+    hi = hi | (((didx >> 1) & 1).astype(jnp.uint32))  # d[1] at bit 32
+    hi = hi | jnp.uint32(2)  # diff bit 33
+    hi = hi | (free3.astype(jnp.uint32) << jnp.uint32(53 - 32))
+    # Keep the R check in range: R1read = [b63, R1], dR = G1[3:1].
+    dr = g1 >> 1
+    dr_s = jnp.where(dr >= 4, dr - 8, dr)
+    r_under = (r1 + dr_s) < 0
+    hi = hi | jnp.where(r_under, jnp.uint32(1) << jnp.uint32(63 - 32), 0)
+
+    idx_p = idx_raster[:, _RASTER_OF_P_NP]
+    msb = (idx_p >> 1).astype(jnp.uint32)
+    lsb = (idx_p & 1).astype(jnp.uint32)
+    shifts = jnp.arange(16, dtype=jnp.uint32)[None, :]
+    lo = (lsb << shifts).sum(1, dtype=jnp.uint32) | (
+        (msb << shifts).sum(1, dtype=jnp.uint32) << jnp.uint32(16)
+    )
+    return hi, lo
+
+
+def _etc2_h_candidate(colors, ch_w):
+    """Best H-mode encoding: cluster split + distance search with the
+    ordering-encoded low distance bit.  colors [M,16,3] 0..255."""
+    m = colors.shape[0]
+    mean = colors.mean(1, keepdims=True)
+    centered = colors - mean
+    cov = jnp.einsum("nic,nid->ncd", centered, centered)
+    norms = (centered * centered).sum(-1)
+    from cuttlefish_tpu.kernels.bc import select_at_max
+    start = select_at_max(norms, centered)
+    n0 = jnp.linalg.norm(start, axis=-1, keepdims=True)
+    v = jnp.where(n0 > 1e-10, start / (n0 + 1e-20), jnp.ones_like(start))
+    for _ in range(3):
+        nv = jnp.einsum("ncd,nd->nc", cov, v)
+        nn = jnp.linalg.norm(nv, axis=-1, keepdims=True)
+        v = jnp.where(nn > 1e-10, nv / (nn + 1e-20), v)
+    t = jnp.einsum("nic,nc->ni", centered, v)
+    split = (t > 0).astype(jnp.float32)
+
+    def cmean(mask):
+        cnt = mask.sum(1, keepdims=True) + 1e-6
+        return (colors * mask[..., None]).sum(1) / cnt
+
+    mean_pos = cmean(split)
+    mean_neg = cmean(1.0 - split)
+
+    best = None
+    for c1f, c2f in ((mean_pos, mean_neg), (mean_neg, mean_pos)):
+        q1, _ = _quant444(c1f)
+        q2, _ = _quant444(c2f)
+        # Blue fixup on C1 so the mode is signalable.
+        b1_new, _ = _h_blue_fixup(q1[:, 1] & 1, q1[:, 2])
+        q1 = q1.at[:, 2].set(b1_new)
+        d1 = _expand4(q1).astype(jnp.float32)
+        d2 = _expand4(q2).astype(jnp.float32)
+        packed1 = (q1[:, 0] << 8) | (q1[:, 1] << 4) | q1[:, 2]
+        packed2 = (q2[:, 0] << 8) | (q2[:, 1] << 4) | q2[:, 2]
+        ord_bit = (packed1 >= packed2).astype(jnp.int32)
+        for di in range(8):
+            dist = float(_ETC2_DIST_NP[di])
+            valid = (di & 1) == ord_bit
+            pal = jnp.stack(
+                [
+                    jnp.clip(d1 + dist, 0, 255),
+                    jnp.clip(d1 - dist, 0, 255),
+                    jnp.clip(d2 + dist, 0, 255),
+                    jnp.clip(d2 - dist, 0, 255),
+                ],
+                axis=1,
+            )
+            diff = colors[:, :, None, :] - pal[:, None, :, :]
+            e = jnp.einsum("npkc,c->npk", diff * diff, ch_w)
+            idx = e.argmin(-1).astype(jnp.int32)
+            err = e.min(-1).sum(1) + jnp.where(valid, 0.0, jnp.inf)
+            cand = (q1, q2, jnp.full((m,), di, jnp.int32), idx, err)
+            if best is None:
+                best = cand
+            else:
+                take = cand[4] < best[4]
+                best = tuple(
+                    jnp.where(take[(...,) + (None,) * (b.ndim - 1)], c, b)
+                    for c, b in zip(cand, best)
+                )
+    q1, q2, didx, idx, err = best
+    return err, _pack_h(q1, q2, didx, idx)
+
+
 _ETC_SHIFTS = {0: (0.0,), 1: (0.0,), 2: (0.0,), 3: (-8.0, 0.0, 8.0), 4: (-12.0, -6.0, 0.0, 6.0, 12.0)}
 
 
@@ -479,6 +614,11 @@ def encode_etc_rgb(
         take = terr < best_err
         best = tuple(jnp.where(take, w, b) for w, b in zip(twords, best))
         best_err = jnp.where(take, terr, best_err)
+
+        herr, hwords = _etc2_h_candidate(colors, ch_w)
+        take = herr < best_err
+        best = tuple(jnp.where(take, w, b) for w, b in zip(hwords, best))
+        best_err = jnp.where(take, herr, best_err)
 
     return _swap_words(*best)
 

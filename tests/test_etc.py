@@ -184,3 +184,24 @@ class TestTMode:
         # T mode must lift chroma-bimodal content far above ETC1.
         assert p2 > p1 + 5
         assert p2 > 30
+
+
+class TestHMode:
+    def test_bimodal_with_spread(self):
+        rng = np.random.default_rng(13)
+        c0 = rng.random((64, 1, 3)).astype(np.float32) * 0.6 + 0.2
+        c1 = rng.random((64, 1, 3)).astype(np.float32) * 0.6 + 0.2
+        sel = rng.random((64, 16, 1)) > 0.5
+        spread = (rng.random((64, 16, 1)) - 0.5) * 0.15
+        base = np.clip(np.where(sel, c0, c1) + spread, 0, 1)
+        blocks = np.concatenate(
+            [base, np.ones((64, 16, 1), np.float32)], -1
+        ).astype(np.float32)
+        d1 = decode_etc_rgb(_bytes(etc.encode_etc_rgb(blocks, quality=2)), etc2=False)
+        d2 = decode_etc_rgb(
+            _bytes(etc.encode_etc_rgb(blocks, quality=2, etc2=True)), etc2=True
+        )
+        p1 = _psnr(d1 / 255.0, blocks[..., :3])
+        p2 = _psnr(d2 / 255.0, blocks[..., :3])
+        assert p2 > p1 + 3
+        assert p2 > 28
