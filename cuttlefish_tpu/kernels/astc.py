@@ -148,6 +148,24 @@ _CONFIGS: dict[tuple[int, int], tuple[tuple[int, int, int], tuple[int, int, int]
     (12, 12): ((6, 5, 2), (5, 4, 2)),
 }
 
+# Alternate CEM8 weight grid per size (fewer weights, 3-bit precision) —
+# evaluated as a second candidate at quality >= Normal; wins on smooth
+# content where decimation hurts less than weight quantization.
+_ALT8_CONFIGS: dict[tuple[int, int], tuple[int, int, int]] = {
+    (5, 5): (4, 4, 3),
+    (6, 5): (5, 4, 3),
+    (6, 6): (5, 4, 3),
+    (8, 5): (5, 4, 3),
+    (8, 6): (5, 4, 3),
+    (8, 8): (5, 4, 3),
+    (10, 5): (5, 4, 3),
+    (10, 6): (5, 4, 3),
+    (10, 8): (5, 4, 3),
+    (10, 10): (5, 4, 3),
+    (12, 10): (5, 4, 3),
+    (12, 12): (5, 4, 3),
+}
+
 
 def astc_config(bw: int, bh: int):
     return _CONFIGS[(bw, bh)]
@@ -388,14 +406,28 @@ def encode_astc(
 
     # CEM 8 (RGB): alpha decodes to 255; eval_exact already includes the
     # (a-255)^2 term, so the CEM12 candidate wins automatically when the
-    # block carries alpha.
-    q0, q1, gq, err8 = _fit_single_partition(
-        colors, block_w, block_h, g8, h8, w8, _EP_BITS, False, iters
-    )
-    q0, q1, gq = _enforce_s_order(q0, q1, gq, w8, unq)
-    words8 = _pack_astc(
-        block_mode_field(g8, h8, w8), 8, _interleave(q0, q1), _EP_BITS, gq, w8, m
-    )
+    # block carries alpha.  At quality >= Normal an alternate grid config
+    # (fewer weights, 3-bit precision) competes per block.
+    cem8_configs = [(g8, h8, w8)]
+    if quality >= 2 and (block_w, block_h) in _ALT8_CONFIGS:
+        cem8_configs.append(_ALT8_CONFIGS[(block_w, block_h)])
+    words8 = None
+    err8 = None
+    for cg, ch, cw_bits in cem8_configs:
+        q0, q1, gq, e = _fit_single_partition(
+            colors, block_w, block_h, cg, ch, cw_bits, _EP_BITS, False, iters
+        )
+        q0, q1, gq = _enforce_s_order(q0, q1, gq, cw_bits, unq)
+        wds = _pack_astc(
+            block_mode_field(cg, ch, cw_bits), 8, _interleave(q0, q1), _EP_BITS,
+            gq, cw_bits, m,
+        )
+        if words8 is None:
+            words8, err8 = wds, e
+        else:
+            take = e < err8
+            words8 = jnp.where(take[:, None], wds, words8)
+            err8 = jnp.where(take, e, err8)
 
     # CEM 12 (RGBA).
     q0a, q1a, gqa, err12 = _fit_single_partition(
