@@ -2,7 +2,7 @@
 
 TPU-native replacement for bc7e.ispc / bc7enc
 (`/root/reference/lib/src/S3tcConverter.cpp:593-646`).  Strategy: fixed-shape
-candidate enumeration over modes {6, 1, 3, 7, 5, 4} with least-squares endpoint
+candidate enumeration over all 8 modes with least-squares endpoint
 refinement, masked best-candidate reductions instead of the CPU encoders'
 data-dependent early-outs (SURVEY.md §7).
 
@@ -11,8 +11,8 @@ Quality ladder (mirrors the reference's ultrafast..slowest table at
   0: mode 6 only
   1: modes 6 + 1 (4 partitions)
   2: modes 6 + 1 (8 partitions) + 5 + 4
-  3: modes 6 + 1 (16) + 3 (8) + 5 + 4
-  4: modes 6 + 1 (32) + 3 (16) + 7 (16) + 5 + 4
+  3: modes 6 + 1 (16) + 3 (8) + 0 (8) + 5 + 4
+  4: all 8 modes (partition screening depths 32/16/16/16)
 
 All arithmetic matching the decoder runs in the integer 0..255 endpoint
 domain; interpolation uses the spec weight tables with (x*(64-w)+y*w+32)>>6.
@@ -31,6 +31,9 @@ from cuttlefish_tpu.kernels.bc import _ls_solve, select_at_max
 
 _PART2 = jnp.asarray(T.PARTITION2)  # [64,16]
 _ANCHOR2 = jnp.asarray(T.ANCHOR2)  # [64]
+_PART3 = jnp.asarray(T.PARTITION3)  # [64,16] values 0..2
+_ANCHOR3_2 = jnp.asarray(T.ANCHOR3_2)
+_ANCHOR3_3 = jnp.asarray(T.ANCHOR3_3)
 _W2 = jnp.asarray(T.WEIGHTS2)
 _W3 = jnp.asarray(T.WEIGHTS3)
 _W4 = jnp.asarray(T.WEIGHTS4)
@@ -541,6 +544,153 @@ def _scalar_anchor_fix(q0, q1, idx, lvl):
     return q0n, q1n, idx
 
 
+def _encode_three_subset(colors, iters, ch_w, num_partitions, mode):
+    """Modes 0/2: 3 subsets.
+
+    mode 0: 16 partitions, RGB 4.4 + per-endpoint pbit, 3-bit idx
+    mode 2: 64 partitions, RGB 5.5 (no pbits), 2-bit idx
+    """
+    n = colors.shape[0]
+    k = num_partitions
+    limit = 16 if mode == 0 else 64
+    cw = ch_w * jnp.array([1, 1, 1, 0], jnp.float32)
+
+    # Shared block axis for screening seeds.
+    mean = colors.mean(axis=1, keepdims=True)
+    centered = colors - mean
+    cov = jnp.einsum("nic,nid->ncd", centered, centered)
+    norms = (centered * centered).sum(-1)
+    start = select_at_max(norms, centered)
+    n0 = jnp.linalg.norm(start, axis=-1, keepdims=True)
+    axis = jnp.where(n0 > 1e-10, start / (n0 + 1e-20), jnp.ones_like(start))
+    for _ in range(4):
+        nv = jnp.einsum("ncd,nd->nc", cov, axis)
+        nn = jnp.linalg.norm(nv, axis=-1, keepdims=True)
+        axis = jnp.where(nn > 1e-10, nv / (nn + 1e-20), axis)
+
+    # Rank the 3-subset partitions by within-subset variance.
+    part_rows = _PART3[:limit].astype(jnp.int32)  # [P,16]
+    tot = jnp.einsum("nic,c->n", colors * colors, cw)
+    red = 0.0
+    for s in range(3):
+        ms = (part_rows == s).astype(jnp.float32)  # [P,16]
+        ns = ms.sum(1) + 1e-6
+        sums = jnp.einsum("nic,pi->npc", colors, ms)
+        red = red + jnp.einsum("npc,c->np", sums * sums, cw) / ns[None, :]
+    score = tot[:, None] - red
+    _, pidx = jax.lax.top_k(-score, k)
+    pidx = pidx.astype(jnp.int32)
+
+    # Screen the k candidates with projection error per subset.
+    rows = part_rows[pidx.reshape(-1)]  # [N*k,16]
+    cols = jnp.repeat(colors, k, axis=0)
+    axis_k = jnp.repeat(axis, k, axis=0)
+
+    def screen(m):
+        cnt = m.sum(1, keepdims=True) + 1e-6
+        mean_s = (cols * m[..., None]).sum(1) / cnt
+        ts = jnp.einsum("ntc,nc->nt", cols - mean_s[:, None, :], axis_k)
+        tmax = jnp.where(m > 0, ts, -jnp.inf).max(1)
+        tmin = jnp.where(m > 0, ts, jnp.inf).min(1)
+        lo = mean_s + axis_k * tmin[:, None]
+        hi = mean_s + axis_k * tmax[:, None]
+        df = hi - lo
+        cquad = (df * df * cw[None, :]).sum(-1)
+        diff = cols - lo[:, None, :]
+        a = jnp.einsum("ntc,c->nt", diff * diff, cw)
+        b = jnp.einsum("ntc,nc->nt", diff * cw[None, None, :], df)
+        t = jnp.clip(b / (cquad[:, None] + 1e-10), 0.0, 1.0)
+        e = a - 2.0 * t * b + t * t * cquad[:, None]
+        return (e * m).sum(1)
+
+    serr = 0.0
+    for s in range(3):
+        serr = serr + screen((rows == s).astype(jnp.float32))
+    best_k = serr.reshape(n, k).argmin(axis=1)
+    part = jnp.take_along_axis(pidx, best_k[:, None], axis=1)[:, 0]
+    prow = part_rows[part]  # [N,16]
+
+    if mode == 0:
+        weights, nlev, bits = _W3, 8, 4
+
+        def quant(e0, e1):
+            v0, p0, d0 = _quant_pbit_each(e0[:, :3], bits, cw[:3])
+            v1, p1, d1 = _quant_pbit_each(e1[:, :3], bits, cw[:3])
+            d0 = jnp.concatenate([d0, jnp.full_like(d0[:, :1], 255)], -1)
+            d1 = jnp.concatenate([d1, jnp.full_like(d1[:, :1], 255)], -1)
+            return (v0, v1, p0, p1, d0, d1)
+
+    else:
+        weights, nlev, bits = _W2, 4, 5
+
+        def quant(e0, e1):
+            v0, d0 = _quant_plain(e0[:, :3], bits)
+            v1, d1 = _quant_plain(e1[:, :3], bits)
+            d0 = jnp.concatenate([d0, jnp.full_like(d0[:, :1], 255)], -1)
+            d1 = jnp.concatenate([d1, jnp.full_like(d1[:, :1], 255)], -1)
+            return (v0, v1, jnp.zeros(e0.shape[0], jnp.int32),
+                    jnp.zeros(e0.shape[0], jnp.int32), d0, d1)
+
+    def seed_of(m):
+        cnt = m.sum(1, keepdims=True) + 1e-6
+        mean_s = (colors * m[..., None]).sum(1) / cnt
+        ts = jnp.einsum("ntc,nc->nt", colors - mean_s[:, None, :], axis)
+        tmax = jnp.where(m > 0, ts, -jnp.inf).max(1)
+        tmin = jnp.where(m > 0, ts, jnp.inf).min(1)
+        return mean_s + axis * tmax[:, None], mean_s + axis * tmin[:, None]
+
+    states = []
+    idxs = []
+    err = (ch_w[3] * (colors[..., 3] - 255.0) ** 2).sum(1)
+    for s in range(3):
+        ms = (prow == s).astype(jnp.float32)
+        st, sidx, serr_s = _fit_subset(
+            colors, ms, weights, quant, iters, cw, seed=seed_of(ms)
+        )
+        states.append(st)
+        idxs.append(sidx)
+        err = err + serr_s
+
+    idx = jnp.where(prow == 1, idxs[1], idxs[0])
+    idx = jnp.where(prow == 2, idxs[2], idx)
+
+    anchors = [
+        jnp.zeros((n,), jnp.int32),
+        _ANCHOR3_2[part],
+        _ANCHOR3_3[part],
+    ]
+    vs = []
+    ps = []
+    for s in range(3):
+        v0, v1, p0, p1, _, _ = states[s]
+        swap, idx = _anchor_fixup(idx, prow == s, anchors[s], nlev)
+        v0n = jnp.where(swap[:, None], v1, v0)
+        v1n = jnp.where(swap[:, None], v0, v1)
+        p0n = jnp.where(swap, p1, p0)
+        p1n = jnp.where(swap, p0, p1)
+        vs.append((v0n, v1n))
+        ps.append((p0n, p1n))
+
+    pk = _Packer(n)
+    if mode == 0:
+        pk.put(jnp.full((n,), 1, jnp.int32), 1)
+        pk.put(part, 4)
+    else:
+        pk.put(jnp.full((n,), 4, jnp.int32), 3)
+        pk.put(part, 6)
+    for c in range(3):
+        for s in range(3):
+            pk.put(vs[s][0][:, c], bits)
+            pk.put(vs[s][1][:, c], bits)
+    if mode == 0:
+        for s in range(3):
+            pk.put(ps[s][0], 1)
+            pk.put(ps[s][1], 1)
+    nbits = 3 if mode == 0 else 2
+    _pack_indices(pk, idx, nbits, anchors, pk.pos)
+    return pk.stack(), err
+
+
 def _encode_mode4(colors, iters, ch_w):
     """Mode 4: 1 subset, rotation 0, RGB 5.5 + A 6.6, 2-bit + 3-bit indices.
 
@@ -672,8 +822,9 @@ _QUALITY_PLAN = {
     0: {"iters": 1, "modes": {6: None}},
     1: {"iters": 2, "modes": {6: None, 1: 4}},
     2: {"iters": 2, "modes": {6: None, 1: 8, 5: None, 4: None}},
-    3: {"iters": 3, "modes": {6: None, 1: 16, 3: 8, 5: None, 4: None}},
-    4: {"iters": 4, "modes": {6: None, 1: 32, 3: 16, 7: 16, 5: None, 4: None}},
+    3: {"iters": 3, "modes": {6: None, 1: 16, 3: 8, 0: 8, 5: None, 4: None}},
+    4: {"iters": 4, "modes": {6: None, 1: 32, 3: 16, 7: 16, 0: 16, 2: 16,
+                              5: None, 4: None}},
 }
 
 
@@ -699,6 +850,8 @@ def encode_bc7(
             w, e = _encode_mode5(colors, iters, ch_w)
         elif mode == 4:
             w, e = _encode_mode4(colors, iters, ch_w)
+        elif mode in (0, 2):
+            w, e = _encode_three_subset(colors, iters, ch_w, parts, mode)
         else:
             w, e = _encode_two_subset(colors, iters, ch_w, parts, mode)
         if words is None:
