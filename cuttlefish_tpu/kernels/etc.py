@@ -845,6 +845,16 @@ def encode_etc2_a1(
     hi_p, lo_p = _pack_planar(fields, colors.shape[0])
     take = perr < best_err
     best_o = tuple(jnp.where(take, w, b) for w, b in zip((hi_p, lo_p), best_o))
+    best_err = jnp.where(take, perr, best_err)
+
+    terr, twords = _etc2_t_candidate(colors, ch_w)
+    take = terr < best_err
+    best_o = tuple(jnp.where(take, w, b) for w, b in zip(twords, best_o))
+    best_err = jnp.where(take, terr, best_err)
+
+    herr, hwords = _etc2_h_candidate(colors, ch_w)
+    take = herr < best_err
+    best_o = tuple(jnp.where(take, w, b) for w, b in zip(hwords, best_o))
 
     # Punch-through path.
     best_t = None
