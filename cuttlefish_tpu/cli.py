@@ -170,6 +170,36 @@ def _err(msg: str) -> None:
     print(f"error: {msg}", file=sys.stderr)
 
 
+def _parse_custom_mip_entry(parts: list[str]):
+    """One custom-mip list line: level [depth] [face] [once|continue] file."""
+    if len(parts) < 2 or not parts[0].isdigit():
+        _err(f"invalid custom mip entry: {' '.join(parts)}")
+        return None
+    level = int(parts[0])
+    pos = 1
+    depth = 0
+    face = CubeFace.PosX
+    repl = MipReplacement.Once
+    if pos < len(parts) - 1 and parts[pos].isdigit():
+        depth = int(parts[pos])
+        pos += 1
+    if pos < len(parts) - 1 and parts[pos].lower() in _FACES:
+        face = _FACES[parts[pos].lower()]
+        pos += 1
+    if pos < len(parts) - 1 and parts[pos].lower() in ("once", "continue"):
+        repl = (
+            MipReplacement.Once
+            if parts[pos].lower() == "once"
+            else MipReplacement.Continue
+        )
+        pos += 1
+    if pos != len(parts) - 1:
+        _err(f"invalid custom mip entry: {' '.join(parts)}")
+        return None
+    idx = ImageIndex(cube_face=face, mip_level=level, depth=depth)
+    return idx, CustomMipImage(parts[pos], repl)
+
+
 def parse(argv: list[str]) -> Args | None:
     """Parse argv (without program name); None on error or after --help."""
     args = Args()
@@ -350,14 +380,13 @@ def parse(argv: list[str]) -> Args | None:
                     _err(f"couldn't read custom mip list '{argv[i + 1]}'")
                     ok = False
                 else:
-                    sub = []
                     for parts in lines:
-                        sub.extend(["--custom-mip"] + parts)
-                    parsed = parse(sub)
-                    if parsed is None:
-                        ok = False
-                    else:
-                        args.custom_mips.update(parsed.custom_mips)
+                        entry = _parse_custom_mip_entry(parts)
+                        if entry is None:
+                            ok = False
+                            break
+                        idx, cm = entry
+                        args.custom_mips[idx] = cm
                     i += 1
         elif a == "--flipx":
             args.flip_x = True

@@ -226,3 +226,71 @@ class TestCustomMips:
         assert run(
             ["-i", base, "-m", "-M", "0", "once", base, "-f", "R8", "-o", out]
         ) == 1
+
+
+class TestReferenceParityExtras:
+    def test_unicode_filename(self, tmp_path):
+        # Mirrors the reference fixture with a non-ASCII path (地.png).
+        p = _write_png(str(tmp_path / "地.png"))
+        out = str(tmp_path / "地.dds")
+        assert run(["-i", p, "-f", "R8G8B8A8", "-o", out]) == 0
+        assert os.path.exists(out)
+
+    def test_cube_input_list(self, tmp_path):
+        pngs = [_write_png(str(tmp_path / f"c{i}.png"), seed=i) for i in range(6)]
+        lst = tmp_path / "cube.txt"
+        lst.write_text("\n".join(pngs) + "\n")
+        out = str(tmp_path / "o.ktx")
+        assert run(["-I", "cube", str(lst), "-f", "R8", "-o", out]) == 0
+
+    def test_custom_mip_list(self, tmp_path):
+        base = _write_png(str(tmp_path / "b.png"), w=16, h=16)
+        mip1 = _write_png(str(tmp_path / "m1.png"), w=8, h=8, seed=5)
+        mip2 = _write_png(str(tmp_path / "m2.png"), w=4, h=4, seed=6)
+        lst = tmp_path / "mips.txt"
+        lst.write_text(f"1 once {mip1}\n2 continue {mip2}\n")
+        out = str(tmp_path / "o.dds")
+        assert run(
+            ["-i", base, "-m", "--custom-mip-list", str(lst), "-f", "R8G8B8A8",
+             "-o", out]
+        ) == 0
+
+    @pytest.mark.parametrize("mode", ["none", "standard", "pre-multiplied", "encoded"])
+    def test_alpha_modes(self, png, out, mode):
+        assert run(["-i", png, "--alpha", mode, "-f", "R8G8B8A8", "-o", out]) == 0
+
+    def test_alpha_invalid(self, png, out):
+        assert run(["-i", png, "--alpha", "weird", "-f", "R8", "-o", out]) == 1
+
+    def test_dimension_invalid(self, png, out):
+        assert run(["-i", png, "-d", "4", "-f", "R8", "-o", out]) == 1
+
+    def test_swizzle_null_channel(self, png, out):
+        assert run(["-i", png, "-s", "rgbx", "-f", "R8G8B8A8", "-o", out]) == 0
+
+    def test_jobs_flag_accepted(self, png, out):
+        assert run(["-j", "4", "-i", png, "-f", "R8", "-o", out]) == 0
+        assert run(["-j", "-i", png, "-f", "R8", "-o", out]) == 0
+
+    def test_resize_all_symbolic_forms(self, tmp_path, out):
+        png = _write_png(str(tmp_path / "t.png"), w=20, h=12)
+        for sym in ("nearestpo2", "width", "height", "min", "max",
+                    "min-nearestpo2", "max-nextpo2", "width-nearestpo2",
+                    "height-nextpo2"):
+            assert run(["-i", png, "-r", sym, sym, "-f", "R8", "-o", out]) == 0
+
+    def test_mipmap_levels_and_filter(self, png, out):
+        assert run(
+            ["-i", png, "-m", "2", "box", "-f", "R8G8B8A8", "-o", out]
+        ) == 0
+
+    def test_bc1a_punch_through_cli(self, tmp_path):
+        import PIL.Image
+
+        rng = np.random.default_rng(7)
+        arr = (rng.random((16, 16, 4)) * 255).astype(np.uint8)
+        arr[..., 3] = np.where(arr[..., 3] > 128, 255, 0)
+        p = str(tmp_path / "a.png")
+        PIL.Image.fromarray(arr, "RGBA").save(p)
+        out = str(tmp_path / "o.dds")
+        assert run(["-i", p, "-f", "BC1_RGBA", "-Q", "lowest", "-o", out]) == 0
