@@ -347,13 +347,8 @@ def _encode_two_subset(colors, iters, ch_w, num_partitions, mode):
     """
     n = colors.shape[0]
     k = num_partitions
-    pidx = _rank_partitions(colors, ch_w, k)  # [N,k]
-    masks = _PART2[pidx.reshape(-1)].astype(jnp.float32)  # [N*k,16]
-    cols = jnp.repeat(colors, k, axis=0)  # [N*k,16,4]
 
-    # Shared seed: one principal-axis projection per block; per candidate
-    # subset the extremes come from masked argmin/argmax of the shared
-    # projections.  (Per-candidate PCA dominates mode-1 runtime otherwise.)
+    # Shared per-block principal axis.
     mean = colors.mean(axis=1, keepdims=True)
     centered = colors - mean
     cov = jnp.einsum("nic,nid->ncd", centered, centered)
@@ -367,9 +362,38 @@ def _encode_two_subset(colors, iters, ch_w, num_partitions, mode):
         axis = jnp.where(nn > 1e-10, nv / (nn + 1e-20), axis)
     proj = jnp.einsum("nic,nc->ni", centered, axis)  # [N,16]
 
+    # Partition selection over ALL `k`-limited candidates in one shot: the
+    # screening error for a subset is its residual perpendicular to the
+    # shared axis, Sum|c-mean_s|^2 - Sum((proj-projmean_s))^2, and every
+    # term is a [N,16] x [16,P] matmul over the mask matrix — no per
+    # -candidate block replication (which made screening HBM-bound).
+    masks_p = _PART2.astype(jnp.float32)  # [64,16]
+    cw4 = ch_w if mode == 7 else ch_w * jnp.array([1, 1, 1, 0], jnp.float32)
+    w2 = jnp.einsum("nic,c->ni", colors * colors, cw4)  # [N,16]
+    cwc = colors * cw4[None, None, :]
+
+    def subset_err(m):  # m [64,16] membership (1 = in subset)
+        ns = m.sum(1) + 1e-6  # [64]
+        s1 = jnp.einsum("nic,pi->npc", colors, m)  # [N,P,C]
+        sw = jnp.einsum("nic,pi->npc", cwc, m)
+        tot = w2 @ m.T  # [N,P]
+        mean_term = (s1 * sw).sum(-1) / ns[None, :]
+        pssum = proj @ m.T
+        ps2 = (proj * proj) @ m.T
+        along = ps2 - pssum * pssum / ns[None, :]
+        return tot - mean_term - jnp.maximum(along, 0.0)
+
+    # All 64 partitions are screened (the matmul form makes the k budget
+    # irrelevant — argmin over the full set costs the same).
+    del k
+    score = subset_err(masks_p) + subset_err(1.0 - masks_p)  # [N,64]
+    part = score.argmin(axis=1).astype(jnp.int32)
+    # Phase B: full refinement of the winning partition only (batch N).
+    masks_b = _PART2[part].astype(jnp.float32)  # [N,16]
+    cw = cw4
+
     if mode == 1:
         weights, nlev, bits = _W3, 8, 6
-        cw = ch_w * jnp.array([1, 1, 1, 0], jnp.float32)
 
         def quant(e0, e1):
             v0, v1, p, d0, d1 = _quant_pbit_shared(
@@ -381,7 +405,6 @@ def _encode_two_subset(colors, iters, ch_w, num_partitions, mode):
 
     elif mode == 3:
         weights, nlev, bits = _W2, 4, 7
-        cw = ch_w * jnp.array([1, 1, 1, 0], jnp.float32)
 
         def quant(e0, e1):
             v0, p0, d0 = _quant_pbit_each(e0[:, :3], bits, cw[:3])
@@ -392,42 +415,11 @@ def _encode_two_subset(colors, iters, ch_w, num_partitions, mode):
 
     else:  # mode 7
         weights, nlev, bits = _W2, 4, 5
-        cw = ch_w
 
         def quant(e0, e1):
             v0, p0, d0 = _quant_pbit_each(e0, bits, cw)
             v1, p1, d1 = _quant_pbit_each(e1, bits, cw)
             return (v0, v1, p0, p1, d0, d1)
-
-    # Phase A: screen all k partition candidates with the continuous
-    # line-projection error (err(t*) = A - B^2/C for the unclamped optimum
-    # along the seed segment) — no quantization, exact palette evals, or
-    # gathers.  Seeds are the masked projection extremes placed ON the
-    # shared block axis (pure reductions).
-    axis_k = jnp.repeat(axis, k, axis=0)  # [N*k,C]
-
-    def screen(m):
-        cnt = m.sum(1, keepdims=True) + 1e-6
-        mean_s = (cols * m[..., None]).sum(1) / cnt  # [M,C]
-        ts = jnp.einsum("ntc,nc->nt", cols - mean_s[:, None, :], axis_k)
-        tmax = jnp.where(m > 0, ts, -jnp.inf).max(1)
-        tmin = jnp.where(m > 0, ts, jnp.inf).min(1)
-        lo = mean_s + axis_k * tmin[:, None]
-        hi = mean_s + axis_k * tmax[:, None]
-        df = hi - lo
-        cquad = (df * df * cw[None, :]).sum(-1)  # [M]
-        diff = cols - lo[:, None, :]
-        a = jnp.einsum("ntc,c->nt", diff * diff, cw)
-        b = jnp.einsum("ntc,nc->nt", diff * cw[None, None, :], df)
-        t = jnp.clip(b / (cquad[:, None] + 1e-10), 0.0, 1.0)
-        e = a - 2.0 * t * b + t * t * cquad[:, None]
-        return (e * m).sum(1)
-
-    best_k = (screen(1.0 - masks) + screen(masks)).reshape(n, k).argmin(axis=1)
-    part = jnp.take_along_axis(pidx, best_k[:, None], axis=1)[:, 0]  # [N]
-
-    # Phase B: full refinement of the winning partition only (batch N).
-    masks_b = _PART2[part].astype(jnp.float32)  # [N,16]
 
     def seed_of(m):
         cnt = m.sum(1, keepdims=True) + 1e-6
