@@ -560,46 +560,30 @@ def _encode_three_subset(colors, iters, ch_w, num_partitions, mode):
         nn = jnp.linalg.norm(nv, axis=-1, keepdims=True)
         axis = jnp.where(nn > 1e-10, nv / (nn + 1e-20), axis)
 
-    # Rank the 3-subset partitions by within-subset variance.
+    # Partition selection over all rows in one shot (same matmul screening
+    # as the 2-subset path: per-subset residual perpendicular to the shared
+    # axis via [N,16] x [16,P] matmuls; no block replication).
     part_rows = _PART3[:limit].astype(jnp.int32)  # [P,16]
-    tot = jnp.einsum("nic,c->n", colors * colors, cw)
-    red = 0.0
-    for s in range(3):
-        ms = (part_rows == s).astype(jnp.float32)  # [P,16]
-        ns = ms.sum(1) + 1e-6
-        sums = jnp.einsum("nic,pi->npc", colors, ms)
-        red = red + jnp.einsum("npc,c->np", sums * sums, cw) / ns[None, :]
-    score = tot[:, None] - red
-    _, pidx = jax.lax.top_k(-score, k)
-    pidx = pidx.astype(jnp.int32)
+    proj = jnp.einsum("nic,nc->ni", centered, axis)  # [N,16]
+    w2 = jnp.einsum("nic,c->ni", colors * colors, cw)
+    cwc = colors * cw[None, None, :]
 
-    # Screen the k candidates with projection error per subset.
-    rows = part_rows[pidx.reshape(-1)]  # [N*k,16]
-    cols = jnp.repeat(colors, k, axis=0)
-    axis_k = jnp.repeat(axis, k, axis=0)
+    def subset_err3(m):  # m [P,16]
+        ns = m.sum(1) + 1e-6
+        s1 = jnp.einsum("nic,pi->npc", colors, m)
+        sw = jnp.einsum("nic,pi->npc", cwc, m)
+        tot = w2 @ m.T
+        mean_term = (s1 * sw).sum(-1) / ns[None, :]
+        pssum = proj @ m.T
+        ps2 = (proj * proj) @ m.T
+        along = ps2 - pssum * pssum / ns[None, :]
+        return tot - mean_term - jnp.maximum(along, 0.0)
 
-    def screen(m):
-        cnt = m.sum(1, keepdims=True) + 1e-6
-        mean_s = (cols * m[..., None]).sum(1) / cnt
-        ts = jnp.einsum("ntc,nc->nt", cols - mean_s[:, None, :], axis_k)
-        tmax = jnp.where(m > 0, ts, -jnp.inf).max(1)
-        tmin = jnp.where(m > 0, ts, jnp.inf).min(1)
-        lo = mean_s + axis_k * tmin[:, None]
-        hi = mean_s + axis_k * tmax[:, None]
-        df = hi - lo
-        cquad = (df * df * cw[None, :]).sum(-1)
-        diff = cols - lo[:, None, :]
-        a = jnp.einsum("ntc,c->nt", diff * diff, cw)
-        b = jnp.einsum("ntc,nc->nt", diff * cw[None, None, :], df)
-        t = jnp.clip(b / (cquad[:, None] + 1e-10), 0.0, 1.0)
-        e = a - 2.0 * t * b + t * t * cquad[:, None]
-        return (e * m).sum(1)
-
-    serr = 0.0
-    for s in range(3):
-        serr = serr + screen((rows == s).astype(jnp.float32))
-    best_k = serr.reshape(n, k).argmin(axis=1)
-    part = jnp.take_along_axis(pidx, best_k[:, None], axis=1)[:, 0]
+    score = sum(
+        subset_err3((part_rows == s).astype(jnp.float32)) for s in range(3)
+    )
+    del num_partitions
+    part = score.argmin(axis=1).astype(jnp.int32)
     prow = part_rows[part]  # [N,16]
 
     if mode == 0:
