@@ -52,18 +52,21 @@ def main() -> None:
     dev = jax.devices()[0]
     placed = jax.device_put(blocks, dev)
 
-    fn = jax.jit(lambda b: encode_bc7(b, quality=QUALITY))
+    # The timed function reduces to a scalar that is fetched to the host
+    # each iteration: on this TPU backend block_until_ready can return
+    # before execution completes, so a device->host readback is the only
+    # reliable completion fence.
+    fn = jax.jit(lambda b: encode_bc7(b, quality=QUALITY)[:, 0].sum())
     for _ in range(WARMUP):
-        jax.block_until_ready(fn(placed))
+        float(np.asarray(fn(placed)))
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        out = jax.block_until_ready(fn(placed))
+        float(np.asarray(fn(placed)))
     dt = (time.perf_counter() - t0) / ITERS
 
     texels = IMAGE * IMAGE
     mtexels = texels / dt / 1e6
-    del out
     print(
         json.dumps(
             {

@@ -288,14 +288,21 @@ def _fit_single_partition(colors, bw, bh, gw, gh, wbits, ep_bits, use_alpha, ite
     e1s = mean[:, 0] + axis * t.max(1)[:, None]
     e0s = mean[:, 0] + axis * t.min(1)[:, None]
 
+    def unquant_w(gq):
+        """Bits-only weight unquantization, arithmetic (no table gather):
+        replicate to 6 bits (exact multiply for wbits in {1,2,3,6}), then
+        bump values above 32 (spec C.2.19)."""
+        rep = gq * ((1 << 6) - 1) // ((1 << wbits) - 1)
+        return rep + (rep > 32).astype(rep.dtype)
+
     def texel_w64(gq):
         """Grid quantized weights -> per-texel 0..64 (exact fixed point)."""
-        u = wu[gq]  # [N,G] 0..64
+        u = unquant_w(gq)  # [N,G] 0..64
         return (jnp.einsum("tg,ng->nt", a_mat.astype(jnp.int32), u) + 8) >> 4
 
     def eval_exact(q0, q1, gq):
-        d0 = unq_c[q0]
-        d1 = unq_c[q1]
+        d0 = q0 if ep_bits == 8 else unq_c[q0]
+        d1 = q1 if ep_bits == 8 else unq_c[q1]
         if not use_alpha:
             d0 = jnp.concatenate([d0, jnp.full_like(d0[:, :1], 255)], -1)
             d1 = jnp.concatenate([d1, jnp.full_like(d1[:, :1], 255)], -1)
@@ -340,13 +347,15 @@ def _fit_single_partition(colors, bw, bh, gw, gh, wbits, ep_bits, use_alpha, ite
     return best
 
 
-def _enforce_s_order(q0, q1, gq, wbits, unq_c):
+def _enforce_s_order(q0, q1, gq, wbits, unq_c=None):
     """CEM 8/12 decode blue-contracts when s(v0)>s(v1); keep the direct path
-    by swapping endpoints (and inverting weights) so s0 <= s1."""
-    d0 = unq_c[q0]
-    d1 = unq_c[q1]
-    s0 = d0[:, :3].sum(-1)
-    s1 = d1[:, :3].sum(-1)
+    by swapping endpoints (and inverting weights) so s0 <= s1.
+
+    Endpoints are 8-bit (unquantization is the identity), so the sums work
+    on the stored values directly.
+    """
+    s0 = q0[:, :3].sum(-1)
+    s1 = q1[:, :3].sum(-1)
     swap = s0 > s1
     q0n = jnp.where(swap[:, None], q1, q0)
     q1n = jnp.where(swap[:, None], q0, q1)
