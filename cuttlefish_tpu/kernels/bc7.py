@@ -113,6 +113,12 @@ def _quant_plain(t, bits):
 # ---------------------------------------------------------------------------
 
 
+def _w64_of(idx, levels: int):
+    """BC7 interpolation weight from index, arithmetic (no table gather):
+    every spec weight table equals round(i * 64 / (L-1))."""
+    return (idx * 128 + (levels - 1)) // (2 * (levels - 1))
+
+
 def _masked_seed(colors, mask):
     """Principal-axis extreme points of the masked pixel set.
 
@@ -177,7 +183,7 @@ def _assign(colors, d0, d1, weights, mask, ch_w):
     best_err = None
     for dk in (-1, 0, 1):
         kk = jnp.clip(k + dk, 0, L - 1)
-        w_t = weights[kk]
+        w_t = _w64_of(kk, L)
         e = _exact_texel_error(colors, d0, d1, w_t, ch_w)
         if best_err is None:
             best_idx, best_err = kk, e
@@ -197,7 +203,7 @@ def _fit_subset(colors, mask, weights, quant, iters, ch_w, seed=None):
     supply precomputed (hi, lo) endpoints (e.g. a shared per-block
     projection) to skip the per-candidate PCA.
     """
-    wf = weights.astype(jnp.float32) / 64.0
+    L = weights.shape[0]
 
     def candidate(e0, e1):
         st = quant(e0, e1)
@@ -208,7 +214,7 @@ def _fit_subset(colors, mask, weights, quant, iters, ch_w, seed=None):
     hi, lo = _masked_seed(colors, mask) if seed is None else seed
     best = candidate(hi, lo)
     for _ in range(iters):
-        w = wf[best[1]]
+        w = _w64_of(best[1], L).astype(jnp.float32) / 64.0
         e1f, e0f = _ls_solve(colors, w, px_valid=mask)  # w=1 -> d1
         st, idx, err = candidate(e0f, e1f)
         take = err < best[2]
@@ -514,9 +520,8 @@ def _fit_scalar(vals, weights, quant_bits, iters):
         return q0, q1, idx, e.min(-1).sum(1)
 
     best = cand(vals.max(1), vals.min(1))
-    wf = weights.astype(jnp.float32) / 64.0
     for _ in range(iters):
-        w = wf[best[2]]
+        w = _w64_of(best[2], lvl).astype(jnp.float32) / 64.0
         e1f, e0f = _ls_solve(vals[..., None], w)
         c = cand(e0f[:, 0], e1f[:, 0])
         take = c[3] < best[3]
@@ -799,9 +804,8 @@ def _encode_mode5_rot(colors, iters, ch_w, rot):
         return q0, q1, idx, e.min(-1).sum(1)
 
     abest = acand(a_hi, a_lo)
-    wf2 = _W2.astype(jnp.float32) / 64.0
     for _ in range(iters):
-        w = wf2[abest[2]]
+        w = _w64_of(abest[2], 4).astype(jnp.float32) / 64.0
         e1f, e0f = _ls_solve(a[..., None], w)
         cand = acand(e0f[:, 0], e1f[:, 0])
         take = cand[3] < abest[3]
