@@ -52,11 +52,18 @@ def main() -> None:
     dev = jax.devices()[0]
     placed = jax.device_put(blocks, dev)
 
-    # The timed function reduces to a scalar that is fetched to the host
-    # each iteration: on this TPU backend block_until_ready can return
-    # before execution completes, so a device->host readback is the only
-    # reliable completion fence.
-    fn = jax.jit(lambda b: encode_bc7(b, quality=QUALITY)[:, 0].sum())
+    # The timed function XOR-folds ALL output words to a scalar fetched to
+    # the host each iteration: the readback is the completion fence, and
+    # reducing over every word keeps XLA from dead-code-eliminating any of
+    # the bit packing.
+    import jax.numpy as jnp
+
+    def fenced(b):
+        w = encode_bc7(b, quality=QUALITY)
+        folded = w[:, 0] ^ w[:, 1] ^ w[:, 2] ^ w[:, 3]
+        return folded.astype(jnp.uint32).sum()
+
+    fn = jax.jit(fenced)
     for _ in range(WARMUP):
         float(np.asarray(fn(placed)))
 

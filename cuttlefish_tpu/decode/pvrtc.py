@@ -21,7 +21,32 @@ def _expand4(v):
 
 
 def _unpack_a(cw: np.ndarray) -> np.ndarray:
-    """Color A: bits 16..31 -> [N,4] float 0..1.
+    """Color A (the mod-0 endpoint): bits 0..15 (bit 0 = mode flag)
+    -> [N,4] float 0..1, matching PVRTDecompress' getColourA.
+
+    Opaque (bit 15): 5.5.4; translucent: A3 R4 G4 B3.
+    """
+    field = cw & 0xFFFF
+    opaque = ((field >> 15) & 1).astype(bool)
+    ro = _expand5((field >> 10) & 0x1F)
+    go = _expand5((field >> 5) & 0x1F)
+    b4o = (field >> 1) & 0xF
+    bo = _expand5((b4o << 1) | (b4o >> 3))
+    rt = _expand4((field >> 8) & 0xF)
+    gt = _expand4((field >> 4) & 0xF)
+    b3 = (field >> 1) & 0x7
+    bt = _expand4((b3 << 1) | (b3 >> 2))
+    at = _expand4(((field >> 12) & 0x7) << 1)
+    r = np.where(opaque, ro, rt)
+    g = np.where(opaque, go, gt)
+    b = np.where(opaque, bo, bt)
+    a = np.where(opaque, 255, at)
+    return np.stack([r, g, b, a], -1).astype(np.float32) / 255.0
+
+
+def _unpack_b(cw: np.ndarray) -> np.ndarray:
+    """Color B (the mod-8 endpoint): bits 16..31 -> [N,4] float 0..1,
+    matching PVRTDecompress' getColourB.
 
     Opaque (bit 31): 5.5.5; translucent: A3 R4 G4 B4 with alpha decoded as
     (a3 << 1) expanded to 8 bits.
@@ -34,29 +59,6 @@ def _unpack_a(cw: np.ndarray) -> np.ndarray:
     rt = _expand4((field >> 8) & 0xF)
     gt = _expand4((field >> 4) & 0xF)
     bt = _expand4(field & 0xF)
-    at = _expand4(((field >> 12) & 0x7) << 1)
-    r = np.where(opaque, ro, rt)
-    g = np.where(opaque, go, gt)
-    b = np.where(opaque, bo, bt)
-    a = np.where(opaque, 255, at)
-    return np.stack([r, g, b, a], -1).astype(np.float32) / 255.0
-
-
-def _unpack_b(cw: np.ndarray) -> np.ndarray:
-    """Color B: bits 0..15 (bit 0 = mode flag) -> [N,4] float 0..1.
-
-    Opaque: 5.5.4; translucent: A3 R4 G4 B3.
-    """
-    field = cw & 0xFFFF
-    opaque = ((field >> 15) & 1).astype(bool)
-    ro = _expand5((field >> 10) & 0x1F)
-    go = _expand5((field >> 5) & 0x1F)
-    b4o = (field >> 1) & 0xF
-    bo = _expand5((b4o << 1) | (b4o >> 3))
-    rt = _expand4((field >> 8) & 0xF)
-    gt = _expand4((field >> 4) & 0xF)
-    b3 = (field >> 1) & 0x7
-    bt = _expand4((b3 << 1) | (b3 >> 2))
     at = _expand4(((field >> 12) & 0x7) << 1)
     r = np.where(opaque, ro, rt)
     g = np.where(opaque, go, gt)

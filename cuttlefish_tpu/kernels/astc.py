@@ -291,7 +291,9 @@ def _fit_single_partition(colors, bw, bh, gw, gh, wbits, ep_bits, use_alpha, ite
     def unquant_w(gq):
         """Bits-only weight unquantization, arithmetic (no table gather):
         replicate to 6 bits (exact multiply for wbits in {1,2,3,6}), then
-        bump values above 32 (spec C.2.19)."""
+        bump values above 32 (spec C.2.19).  The closed form diverges from
+        spec bit replication for wbits 4/5, so those are rejected here."""
+        assert wbits in (1, 2, 3, 6), f"closed form invalid for wbits={wbits}"
         rep = gq * ((1 << 6) - 1) // ((1 << wbits) - 1)
         return rep + (rep > 32).astype(rep.dtype)
 

@@ -325,34 +325,32 @@ def _encode_mode6(colors, iters, ch_w):
     return pk.stack(), err
 
 
-def _rank_partitions(colors, ch_w, k):
-    """Cheap per-partition proxy score; returns top-k partition ids [N,k].
-
-    Score = within-subset variance (total weighted SSE about subset means).
-    """
-    masks = _PART2.astype(jnp.float32)  # [64,16]
-    n1 = masks.sum(1)
-    n0 = 16.0 - n1
-    s1 = jnp.einsum("nic,pi->npc", colors, masks)
-    s0 = colors.sum(1)[:, None, :] - s1
-    tot = jnp.einsum("nic,c->n", colors * colors, ch_w)
-    red = jnp.einsum("npc,c->np", s1 * s1, ch_w) / n1[None, :] + jnp.einsum(
-        "npc,c->np", s0 * s0, ch_w
-    ) / n0[None, :]
-    score = tot[:, None] - red
-    _, pidx = jax.lax.top_k(-score, k)
-    return pidx.astype(jnp.int32)
+def _best_over_candidates(fit_and_pack, top_parts, n):
+    """Run the phase-B fit over the [N,R] candidate partitions and keep the
+    lowest-error result per block.  vmap over the candidate axis compiles
+    the fit body ONCE regardless of R (a Python loop would unroll it R
+    times and blow up XLA compile time at high quality)."""
+    r = top_parts.shape[1]
+    if r == 1:
+        return fit_and_pack(top_parts[:, 0])
+    words_all, err_all = jax.vmap(fit_and_pack)(top_parts.T)  # [R,N,4],[R,N]
+    best = err_all.argmin(axis=0)  # [N]
+    words = words_all[best, jnp.arange(n)]
+    return words, err_all.min(axis=0)
 
 
-def _encode_two_subset(colors, iters, ch_w, num_partitions, mode):
+def _encode_two_subset(colors, iters, ch_w, num_refine, mode):
     """Modes 1/3/7: 2 subsets over the 64-pattern table.
 
     mode 1: RGB 6.6 + shared pbit/subset, 3-bit idx
     mode 3: RGB 7.7 + per-endpoint pbit,  2-bit idx
     mode 7: RGBA 5.5 + per-endpoint pbit, 2-bit idx
+
+    All 64 partitions are screened with a cheap matmul proxy; the top
+    `num_refine` candidates each get the full phase-B endpoint fit and the
+    lowest-error one wins (the quality ladder's per-mode budget).
     """
     n = colors.shape[0]
-    k = num_partitions
 
     # Shared per-block principal axis.
     mean = colors.mean(axis=1, keepdims=True)
@@ -389,13 +387,8 @@ def _encode_two_subset(colors, iters, ch_w, num_partitions, mode):
         along = ps2 - pssum * pssum / ns[None, :]
         return tot - mean_term - jnp.maximum(along, 0.0)
 
-    # All 64 partitions are screened (the matmul form makes the k budget
-    # irrelevant — argmin over the full set costs the same).
-    del k
     score = subset_err(masks_p) + subset_err(1.0 - masks_p)  # [N,64]
-    part = score.argmin(axis=1).astype(jnp.int32)
-    # Phase B: full refinement of the winning partition only (batch N).
-    masks_b = _PART2[part].astype(jnp.float32)  # [N,16]
+    _, top_parts = jax.lax.top_k(-score, max(1, int(num_refine)))  # [N,R]
     cw = cw4
 
     if mode == 1:
@@ -435,64 +428,69 @@ def _encode_two_subset(colors, iters, ch_w, num_partitions, mode):
         tmin = jnp.where(m > 0, ts, jnp.inf).min(1)
         return mean_s + axis * tmax[:, None], mean_s + axis * tmin[:, None]
 
-    st0, idx0, err0 = _fit_subset(
-        colors, 1.0 - masks_b, weights, quant, iters, cw,
-        seed=seed_of(1.0 - masks_b),
-    )
-    st1, idx1, err1 = _fit_subset(
-        colors, masks_b, weights, quant, iters, cw, seed=seed_of(masks_b)
-    )
-    # Alpha error for alpha-less modes: palette alpha is fixed 255.
-    alpha_pen = 0.0
-    if mode in (1, 3):
-        alpha_pen = (ch_w[3] * (colors[..., 3] - 255.0) ** 2).sum(1)
-    best_err = err0 + err1 + alpha_pen  # [N]
+    def fit_and_pack(part):
+        """Full phase-B fit + bit packing for one partition choice [N]."""
+        masks_b = _PART2[part].astype(jnp.float32)  # [N,16]
+        st0, idx0, err0 = _fit_subset(
+            colors, 1.0 - masks_b, weights, quant, iters, cw,
+            seed=seed_of(1.0 - masks_b),
+        )
+        st1, idx1, err1 = _fit_subset(
+            colors, masks_b, weights, quant, iters, cw, seed=seed_of(masks_b)
+        )
+        # Alpha error for alpha-less modes: palette alpha is fixed 255.
+        alpha_pen = 0.0
+        if mode in (1, 3):
+            alpha_pen = (ch_w[3] * (colors[..., 3] - 255.0) ** 2).sum(1)
+        best_err = err0 + err1 + alpha_pen  # [N]
 
-    idx = jnp.where(masks_b > 0, idx1, idx0)
-    (v00, v01, p00, p01, _, _) = st0
-    (v10, v11, p10, p11, _, _) = st1
+        idx = jnp.where(masks_b > 0, idx1, idx0)
+        (v00, v01, p00, p01, _, _) = st0
+        (v10, v11, p10, p11, _, _) = st1
 
-    sel1 = _PART2[part] > 0  # [N,16] bool
-    anchor0 = jnp.zeros((n,), jnp.int32)
-    anchor1 = _ANCHOR2[part]
+        sel1 = _PART2[part] > 0  # [N,16] bool
+        anchor0 = jnp.zeros((n,), jnp.int32)
+        anchor1 = _ANCHOR2[part]
 
-    swap0, idx = _anchor_fixup(idx, ~sel1, anchor0, nlev)
-    swap1, idx = _anchor_fixup(idx, sel1, anchor1, nlev)
+        swap0, idx = _anchor_fixup(idx, ~sel1, anchor0, nlev)
+        swap1, idx = _anchor_fixup(idx, sel1, anchor1, nlev)
 
-    def sw(a, b, flag):
-        f = flag[(...,) + (None,) * (a.ndim - 1)]
-        return jnp.where(f, b, a), jnp.where(f, a, b)
+        def sw(a, b, flag):
+            f = flag[(...,) + (None,) * (a.ndim - 1)]
+            return jnp.where(f, b, a), jnp.where(f, a, b)
 
-    v00, v01 = sw(v00, v01, swap0)
-    p00, p01 = sw(p00, p01, swap0)
-    v10, v11 = sw(v10, v11, swap1)
-    p10, p11 = sw(p10, p11, swap1)
+        v00, v01 = sw(v00, v01, swap0)
+        p00, p01 = sw(p00, p01, swap0)
+        v10, v11 = sw(v10, v11, swap1)
+        p10, p11 = sw(p10, p11, swap1)
 
-    pk = _Packer(n)
-    nch = 4 if mode == 7 else 3
-    if mode == 1:
-        pk.put(jnp.full((n,), 2, jnp.int32), 2)
-    elif mode == 3:
-        pk.put(jnp.full((n,), 8, jnp.int32), 4)
-    else:
-        pk.put(jnp.full((n,), 128, jnp.int32), 8)
-    pk.put(part, 6)
-    for c in range(nch):
-        pk.put(v00[:, c], bits)
-        pk.put(v01[:, c], bits)
-        pk.put(v10[:, c], bits)
-        pk.put(v11[:, c], bits)
-    if mode == 1:
-        pk.put(p00, 1)  # shared pbit subset 0
-        pk.put(p10, 1)  # shared pbit subset 1
-    else:
-        pk.put(p00, 1)
-        pk.put(p01, 1)
-        pk.put(p10, 1)
-        pk.put(p11, 1)
-    nbits = 3 if mode == 1 else 2
-    _pack_indices(pk, idx, nbits, [anchor0, anchor1], pk.pos)
-    return pk.stack(), best_err
+        pk = _Packer(n)
+        nch = 4 if mode == 7 else 3
+        if mode == 1:
+            pk.put(jnp.full((n,), 2, jnp.int32), 2)
+        elif mode == 3:
+            pk.put(jnp.full((n,), 8, jnp.int32), 4)
+        else:
+            pk.put(jnp.full((n,), 128, jnp.int32), 8)
+        pk.put(part, 6)
+        for c in range(nch):
+            pk.put(v00[:, c], bits)
+            pk.put(v01[:, c], bits)
+            pk.put(v10[:, c], bits)
+            pk.put(v11[:, c], bits)
+        if mode == 1:
+            pk.put(p00, 1)  # shared pbit subset 0
+            pk.put(p10, 1)  # shared pbit subset 1
+        else:
+            pk.put(p00, 1)
+            pk.put(p01, 1)
+            pk.put(p10, 1)
+            pk.put(p11, 1)
+        nbits = 3 if mode == 1 else 2
+        _pack_indices(pk, idx, nbits, [anchor0, anchor1], pk.pos)
+        return pk.stack(), best_err
+
+    return _best_over_candidates(fit_and_pack, top_parts, n)
 
 
 def _fit_scalar(vals, weights, quant_bits, iters):
@@ -541,14 +539,16 @@ def _scalar_anchor_fix(q0, q1, idx, lvl):
     return q0n, q1n, idx
 
 
-def _encode_three_subset(colors, iters, ch_w, num_partitions, mode):
+def _encode_three_subset(colors, iters, ch_w, num_refine, mode):
     """Modes 0/2: 3 subsets.
 
     mode 0: 16 partitions, RGB 4.4 + per-endpoint pbit, 3-bit idx
     mode 2: 64 partitions, RGB 5.5 (no pbits), 2-bit idx
+
+    All partitions are screened with the matmul proxy; the top `num_refine`
+    each get the full phase-B fit and the lowest-error one wins.
     """
     n = colors.shape[0]
-    k = num_partitions
     limit = 16 if mode == 0 else 64
     cw = ch_w * jnp.array([1, 1, 1, 0], jnp.float32)
 
@@ -587,9 +587,7 @@ def _encode_three_subset(colors, iters, ch_w, num_partitions, mode):
     score = sum(
         subset_err3((part_rows == s).astype(jnp.float32)) for s in range(3)
     )
-    del num_partitions
-    part = score.argmin(axis=1).astype(jnp.int32)
-    prow = part_rows[part]  # [N,16]
+    _, top_parts = jax.lax.top_k(-score, max(1, int(num_refine)))  # [N,R]
 
     if mode == 0:
         weights, nlev, bits = _W3, 8, 4
@@ -620,56 +618,60 @@ def _encode_three_subset(colors, iters, ch_w, num_partitions, mode):
         tmin = jnp.where(m > 0, ts, jnp.inf).min(1)
         return mean_s + axis * tmax[:, None], mean_s + axis * tmin[:, None]
 
-    states = []
-    idxs = []
-    err = (ch_w[3] * (colors[..., 3] - 255.0) ** 2).sum(1)
-    for s in range(3):
-        ms = (prow == s).astype(jnp.float32)
-        st, sidx, serr_s = _fit_subset(
-            colors, ms, weights, quant, iters, cw, seed=seed_of(ms)
-        )
-        states.append(st)
-        idxs.append(sidx)
-        err = err + serr_s
-
-    idx = jnp.where(prow == 1, idxs[1], idxs[0])
-    idx = jnp.where(prow == 2, idxs[2], idx)
-
-    anchors = [
-        jnp.zeros((n,), jnp.int32),
-        _ANCHOR3_2[part],
-        _ANCHOR3_3[part],
-    ]
-    vs = []
-    ps = []
-    for s in range(3):
-        v0, v1, p0, p1, _, _ = states[s]
-        swap, idx = _anchor_fixup(idx, prow == s, anchors[s], nlev)
-        v0n = jnp.where(swap[:, None], v1, v0)
-        v1n = jnp.where(swap[:, None], v0, v1)
-        p0n = jnp.where(swap, p1, p0)
-        p1n = jnp.where(swap, p0, p1)
-        vs.append((v0n, v1n))
-        ps.append((p0n, p1n))
-
-    pk = _Packer(n)
-    if mode == 0:
-        pk.put(jnp.full((n,), 1, jnp.int32), 1)
-        pk.put(part, 4)
-    else:
-        pk.put(jnp.full((n,), 4, jnp.int32), 3)
-        pk.put(part, 6)
-    for c in range(3):
+    def fit_and_pack(part):
+        prow = part_rows[part]  # [N,16]
+        states = []
+        idxs = []
+        err = (ch_w[3] * (colors[..., 3] - 255.0) ** 2).sum(1)
         for s in range(3):
-            pk.put(vs[s][0][:, c], bits)
-            pk.put(vs[s][1][:, c], bits)
-    if mode == 0:
+            ms = (prow == s).astype(jnp.float32)
+            st, sidx, serr_s = _fit_subset(
+                colors, ms, weights, quant, iters, cw, seed=seed_of(ms)
+            )
+            states.append(st)
+            idxs.append(sidx)
+            err = err + serr_s
+
+        idx = jnp.where(prow == 1, idxs[1], idxs[0])
+        idx = jnp.where(prow == 2, idxs[2], idx)
+
+        anchors = [
+            jnp.zeros((n,), jnp.int32),
+            _ANCHOR3_2[part],
+            _ANCHOR3_3[part],
+        ]
+        vs = []
+        ps = []
         for s in range(3):
-            pk.put(ps[s][0], 1)
-            pk.put(ps[s][1], 1)
-    nbits = 3 if mode == 0 else 2
-    _pack_indices(pk, idx, nbits, anchors, pk.pos)
-    return pk.stack(), err
+            v0, v1, p0, p1, _, _ = states[s]
+            swap, idx = _anchor_fixup(idx, prow == s, anchors[s], nlev)
+            v0n = jnp.where(swap[:, None], v1, v0)
+            v1n = jnp.where(swap[:, None], v0, v1)
+            p0n = jnp.where(swap, p1, p0)
+            p1n = jnp.where(swap, p0, p1)
+            vs.append((v0n, v1n))
+            ps.append((p0n, p1n))
+
+        pk = _Packer(n)
+        if mode == 0:
+            pk.put(jnp.full((n,), 1, jnp.int32), 1)
+            pk.put(part, 4)
+        else:
+            pk.put(jnp.full((n,), 4, jnp.int32), 3)
+            pk.put(part, 6)
+        for c in range(3):
+            for s in range(3):
+                pk.put(vs[s][0][:, c], bits)
+                pk.put(vs[s][1][:, c], bits)
+        if mode == 0:
+            for s in range(3):
+                pk.put(ps[s][0], 1)
+                pk.put(ps[s][1], 1)
+        nbits = 3 if mode == 0 else 2
+        _pack_indices(pk, idx, nbits, anchors, pk.pos)
+        return pk.stack(), err
+
+    return _best_over_candidates(fit_and_pack, top_parts, n)
 
 
 def _rotate_channels(colors, ch_w, rot):
@@ -834,12 +836,15 @@ def _encode_mode5_rot(colors, iters, ch_w, rot):
     return pk.stack(), err
 
 
+# Per quality level: LS-refine iterations and the mode set; the per-mode
+# value is how many top-screened partitions get the full phase-B fit
+# (all partitions are always screened by the matmul proxy).
 _QUALITY_PLAN = {
     0: {"iters": 1, "modes": {6: None}},
-    1: {"iters": 2, "modes": {6: None, 1: 4}},
-    2: {"iters": 2, "modes": {6: None, 1: 8, 5: None, 4: None}},
-    3: {"iters": 3, "modes": {6: None, 1: 16, 3: 8, 0: 8, 5: None, 4: None}},
-    4: {"iters": 4, "modes": {6: None, 1: 32, 3: 16, 7: 16, 0: 16, 2: 16,
+    1: {"iters": 2, "modes": {6: None, 1: 1}},
+    2: {"iters": 2, "modes": {6: None, 1: 1, 5: None, 4: None}},
+    3: {"iters": 3, "modes": {6: None, 1: 2, 3: 2, 0: 1, 5: None, 4: None}},
+    4: {"iters": 4, "modes": {6: None, 1: 4, 3: 4, 7: 2, 0: 2, 2: 2,
                               5: None, 4: None}},
 }
 

@@ -18,9 +18,12 @@ independent — the reference encodes whole-image for the same reason
      modulations (quality >= Normal).
 
 Blocks are emitted in Morton order as the PVR container requires.
-Word layout (64-bit LE): bits 0..31 modulation; bits 32..47 color B
-(bit 32 = modulation mode flag, 33..47 = B color 554+opaque);
-bits 48..63 color A (48..62 color 555, 63 = opaque flag).
+Word layout (64-bit LE, matching PVRTexLib/PVRTDecompress and basisu):
+bits 0..31 modulation; bits 32..47 color A (bit 32 = modulation mode
+flag, opaque A = 5.5.4 at bits 33..47 with bit 47 the opaque flag);
+bits 48..63 color B (opaque B = 5.5.5, bit 63 opaque flag).  Texels
+blend result = (A*(8-mod) + B*mod)/8, i.e. modulation 0 selects A
+(the low half).
 """
 
 from __future__ import annotations
@@ -73,35 +76,14 @@ def _e3to4(q):
 
 
 def _quant_a(c):
-    """Color A field (bits 16..31): opaque 1.5.5.5 or translucent 0.3.4.4.4.
+    """Color A field (LOW 16 bits of the color word, the mod-0 endpoint):
+    opaque 1.5.5.4 or translucent 0.3.4.4.3 — blue gives one bit to the
+    modulation-mode flag at bit 0.
 
     c [...,4] float RGBA 0..1 -> (packed 16-bit int, decoded RGBA float).
-    Endpoints with alpha >= 15/16 use the opaque mode (full color
-    precision); others store 3-bit alpha (decoded as the 0..14/15 ladder).
+    Endpoints with alpha >= 15/16 use the opaque mode; others store 3-bit
+    alpha (decoded as the 0..14/15 ladder).
     """
-    opaque = c[..., 3] >= 15.0 / 16.0
-    # Opaque: 5.5.5.
-    qo = jnp.clip(jnp.round(c[..., :3] * 31.0), 0, 31).astype(jnp.int32)
-    pack_o = 0x8000 | (qo[..., 0] << 10) | (qo[..., 1] << 5) | qo[..., 2]
-    dec_o = jnp.stack(
-        [_e5(qo[..., 0]), _e5(qo[..., 1]), _e5(qo[..., 2]),
-         jnp.ones_like(c[..., 3])], -1)
-    # Translucent: A3 R4 G4 B4.
-    qa = jnp.clip(jnp.round(c[..., 3] * 16.0 / 2.0), 0, 7).astype(jnp.int32)
-    qt = jnp.clip(jnp.round(c[..., :3] * 15.0), 0, 15).astype(jnp.int32)
-    pack_t = (qa << 12) | (qt[..., 0] << 8) | (qt[..., 1] << 4) | qt[..., 2]
-    a4 = (qa << 1)
-    dec_t = jnp.stack(
-        [_e4(qt[..., 0]), _e4(qt[..., 1]), _e4(qt[..., 2]),
-         (a4 * 17).astype(jnp.float32) / 255.0], -1)
-    packed = jnp.where(opaque, pack_o, pack_t)
-    dec = jnp.where(opaque[..., None], dec_o, dec_t)
-    return packed, dec
-
-
-def _quant_b(c):
-    """Color B field (bits 0..15): opaque 1.5.5.4 or translucent 0.3.4.4.3
-    (blue gives a bit to the modulation-mode flag at bit 0)."""
     opaque = c[..., 3] >= 15.0 / 16.0
     r5 = jnp.clip(jnp.round(c[..., 0] * 31.0), 0, 31).astype(jnp.int32)
     g5 = jnp.clip(jnp.round(c[..., 1] * 31.0), 0, 31).astype(jnp.int32)
@@ -119,6 +101,29 @@ def _quant_b(c):
     dec_t = jnp.stack(
         [_e4(r4), _e4(g4), _e3to4(b3), (a4 * 17).astype(jnp.float32) / 255.0],
         -1)
+    packed = jnp.where(opaque, pack_o, pack_t)
+    dec = jnp.where(opaque[..., None], dec_o, dec_t)
+    return packed, dec
+
+
+def _quant_b(c):
+    """Color B field (HIGH 16 bits of the color word, the mod-8 endpoint):
+    opaque 1.5.5.5 or translucent 0.3.4.4.4."""
+    opaque = c[..., 3] >= 15.0 / 16.0
+    # Opaque: 5.5.5.
+    qo = jnp.clip(jnp.round(c[..., :3] * 31.0), 0, 31).astype(jnp.int32)
+    pack_o = 0x8000 | (qo[..., 0] << 10) | (qo[..., 1] << 5) | qo[..., 2]
+    dec_o = jnp.stack(
+        [_e5(qo[..., 0]), _e5(qo[..., 1]), _e5(qo[..., 2]),
+         jnp.ones_like(c[..., 3])], -1)
+    # Translucent: A3 R4 G4 B4.
+    qa = jnp.clip(jnp.round(c[..., 3] * 16.0 / 2.0), 0, 7).astype(jnp.int32)
+    qt = jnp.clip(jnp.round(c[..., :3] * 15.0), 0, 15).astype(jnp.int32)
+    pack_t = (qa << 12) | (qt[..., 0] << 8) | (qt[..., 1] << 4) | qt[..., 2]
+    a4 = (qa << 1)
+    dec_t = jnp.stack(
+        [_e4(qt[..., 0]), _e4(qt[..., 1]), _e4(qt[..., 2]),
+         (a4 * 17).astype(jnp.float32) / 255.0], -1)
     packed = jnp.where(opaque, pack_o, pack_t)
     dec = jnp.where(opaque[..., None], dec_o, dec_t)
     return packed, dec
@@ -256,10 +261,11 @@ def encode_pvrtc1(
     modword = (mb.astype(jnp.uint32) << shifts).sum(axis=1, dtype=jnp.uint32)
 
     # Color word (upper 32 bits of the block): bit 0 = modulation mode (0 =
-    # standard), bits 1..15 = color B incl. its opaque flag (positioned by
-    # _quant_b), bits 16..31 = color A incl. its opaque flag.
+    # standard), bits 1..15 = color A incl. its opaque flag (positioned by
+    # _quant_a), bits 16..31 = color B incl. its opaque flag.  Modulation 0
+    # selects A (the low half), matching PVRTDecompress.
     colorword = (
-        (pa.reshape(-1).astype(jnp.uint32) << jnp.uint32(16))
-        | pb.reshape(-1).astype(jnp.uint32)
+        (pb.reshape(-1).astype(jnp.uint32) << jnp.uint32(16))
+        | pa.reshape(-1).astype(jnp.uint32)
     )
     return jnp.stack([modword, colorword], axis=-1)
