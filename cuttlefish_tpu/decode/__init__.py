@@ -12,3 +12,15 @@ from cuttlefish_tpu.decode.s3tc import (  # noqa: F401
     decode_bc4,
     decode_bc5,
 )
+from cuttlefish_tpu.decode.bc6h import decode_bc6h, decode_bc6h_f32  # noqa: F401
+from cuttlefish_tpu.decode.bc7 import decode_bc7  # noqa: F401
+from cuttlefish_tpu.decode.astc import decode_astc  # noqa: F401
+from cuttlefish_tpu.decode.etc import (  # noqa: F401
+    decode_eac_alpha,
+    decode_eac_r11,
+    decode_eac_rg11,
+    decode_etc2_a1,
+    decode_etc2_rgba,
+    decode_etc_rgb,
+)
+from cuttlefish_tpu.decode.pvrtc import decode_pvrtc1  # noqa: F401

@@ -118,10 +118,10 @@ def _decode_h(block: int) -> np.ndarray:
 
     r1 = (block >> 59) & 0xF
     g1 = (((block >> 56) & 0x7) << 1) | ((block >> 52) & 1)
-    b1 = (((block >> 51) & 1) << 3) | ((block >> 48) & 0x7)
-    r2 = (block >> 44) & 0xF
-    g2 = (block >> 40) & 0xF
-    b2 = (block >> 36) & 0xF
+    b1 = (((block >> 51) & 1) << 3) | (((block >> 48) & 0x3) << 1) | ((block >> 47) & 1)
+    r2 = (block >> 43) & 0xF
+    g2 = (block >> 39) & 0xF
+    b2 = (block >> 35) & 0xF
     packed1 = (r1 << 8) | (g1 << 4) | b1
     packed2 = (r2 << 8) | (g2 << 4) | b2
     didx = (

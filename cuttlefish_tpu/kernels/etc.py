@@ -445,52 +445,39 @@ def _etc2_t_candidate(colors, ch_w):
 # ---------------------------------------------------------------------------
 
 
-def _h_blue_fixup(g1_0, b1):
-    """Perturb C1's blue low bits so the G-overflow signaling is reachable.
-
-    The differential G check reads G1read = [free3, G1[0], B1[3]] and
-    dG = B1[2:0]; with q = 2*G1[0] + B1[3] and s = sext(B1[2:0]) the free
-    bits can force overflow iff q+s >= 4 (high) or q+s < 0 (low).  When
-    0 <= q+s <= 3 the nearest escaping s' replaces blue's low bits (the
-    candidate is evaluated with the perturbed color, so the cost is
-    accounted).  Returns (new_b1, free3_value).
-    """
-    q = 2 * g1_0 + (b1 >> 3)
-    r = b1 & 0x7
-    s = jnp.where(r >= 4, r - 8, r)
-    stuck = (q + s >= 0) & (q + s <= 3)
-    esc_up = 4 - q  # valid when q >= 1 (s' must be <= 3)
-    esc_down = -1 - q
-    use_up = (q >= 1) & (jnp.abs(esc_up - s) <= jnp.abs(esc_down - s))
-    s_new = jnp.where(stuck, jnp.where(use_up, esc_up, esc_down), s)
-    b1_new = (b1 & 0x8) | (s_new & 0x7)
-    free3 = jnp.where(q + s_new >= 4, 7, 0)
-    return b1_new, free3
-
-
 def _pack_h(q1, q2, didx, idx_raster):
     """H-mode word.  Fields: R1@62..59, G1[3:1]@58..56, G1[0]@52, B1[3]@51,
-    B1[2:0]@50..48, R2@47..44, G2@43..40, B2@39..36, d[2]@34, d[1]@32,
-    d[0] = (packed(C1) >= packed(C2)); diff bit 33 = 1; free bits 55..53
-    force the G check out of range, bit 63 keeps the R check in range.
-    (q1's blue is already fixup-adjusted by the caller.)
+    B1[2:1]@49..48, B1[0]@47, R2@46..43, G2@42..39, B2@38..35, d[2]@34, d[1]@32,
+    d[0] = (packed(C1) >= packed(C2)); diff bit 33 = 1.  Mode signaling via
+    the differential G check (G1read = bits 55..51, dG = bits 50..48): free
+    bits 55..53 plus free bit 50 always suffice to force it out of range —
+    with q = 2*G1[0] + B1[3] and b21 = B1[2:1], either 28+q+b21 >= 32
+    (free3=7, bit50=0) or q + (b21-4) < 0 (free3=0, bit50=1).  Bit 63 keeps
+    the R check in range.  Layout validated bit-exactly against Mesa
+    llvmpipe (tests/gl_oracle.py).
     """
     r1, g1, b1 = q1[:, 0], q1[:, 1], q1[:, 2]
     m = r1.shape[0]
-    _, free3 = _h_blue_fixup(g1 & 1, b1)
+    q = 2 * (g1 & 1) + (b1 >> 3)
+    b21 = (b1 >> 1) & 0x3
+    over = (q + b21) >= 4
+    free3 = jnp.where(over, 7, 0)
+    bit50 = jnp.where(over, 0, 1)
     hi = jnp.zeros((m,), jnp.uint32)
     hi = hi | (r1.astype(jnp.uint32) << jnp.uint32(59 - 32))
     hi = hi | ((g1 >> 1).astype(jnp.uint32) << jnp.uint32(56 - 32))
     hi = hi | ((g1 & 1).astype(jnp.uint32) << jnp.uint32(52 - 32))
     hi = hi | ((b1 >> 3).astype(jnp.uint32) << jnp.uint32(51 - 32))
-    hi = hi | ((b1 & 0x7).astype(jnp.uint32) << jnp.uint32(48 - 32))
-    hi = hi | (q2[:, 0].astype(jnp.uint32) << jnp.uint32(44 - 32))
-    hi = hi | (q2[:, 1].astype(jnp.uint32) << jnp.uint32(40 - 32))
-    hi = hi | (q2[:, 2].astype(jnp.uint32) << jnp.uint32(36 - 32))
+    hi = hi | (((b1 >> 1) & 0x3).astype(jnp.uint32) << jnp.uint32(48 - 32))
+    hi = hi | ((b1 & 0x1).astype(jnp.uint32) << jnp.uint32(47 - 32))
+    hi = hi | (q2[:, 0].astype(jnp.uint32) << jnp.uint32(43 - 32))
+    hi = hi | (q2[:, 1].astype(jnp.uint32) << jnp.uint32(39 - 32))
+    hi = hi | (q2[:, 2].astype(jnp.uint32) << jnp.uint32(35 - 32))
     hi = hi | ((didx >> 2).astype(jnp.uint32) << jnp.uint32(34 - 32))
     hi = hi | (((didx >> 1) & 1).astype(jnp.uint32))  # d[1] at bit 32
     hi = hi | jnp.uint32(2)  # diff bit 33
     hi = hi | (free3.astype(jnp.uint32) << jnp.uint32(53 - 32))
+    hi = hi | (bit50.astype(jnp.uint32) << jnp.uint32(50 - 32))
     # Keep the R check in range: R1read = [b63, R1], dR = G1[3:1].
     dr = g1 >> 1
     dr_s = jnp.where(dr >= 4, dr - 8, dr)
@@ -537,9 +524,6 @@ def _etc2_h_candidate(colors, ch_w):
     for c1f, c2f in ((mean_pos, mean_neg), (mean_neg, mean_pos)):
         q1, _ = _quant444(c1f)
         q2, _ = _quant444(c2f)
-        # Blue fixup on C1 so the mode is signalable.
-        b1_new, _ = _h_blue_fixup(q1[:, 1] & 1, q1[:, 2])
-        q1 = q1.at[:, 2].set(b1_new)
         d1 = _expand4(q1).astype(jnp.float32)
         d2 = _expand4(q2).astype(jnp.float32)
         packed1 = (q1[:, 0] << 8) | (q1[:, 1] << 4) | q1[:, 2]
