@@ -1,56 +1,124 @@
 """ASTC LDR block decoder (numpy/python, per the Khronos ASTC spec).
 
-Covers the subset the encoder emits -- single-partition CEM 8/12 blocks
-with bits-only ISE ranges, weight-grid decimation, and void-extent blocks --
-including the blue-contract path of CEM 8/12 for completeness.  Trit/quint
-ISE, multi-partition, and dual-plane blocks raise NotImplementedError.
+Full ISE (bits / trits / quints) for weights and colors, weight-grid
+decimation, 1-4 partitions (seed-hash assignment, shared-CEM encoding),
+dual-plane, void extents, and LDR color endpoint modes 0/4/6/8/12
+including blue-contract.  Mixed per-partition CEMs and the HDR endpoint
+modes raise NotImplementedError (the encoder never emits them; HDR is
+decoded by decode_astc_hdr below once emitted).
+
+Validated against Mesa llvmpipe's independent decoder in
+tests/test_gl_parity.py (random full blocks across every emitted config).
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from cuttlefish_tpu.kernels.astc import (
-    _color_unquant,
-    _weight_unquant,
-    implied_color_range,
-    infill_weights,
+from cuttlefish_tpu.kernels.astc_ise import (
+    color_unquant,
+    ise_bits,
+    ise_decode,
+    range_info,
+    weight_unquant,
 )
+from cuttlefish_tpu.kernels.astc_partition import partition_table
 
-_WBITS_FROM_RH = {
-    (0b010, 0): 1,
-    (0b100, 0): 2,
-    (0b111, 0): 3,
-    (0b100, 1): 4,
-    (0b111, 1): 5,
+# Weight range ladder keyed by (R, H) from the block mode.
+_WEIGHT_RANGE_FROM_RH = {
+    (0b010, 0): 2, (0b011, 0): 3, (0b100, 0): 4, (0b101, 0): 5,
+    (0b110, 0): 6, (0b111, 0): 8,
+    (0b010, 1): 10, (0b011, 1): 12, (0b100, 1): 16, (0b101, 1): 20,
+    (0b110, 1): 24, (0b111, 1): 32,
 }
+
+# Color range ladder, largest first (implied-range selection).
+_COLOR_LADDER = [
+    256, 192, 160, 128, 96, 80, 64, 48, 40, 32, 24, 20, 16, 12, 10, 8, 6, 5,
+    4, 3, 2,
+]
+
+
+def implied_color_range(n_vals: int, budget: int) -> int:
+    for levels in _COLOR_LADDER:
+        kind, b = range_info(levels, False)
+        if ise_bits(n_vals, kind, b) <= budget:
+            return levels
+    raise ValueError("no color range fits")
 
 
 def _parse_block_mode(mode: int):
-    """11-bit field -> (gw, gh, wbits, dual) for the configs we support."""
-    if (mode & 0x1FC) == 0x1FC:
-        return None  # void extent (caller checks 9 bits, this is bits 2..8)
+    """11-bit field -> (gw, gh, weight_levels, dual)."""
     d = (mode >> 10) & 1
     h = (mode >> 9) & 1
-    b = (mode >> 7) & 0x3
+    bb = (mode >> 7) & 0x3
     a = (mode >> 5) & 0x3
-    r = (((mode & 0x3) << 1) | ((mode >> 4) & 1))
+    r = ((mode & 0x3) << 1) | ((mode >> 4) & 1)
     cfg = (mode >> 2) & 0x3
+    if (mode & 0x3) == 0:
+        raise NotImplementedError("extended block-mode rows not supported")
     if cfg == 0b00:
-        gw, gh = b + 4, a + 2
+        gw, gh = bb + 4, a + 2
     elif cfg == 0b01:
-        gw, gh = b + 8, a + 2
+        gw, gh = bb + 8, a + 2
     elif cfg == 0b10:
-        gw, gh = a + 2, b + 8
+        gw, gh = a + 2, bb + 8
     else:
-        raise NotImplementedError("ASTC block-mode config 11 not supported")
-    if (r, h) not in _WBITS_FROM_RH:
-        raise NotImplementedError(f"ASTC trit/quint weight range R={r:#b} H={h}")
-    return gw, gh, _WBITS_FROM_RH[(r, h)], d
+        raise NotImplementedError("block-mode config 11 not supported")
+    if r < 2:
+        raise ValueError("reserved weight range")
+    return gw, gh, _WEIGHT_RANGE_FROM_RH[(r, h)], d
+
+
+def infill_weights(bw, bh, gw, gh):
+    from cuttlefish_tpu.kernels.astc import infill_weights as f
+
+    return f(bw, bh, gw, gh)
 
 
 def _blue_contract(r, g, b, a):
     return ((r + b) >> 1, (g + b) >> 1, b, a)
+
+
+def _decode_endpoints(cem: int, v: list[int]) -> tuple[tuple, tuple]:
+    """LDR CEMs -> (e0, e1) 8-bit RGBA tuples (spec C.2.14)."""
+    if cem == 0:  # luminance direct
+        return (v[0], v[0], v[0], 255), (v[1], v[1], v[1], 255)
+    if cem == 4:  # luminance + alpha direct
+        return (v[0], v[0], v[0], v[2]), (v[1], v[1], v[1], v[3])
+    if cem == 6:  # RGB scale
+        e1 = (v[0], v[1], v[2], 255)
+        e0 = ((v[0] * v[3]) >> 8, (v[1] * v[3]) >> 8, (v[2] * v[3]) >> 8, 255)
+        return e0, e1
+    if cem == 8:  # RGB direct
+        s0 = v[0] + v[2] + v[4]
+        s1 = v[1] + v[3] + v[5]
+        e0 = (v[0], v[2], v[4], 255)
+        e1 = (v[1], v[3], v[5], 255)
+        if s0 > s1:
+            return _blue_contract(*e1), _blue_contract(*e0)
+        return e0, e1
+    if cem == 10:  # RGB scale + alpha
+        e1 = (v[0], v[1], v[2], v[5])
+        e0 = ((v[0] * v[3]) >> 8, (v[1] * v[3]) >> 8, (v[2] * v[3]) >> 8, v[4])
+        return e0, e1
+    if cem == 12:  # RGBA direct
+        s0 = v[0] + v[2] + v[4]
+        s1 = v[1] + v[3] + v[5]
+        e0 = (v[0], v[2], v[4], v[6])
+        e1 = (v[1], v[3], v[5], v[7])
+        if s0 > s1:
+            return _blue_contract(*e1), _blue_contract(*e0)
+        return e0, e1
+    raise NotImplementedError(f"CEM {cem} not supported")
+
+
+def _bits_of(block: int, n: int, reverse: bool = False) -> np.ndarray:
+    out = np.zeros((1, n), np.uint8)
+    for i in range(n):
+        pos = (127 - i) if reverse else i
+        out[0, i] = (block >> pos) & 1
+    return out
 
 
 def _decode_block(block: int, bw: int, bh: int) -> np.ndarray:
@@ -64,65 +132,61 @@ def _decode_block(block: int, bw: int, bh: int) -> np.ndarray:
             out[:, c] = v16 >> 8
         return out
 
-    gw, gh, wbits, dual = _parse_block_mode(mode)
+    gw, gh, wlevels, dual = _parse_block_mode(mode)
+    nparts = ((block >> 11) & 0x3) + 1
+    wkind, wb = range_info(wlevels, True)
+    nweights = gw * gh * (1 + dual)
+    wbits = ise_bits(nweights, wkind, wb)
+
+    if nparts == 1:
+        cem = (block >> 13) & 0xF
+        color_start = 17
+        part_of = np.zeros(bw * bh, np.int64)
+        cems = [cem]
+    else:
+        seed = (block >> 13) & 0x3FF
+        cem_field = (block >> 23) & 0x3F
+        if cem_field & 0x3:
+            raise NotImplementedError("per-partition CEM variation")
+        cem = cem_field >> 2
+        color_start = 29
+        part_of = partition_table(bw, bh, nparts)[seed].astype(np.int64)
+        cems = [cem] * nparts
+
+    nvals = sum(2 * ((c >> 2) + 1) for c in cems)
+    budget = 128 - color_start - wbits - (2 if dual else 0)
+    clevels = implied_color_range(nvals, budget)
+    ckind, cb = range_info(clevels, False)
+    cbits_arr = _bits_of(block >> color_start, ise_bits(nvals, ckind, cb))
+    vals_q = ise_decode(cbits_arr, nvals, clevels, False)[0]
+    unq_c = color_unquant(clevels)
+    vals = [int(unq_c[v]) for v in vals_q]
+
+    endpoints = []
+    off = 0
+    for c in cems:
+        k = 2 * ((c >> 2) + 1)
+        endpoints.append(_decode_endpoints(c, vals[off : off + k]))
+        off += k
+
     if dual:
-        raise NotImplementedError("dual-plane not supported")
-    part_count = ((block >> 11) & 0x3) + 1
-    if part_count != 1:
-        raise NotImplementedError("multi-partition not supported")
-    cem = (block >> 13) & 0xF
-    if cem not in (8, 12):
-        raise NotImplementedError(f"CEM {cem} not supported")
-    nvals = 6 if cem == 8 else 8
-
-    # Color endpoint range is implied by the remaining bits (spec C.2.22):
-    # largest ISE range that fits between the header and the weight region.
-    wtotal = gw * gh * wbits
-    budget = 128 - wtotal - 17
-    levels, kind, ep_bits = implied_color_range(nvals, budget)
-    if kind != "b":
-        raise NotImplementedError(
-            f"implied color range {levels} uses {kind}-ISE (not emitted)"
-        )
-    unq_c = _color_unquant(ep_bits)
-    vals = []
-    pos = 17
-    for _ in range(nvals):
-        vals.append(unq_c[(block >> pos) & ((1 << ep_bits) - 1)])
-        pos += ep_bits
-
-    s0 = vals[0] + vals[2] + vals[4]
-    s1 = vals[1] + vals[3] + vals[5]
-    if cem == 8:
-        e0 = (vals[0], vals[2], vals[4], 255)
-        e1 = (vals[1], vals[3], vals[5], 255)
-    else:
-        e0 = (vals[0], vals[2], vals[4], vals[6])
-        e1 = (vals[1], vals[3], vals[5], vals[7])
-    if s0 > s1:
-        e0, e1 = _blue_contract(*e1), _blue_contract(*e0)
-        swapped = True
-    else:
-        swapped = False
-
-    # Weights: stream bit i lives at block bit 127-i.
-    unq_w = _weight_unquant(wbits)
-    grid = np.zeros(gw * gh, np.int32)
-    for k in range(gw * gh):
-        v = 0
-        for bit in range(wbits):
-            i = k * wbits + bit
-            v |= ((block >> (127 - i)) & 1) << bit
-        grid[k] = unq_w[v]
+        ccs_pos = 128 - wbits - 2
+        ccs = (block >> ccs_pos) & 0x3
+    wq = ise_decode(_bits_of(block, wbits, reverse=True), nweights, wlevels, True)[0]
+    unq_w = weight_unquant(wlevels)
+    grid = unq_w[wq]  # [G * (1+dual)] in plane-interleaved order
 
     a_mat = infill_weights(bw, bh, gw, gh)
-    w64 = (a_mat @ grid + 8) >> 4  # [T]
-    if swapped:
-        pass  # endpoint swap already applied; weights stay as stored
+    if dual:
+        w64_p0 = (a_mat @ grid[0::2] + 8) >> 4
+        w64_p1 = (a_mat @ grid[1::2] + 8) >> 4
+    else:
+        w64_p0 = (a_mat @ grid + 8) >> 4
 
     for t in range(bw * bh):
-        w = int(w64[t])
+        e0, e1 = endpoints[part_of[t]]
         for c in range(4):
+            w = int(w64_p1[t]) if (dual and c == ccs) else int(w64_p0[t])
             v0 = (e0[c] << 8) | e0[c]
             v1 = (e1[c] << 8) | e1[c]
             out[t, c] = ((v0 * (64 - w) + v1 * w + 32) >> 6) >> 8

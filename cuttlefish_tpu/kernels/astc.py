@@ -1,19 +1,23 @@
 """ASTC LDR block encoder (batched JAX).
 
 TPU-native replacement for astc-encoder
-(`/root/reference/lib/src/AstcConverter.cpp`).  Round-1 scope: all 14 2D
-block sizes, single-partition blocks with
+(`/root/reference/lib/src/AstcConverter.cpp`).  Round-2 scope: all 14 2D
+block sizes with
 
-  - color endpoint modes 8 (LDR RGB direct) and 12 (LDR RGBA direct),
-  - bits-only ISE ranges (2^k quantization for weights and endpoints, so the
-    ISE stream is plain bit packing -- a strict, fully conformant subset),
+  - the full ISE ladder (bits / trits / quints) for weights and color
+    endpoints (tables Mesa-validated in kernels/astc_ise.py),
+  - color endpoint modes 8 (RGB direct) and 12 (RGBA direct),
+  - 1- and 2-partition blocks: all 1024 partition seeds screened with a
+    mask-matrix matmul (within-cluster SSE), top-k refined exactly,
   - weight-grid decimation via the spec's fixed-point bilinear infill
-    (C.2.18), with grid-weight fitting through a precomputed pseudo-inverse,
+    (C.2.18) with a pseudo-inverse grid fit,
   - void-extent blocks for uniform content.
 
-Multi-partition, dual-plane, trit/quint ISE, and HDR endpoint modes are
-future extensions; this subset already covers the main rate/quality knobs
-(weight count x weight precision x endpoint precision per block size).
+Dual-plane and the HDR endpoint modes are the remaining extensions.
+
+The quality ladder mirrors the reference's five presets
+(`AstcConverter.cpp:174-195`): higher quality evaluates more
+(grid, weight-range) layouts and refines more partition seeds.
 
 The error model reproduces the spec decoder exactly (16-bit endpoint
 expansion, 64-weight interpolation, top-byte output).
@@ -27,40 +31,42 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cuttlefish_tpu.kernels.bc import _ls_solve, _principal_axis
+from cuttlefish_tpu.kernels.astc_ise import (
+    color_unquant,
+    ise_bits,
+    ise_sequence_layout,
+    quint_pack_table,
+    range_info,
+    trit_pack_table,
+    weight_unquant,
+)
+from cuttlefish_tpu.kernels.astc_partition import partition_table
+from cuttlefish_tpu.kernels.bc import _principal_axis
 
 # ---------------------------------------------------------------------------
 # Static tables
 # ---------------------------------------------------------------------------
 
+# Weight range -> (R, H) block-mode fields.
+_RH_FROM_WRANGE = {
+    2: (0b010, 0), 3: (0b011, 0), 4: (0b100, 0), 5: (0b101, 0),
+    6: (0b110, 0), 8: (0b111, 0),
+    10: (0b010, 1), 12: (0b011, 1), 16: (0b100, 1), 20: (0b101, 1),
+    24: (0b110, 1), 32: (0b111, 1),
+}
 
-def _weight_unquant(levels_bits: int) -> np.ndarray:
-    """Bits-only weight unquantization: replicate to 6 bits, bump >32."""
-    n = 1 << levels_bits
-    out = np.zeros(n, np.int32)
-    for v in range(n):
-        x, shift = 0, 6
-        while shift > 0:
-            shift -= levels_bits
-            x |= (v << shift) if shift >= 0 else (v >> -shift)
-        x &= 0x3F
-        if x > 32:
-            x += 1
-        out[v] = x
-    return out
+_COLOR_LADDER = [
+    256, 192, 160, 128, 96, 80, 64, 48, 40, 32, 24, 20, 16, 12, 10, 8, 6, 5,
+    4, 3, 2,
+]
 
 
-def _color_unquant(bits: int) -> np.ndarray:
-    """Bits-only color unquantization: bit replication to 8 bits."""
-    n = 1 << bits
-    out = np.zeros(n, np.int32)
-    for v in range(n):
-        x, shift = 0, 8
-        while shift > 0:
-            shift -= bits
-            x |= (v << shift) if shift >= 0 else (v >> -shift)
-        out[v] = x & 0xFF
-    return out
+def implied_color_range(n_vals: int, budget: int) -> int:
+    for levels in _COLOR_LADDER:
+        kind, b = range_info(levels, False)
+        if ise_bits(n_vals, kind, b) <= budget:
+            return levels
+    raise ValueError("no color range fits")
 
 
 def infill_weights(bw: int, bh: int, gw: int, gh: int) -> np.ndarray:
@@ -81,257 +87,366 @@ def infill_weights(bw: int, bh: int, gw: int, gh: int) -> np.ndarray:
             w10 = ft - w11
             w00 = 16 - fs - ft + w11
             t = ty * bw + tx
-
-            def put(jx, jy, w):
+            for jx, jy, w in ((js, jt, w00), (js + 1, jt, w01),
+                              (js, jt + 1, w10), (js + 1, jt + 1, w11)):
                 if w and jx < gw and jy < gh:
                     a[t, jy * gw + jx] += w
-
-            put(js, jt, w00)
-            put(js + 1, jt, w01)
-            put(js, jt + 1, w10)
-            put(js + 1, jt + 1, w11)
     return a
 
 
-# Block-mode field for grid (gw, gh) and weight bits, bits-only ranges.
-# R (3 bits): placed as R0 = bit4, R[2:1] = bits[1:0]; H = bit9; D = bit10.
-_WBITS_TO_RH = {1: (0b010, 0), 2: (0b100, 0), 3: (0b111, 0), 4: (0b100, 1), 5: (0b111, 1)}
-
-
-def block_mode_field(gw: int, gh: int, wbits: int) -> int:
-    r, h = _WBITS_TO_RH[wbits]
+def block_mode_field(gw: int, gh: int, wlevels: int) -> int:
+    r, h = _RH_FROM_WRANGE[wlevels]
     r0 = r & 1
     r21 = r >> 1
-    if 4 <= gw <= 7 and 2 <= gh <= 5:  # bits[3:2] = 00: W=B+4, H=A+2
+    if 4 <= gw <= 7 and 2 <= gh <= 5:
         b, a, cfg = gw - 4, gh - 2, 0b00
-    elif 8 <= gw <= 11 and 2 <= gh <= 5:  # 01: W=B+8, H=A+2
+    elif 8 <= gw <= 11 and 2 <= gh <= 5:
         b, a, cfg = gw - 8, gh - 2, 0b01
-    elif 2 <= gw <= 5 and 8 <= gh <= 11:  # 10: W=A+2, H=B+8
+    elif 2 <= gw <= 5 and 8 <= gh <= 11:
         b, a, cfg = gh - 8, gw - 2, 0b10
     else:
         raise ValueError(f"unsupported weight grid {gw}x{gh}")
-    return (
-        (0 << 10)  # dual plane
-        | (h << 9)
-        | (b << 7)
-        | (a << 5)
-        | (r0 << 4)
-        | (cfg << 2)
-        | r21
-    )
-
-
-# The color-endpoint quantization range is IMPLIED by the bits remaining
-# after the weight region (spec C.2.22): the largest range in the full ISE
-# ladder (incl. trit/quint ranges) whose encoded size fits.  To stay within
-# the bits-only subset, every config keeps remaining >= ise_cost(n, 256) so
-# the implied range is 256 (8-bit plain values):
-#   CEM 8  (6 values): weight bits <= 111 - 48 = 63
-#   CEM 12 (8 values): weight bits <= 111 - 64 = 47
-# Per-block-size configuration: ((gw, gh, wbits) for CEM8, same for CEM12).
-_EP_BITS = 8
-
-_CONFIGS: dict[tuple[int, int], tuple[tuple[int, int, int], tuple[int, int, int]]] = {
-    (4, 4): ((4, 4, 3), (4, 4, 2)),
-    (5, 4): ((5, 4, 3), (5, 4, 2)),
-    (5, 5): ((5, 5, 2), (4, 4, 2)),
-    (6, 5): ((6, 5, 2), (5, 4, 2)),
-    (6, 6): ((6, 5, 2), (5, 4, 2)),
-    (8, 5): ((6, 5, 2), (5, 4, 2)),
-    (8, 6): ((6, 5, 2), (5, 4, 2)),
-    (8, 8): ((6, 5, 2), (5, 4, 2)),
-    (10, 5): ((6, 5, 2), (5, 4, 2)),
-    (10, 6): ((6, 5, 2), (5, 4, 2)),
-    (10, 8): ((6, 5, 2), (5, 4, 2)),
-    (10, 10): ((6, 5, 2), (5, 4, 2)),
-    (12, 10): ((6, 5, 2), (5, 4, 2)),
-    (12, 12): ((6, 5, 2), (5, 4, 2)),
-}
-
-# Alternate CEM8 weight grid per size (fewer weights, 3-bit precision) —
-# evaluated as a second candidate at quality >= Normal; wins on smooth
-# content where decimation hurts less than weight quantization.
-_ALT8_CONFIGS: dict[tuple[int, int], tuple[int, int, int]] = {
-    (5, 5): (4, 4, 3),
-    (6, 5): (5, 4, 3),
-    (6, 6): (5, 4, 3),
-    (8, 5): (5, 4, 3),
-    (8, 6): (5, 4, 3),
-    (8, 8): (5, 4, 3),
-    (10, 5): (5, 4, 3),
-    (10, 6): (5, 4, 3),
-    (10, 8): (5, 4, 3),
-    (10, 10): (5, 4, 3),
-    (12, 10): (5, 4, 3),
-    (12, 12): (5, 4, 3),
-}
-
-
-def astc_config(bw: int, bh: int):
-    return _CONFIGS[(bw, bh)]
-
-
-# ISE cost in bits for n values at a given range (levels).  Used by the
-# decoder to reproduce the spec's implied-range selection.
-_ISE_LADDER = [
-    (256, "b", 8), (192, "t", 6), (160, "q", 5), (128, "b", 7), (96, "t", 5),
-    (80, "q", 4), (64, "b", 6), (48, "t", 4), (40, "q", 3), (32, "b", 5),
-    (24, "t", 3), (20, "q", 2), (16, "b", 4), (12, "t", 2), (10, "q", 1),
-    (8, "b", 3), (6, "t", 1), (5, "q", 0), (4, "b", 2), (3, "t", 0),
-    (2, "b", 1),
-]
-
-
-def ise_cost(n: int, kind: str, b: int) -> int:
-    if kind == "b":
-        return n * b
-    if kind == "t":
-        return (8 * n + 4) // 5 + n * b
-    return (7 * n + 2) // 3 + n * b
-
-
-def implied_color_range(n_vals: int, remaining_bits: int):
-    """Largest ISE range fitting in `remaining_bits` (spec implied range)."""
-    for levels, kind, b in _ISE_LADDER:
-        if ise_cost(n_vals, kind, b) <= remaining_bits:
-            return levels, kind, b
-    raise ValueError("no color range fits")
+    return (h << 9) | (b << 7) | (a << 5) | (r0 << 4) | (cfg << 2) | r21
 
 
 # ---------------------------------------------------------------------------
-# Encoding
+# Layouts
 # ---------------------------------------------------------------------------
 
 
-def _quantize_colors(e, bits, unq_table):
-    """e [M,C] float 0..255 -> (q [M,C] int, dec [M,C] int)."""
-    maxq = (1 << bits) - 1
-    q = jnp.clip(jnp.round(e * maxq / 255.0), 0, maxq).astype(jnp.int32)
-    return q, unq_table[q]
+class Layout:
+    """A fully-determined block configuration (everything static)."""
+
+    def __init__(self, bw, bh, nparts, cem, gw, gh, wlevels):
+        self.bw, self.bh = bw, bh
+        self.nparts, self.cem = nparts, cem
+        self.gw, self.gh, self.wlevels = gw, gh, wlevels
+        wkind, wb = range_info(wlevels, True)
+        self.wbits = ise_bits(gw * gh, wkind, wb)
+        self.header = 17 if nparts == 1 else 29
+        self.nvals = nparts * 2 * ((cem >> 2) + 1)
+        self.clevels = implied_color_range(self.nvals, 128 - self.header - self.wbits)
+        block_mode_field(gw, gh, wlevels)  # raises if grid unsupported
+
+    def valid(self):
+        return (
+            24 <= self.wbits <= 96
+            and self.gw * self.gh <= 64
+            and self.gw <= self.bw
+            and self.gh <= self.bh
+            and self.nvals <= 18
+            and self.clevels >= 8
+        )
+
+    def __repr__(self):
+        return (
+            f"Layout({self.nparts}p cem{self.cem} grid{self.gw}x{self.gh} "
+            f"w{self.wlevels} c{self.clevels})"
+        )
 
 
-def _decode_model(d0, d1, w64):
-    """Exact spec interpolation: d* [M,C] int 8-bit, w64 [M,T] 0..64.
-
-    Returns [M,T,C] float decoded 8-bit values.
-    """
-    e0 = (d0 << 8) | d0  # 16-bit expansion
-    e1 = (d1 << 8) | d1
-    c16 = (
-        e0[:, None, :] * (64 - w64[:, :, None]) + e1[:, None, :] * w64[:, :, None] + 32
-    ) >> 6
-    return (c16 >> 8).astype(jnp.float32)
-
-
-def _pack_bits_le(values, nbits, start, words):
-    """Pack [M,K] ints, `nbits` each, sequentially from absolute bit
-    `start` (LSB-first) into 4 uint32 words."""
-    pos = start
-    for k in range(values.shape[1]):
-        v = values[:, k].astype(jnp.uint32) & jnp.uint32((1 << nbits) - 1)
-        w, b = divmod(pos, 32)
-        words[w] = words[w] | (v << jnp.uint32(b))
-        if b + nbits > 32:
-            words[w + 1] = words[w + 1] | (v >> jnp.uint32(32 - b))
-        pos += nbits
-    return pos
-
-
-def _pack_weights_reversed(gq, wbits, words):
-    """Weight stream: w0 first, LSB-first, then bit-reversed into the top of
-    the block (stream bit i -> block bit 127-i)."""
-    g = gq.shape[1]
-    for k in range(g):
-        v = gq[:, k].astype(jnp.uint32)
-        for bit in range(wbits):
-            stream_i = k * wbits + bit
-            block_bit = 127 - stream_i
-            w, b = divmod(block_bit, 32)
-            words[w] = words[w] | (((v >> jnp.uint32(bit)) & 1) << jnp.uint32(b))
+def _try_layout(bw, bh, nparts, cem, gw, gh, wlevels):
+    try:
+        lay = Layout(bw, bh, nparts, cem, gw, gh, wlevels)
+    except ValueError:
+        return None
+    return lay if lay.valid() else None
 
 
 @functools.lru_cache(maxsize=64)
-def _prepared_np(bw, bh, gw, gh, wbits):
-    """Precomputed numpy constants for a (block, grid, wbits) combination.
+def layout_menu(bw: int, bh: int):
+    """Candidate layouts per (cem, nparts), quality-ordered lists."""
 
-    Cached as numpy (jnp constants must not leak across jit traces).
+    def grids():
+        out = []
+        for gw in range(2, 12):
+            for gh in range(2, 12):
+                if gw <= bw and gh <= bh and gw * gh <= 64:
+                    try:
+                        block_mode_field(gw, gh, 2)
+                    except ValueError:
+                        continue
+                    out.append((gw, gh))
+        return out
+
+    gs = grids()
+    full = max(gs, key=lambda g: (g[0] * g[1], min(g)))
+
+    def best_for(nparts, cem, min_clevels, prefer_wlevels):
+        """Pick the layout with the largest weight budget whose implied
+        color range stays >= min_clevels, preferring finer weight ranges."""
+        cands = []
+        for gw, gh in gs:
+            for wl in (32, 24, 20, 16, 12, 10, 8, 6, 5, 4, 3, 2):
+                lay = _try_layout(bw, bh, nparts, cem, gw, gh, wl)
+                if lay and lay.clevels >= min_clevels:
+                    cands.append(lay)
+        if not cands:
+            return None
+        # score: texel coverage of the grid, then weight precision
+        def score(l):
+            cover = min(1.0, (l.gw * l.gh) / (bw * bh))
+            return (cover, l.wlevels if l.wlevels <= prefer_wlevels else 0, l.clevels)
+        return max(cands, key=score)
+
+    menu = {}
+    # CEM 8 single partition: a ladder of weight-precision tradeoffs.
+    menu[(8, 1)] = [
+        lay for lay in (
+            best_for(1, 8, 64, 12),    # full grid, fine-ish weights
+            best_for(1, 8, 192, 16),   # near-8-bit colors
+            best_for(1, 8, 40, 24),    # finest weights
+        ) if lay
+    ]
+    menu[(12, 1)] = [
+        lay for lay in (
+            best_for(1, 12, 64, 8),
+            best_for(1, 12, 96, 12),
+        ) if lay
+    ]
+    menu[(8, 2)] = [lay for lay in (best_for(2, 8, 20, 6),) if lay]
+    menu[(12, 2)] = [lay for lay in (best_for(2, 12, 12, 4),) if lay]
+    # Deduplicate identical layouts.
+    for k, lays in menu.items():
+        seen, out = set(), []
+        for l in lays:
+            key = (l.gw, l.gh, l.wlevels)
+            if key not in seen:
+                seen.add(key)
+                out.append(l)
+        menu[k] = out
+    return menu
+
+
+# ---------------------------------------------------------------------------
+# Quantization helpers
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _color_qlut(levels: int):
+    """256-entry byte -> (quantized value, dequantized byte) numpy LUTs."""
+    unq = color_unquant(levels)
+    bytes_ = np.arange(256)
+    dist = np.abs(bytes_[:, None] - unq[None, :])
+    q = np.argmin(dist, axis=1)
+    return q.astype(np.int32), unq[q].astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def _weight_qlut(levels: int):
+    """65-entry w64 -> (quantized value, dequantized w64) numpy LUTs."""
+    unq = weight_unquant(levels)
+    w = np.arange(65)
+    dist = np.abs(w[:, None] - unq[None, :])
+    q = np.argmin(dist, axis=1)
+    return q.astype(np.int32), unq[q].astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def _invert_map(levels: int, for_weights: bool):
+    """v -> v' with unq[v'] == (64|255) - unq[v] (ladders are symmetric)."""
+    unq = weight_unquant(levels) if for_weights else color_unquant(levels)
+    top = 64 if for_weights else 255
+    inv = np.zeros(levels, np.int32)
+    for v in range(levels):
+        matches = np.argwhere(unq == top - unq[v]).ravel()
+        assert matches.size, (levels, v)
+        inv[v] = matches[0]
+    return inv
+
+
+# ---------------------------------------------------------------------------
+# ISE packing (JAX)
+# ---------------------------------------------------------------------------
+
+
+def _pack_ise_jax(values, levels, for_weights, start, words, reverse=False):
+    """Pack [M,n] quantized values into the word list.
+
+    start: absolute bit position of stream bit 0 (LSB-first) when not
+    reversed; when reversed, stream bit i goes to block bit 127-i.
     """
-    a = infill_weights(bw, bh, gw, gh)  # [T,G] /16
+    kind, b = range_info(levels, True if for_weights else False)
+    n = values.shape[1]
+    m = values & ((1 << b) - 1) if b else jnp.zeros_like(values)
+    if kind == "b":
+        packed = None
+    else:
+        d = values >> b
+        per = 5 if kind == "t" else 3
+        radix = 3 if kind == "t" else 5
+        table = (trit_pack_table() if kind == "t" else quint_pack_table()).reshape(-1)
+        ngroups = (n + per - 1) // per
+        idxs = []
+        for g in range(ngroups):
+            # C-order flat index of the [radix]*per pack table: digit k has
+            # stride radix^(per-1-k).
+            acc = jnp.zeros(values.shape[:1], jnp.int32)
+            for k_ in range(per):
+                i = g * per + k_
+                mult = radix ** (per - 1 - k_)
+                if i < n:
+                    acc = acc + d[:, i] * mult
+            idxs.append(acc)
+        idx = jnp.stack(idxs, axis=1)  # [M, ngroups]
+        # one-hot matmul gather (MXU-friendly, avoids scatter/gather)
+        oh = jax.nn.one_hot(idx, table.shape[0], dtype=jnp.float32)
+        packed = jnp.einsum("mgk,k->mg", oh, jnp.asarray(table, jnp.float32))
+        packed = packed.astype(jnp.uint32)
+
+    layout = ise_sequence_layout(n, kind, b)
+    for pos, (src, i, j) in enumerate(layout):
+        if src == "m":
+            if i < 0:
+                continue
+            bit = (m[:, i].astype(jnp.uint32) >> jnp.uint32(j)) & 1
+        else:
+            bit = (packed[:, i] >> jnp.uint32(j)) & 1
+        block_bit = (127 - pos) if reverse else (start + pos)
+        w, bo = divmod(block_bit, 32)
+        words[w] = words[w] | (bit << jnp.uint32(bo))
+
+
+# ---------------------------------------------------------------------------
+# Core fit (1 or 2 partitions, CEM 8/12)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=256)
+def _prepared_np(bw, bh, gw, gh):
+    a = infill_weights(bw, bh, gw, gh)
     af = a.astype(np.float64) / 16.0
-    pinv = np.linalg.pinv(af).astype(np.float32)  # [G,T]
-    wu = _weight_unquant(wbits)
-    return a, pinv, wu
+    pinv = np.linalg.pinv(af).astype(np.float32)
+    return a, pinv
 
 
-def _prepared(bw, bh, gw, gh, wbits):
-    a, pinv, wu = _prepared_np(bw, bh, gw, gh, wbits)
-    return jnp.asarray(a), jnp.asarray(pinv), jnp.asarray(wu)
+def _masked_ls(target, w, mask):
+    """Per-partition LS endpoints.  target [N,T,C], w [N,T] in [0,1],
+    mask [N,P,T] -> (e0, e1) [N,P,C]."""
+    mw = mask * w[:, None, :]          # [N,P,T]
+    m1w = mask * (1.0 - w[:, None, :])
+    a = (mw * w[:, None, :]).sum(-1)           # [N,P] sum w^2
+    bq = (mw * (1.0 - w[:, None, :])).sum(-1)  # sum w(1-w)
+    c = (m1w * (1.0 - w[:, None, :])).sum(-1)  # sum (1-w)^2
+    r1 = jnp.einsum("npt,ntc->npc", mw, target)   # sum w*x
+    r0 = jnp.einsum("npt,ntc->npc", m1w, target)  # sum (1-w)*x
+    det = a * c - bq * bq
+    safe = jnp.abs(det) > 1e-6
+    det = jnp.where(safe, det, 1.0)
+    e1 = (c[..., None] * r1 - bq[..., None] * r0) / det[..., None]
+    e0 = (a[..., None] * r0 - bq[..., None] * r1) / det[..., None]
+    # fallback: masked mean when the system is singular
+    cnt = mask.sum(-1)[..., None] + 1e-6
+    mean = jnp.einsum("npt,ntc->npc", mask, target) / cnt
+    e0 = jnp.where(safe[..., None], e0, mean)
+    e1 = jnp.where(safe[..., None], e1, mean)
+    return e0, e1
 
 
-def _fit_single_partition(colors, bw, bh, gw, gh, wbits, ep_bits, use_alpha, iters):
-    """Core fit. colors [N,T,4] float 0..255.
+def _fit_layout(colors, lay: Layout, mask, iters):
+    """Fit one layout.  colors [N,T,4] 0..255; mask [N,P,T] partition
+    one-hot (P = lay.nparts).
 
-    Returns (q0, q1, gq, err): quantized endpoint ints [N,C], grid weights
-    [N,G], and exact-model error.  C = 3 (CEM8) or 4 (CEM12); for CEM8 the
-    alpha error vs 255 is included.
+    Returns (q0, q1, gq, err): quantized endpoints [N,P,C], grid weight
+    values [N,G], exact-model error [N].  C = 3 (CEM8, alpha-vs-255 error
+    included) or 4 (CEM12).
     """
-    a_mat, pinv, wu = _prepared(bw, bh, gw, gh, wbits)
-    unq_c = jnp.asarray(_color_unquant(ep_bits))
+    a_mat_np, pinv_np = _prepared_np(lay.bw, lay.bh, lay.gw, lay.gh)
+    a_mat = jnp.asarray(a_mat_np)
+    pinv = jnp.asarray(pinv_np)
+    use_alpha = lay.cem == 12
     nch = 4 if use_alpha else 3
     target = colors[..., :nch]
-    wlevels = 1 << wbits
+    n, t, _ = target.shape
+    p = lay.nparts
 
-    # Seed endpoints along the principal axis.
-    mean = target.mean(1, keepdims=True)
-    axis = _principal_axis(target - mean)
-    t = jnp.einsum("nic,nc->ni", target - mean, axis)
-    e1s = mean[:, 0] + axis * t.max(1)[:, None]
-    e0s = mean[:, 0] + axis * t.min(1)[:, None]
+    cq_lut, cd_lut = _color_qlut(lay.clevels)
+    wq_lut, wd_lut = _weight_qlut(lay.wlevels)
+    cq_lut = jnp.asarray(cq_lut)
+    cd_lut = jnp.asarray(cd_lut, jnp.int32)
+    wq_lut = jnp.asarray(wq_lut)
+    wd_lut = jnp.asarray(wd_lut, jnp.int32)
 
-    def unquant_w(gq):
-        """Bits-only weight unquantization, arithmetic (no table gather):
-        replicate to 6 bits (exact multiply for wbits in {1,2,3,6}), then
-        bump values above 32 (spec C.2.19).  The closed form diverges from
-        spec bit replication for wbits 4/5, so those are rejected here."""
-        assert wbits in (1, 2, 3, 6), f"closed form invalid for wbits={wbits}"
-        rep = gq * ((1 << 6) - 1) // ((1 << wbits) - 1)
-        return rep + (rep > 32).astype(rep.dtype)
+    # --- seed endpoints: masked PCA per partition
+    cnt = mask.sum(-1)[..., None] + 1e-6          # [N,P,1]
+    mean = jnp.einsum("npt,ntc->npc", mask, target) / cnt
+    centered = target[:, None, :, :] - mean[:, :, None, :]  # [N,P,T,C]
+    centered = centered * mask[..., None]
+    cov = jnp.einsum("nptc,nptd->npcd", centered, centered)
+    v = jnp.ones((n, p, nch), jnp.float32)
+    for _ in range(3):
+        nv = jnp.einsum("npcd,npd->npc", cov, v)
+        nn = jnp.linalg.norm(nv, axis=-1, keepdims=True)
+        v = jnp.where(nn > 1e-10, nv / (nn + 1e-20), v)
+    proj = jnp.einsum("nptc,npc->npt", centered, v)
+    e0 = mean + v * proj.min(-1)[..., None]
+    e1 = mean + v * proj.max(-1)[..., None]
 
-    def texel_w64(gq):
-        """Grid quantized weights -> per-texel 0..64 (exact fixed point)."""
-        u = unquant_w(gq)  # [N,G] 0..64
+    def orient(e0, e1):
+        s0 = e0[..., :3].sum(-1)
+        s1 = e1[..., :3].sum(-1)
+        swap = (s0 > s1)[..., None]
+        return jnp.where(swap, e1, e0), jnp.where(swap, e0, e1)
+
+    def quant_colors(e):
+        b = jnp.clip(jnp.round(e), 0, 255).astype(jnp.int32)
+        q = jnp.take(cq_lut, b)
+        dec = jnp.take(cd_lut, b)
+        return q, dec
+
+    def fix_order(q0, q1, d0, d1):
+        """Quantization can flip the sums; swap quantized pairs back."""
+        s0 = d0[..., :3].sum(-1)
+        s1 = d1[..., :3].sum(-1)
+        swap = (s0 > s1)[..., None]
+        return (
+            jnp.where(swap, q1, q0), jnp.where(swap, q0, q1),
+            jnp.where(swap, d1, d0), jnp.where(swap, d0, d1),
+        )
+
+    unq_w_tab = jnp.asarray(weight_unquant(lay.wlevels), jnp.int32)
+
+    def texel_w64_vals(gq_vals):
+        u = jnp.take(unq_w_tab, gq_vals)
         return (jnp.einsum("tg,ng->nt", a_mat.astype(jnp.int32), u) + 8) >> 4
 
-    def eval_exact(q0, q1, gq):
-        d0 = q0 if ep_bits == 8 else unq_c[q0]
-        d1 = q1 if ep_bits == 8 else unq_c[q1]
+    def eval_exact(d0, d1, gq_vals):
+        # d* [N,P,C] ints; per-texel endpoint select via mask
+        d0t = jnp.einsum("npt,npc->ntc", mask, d0.astype(jnp.float32))
+        d1t = jnp.einsum("npt,npc->ntc", mask, d1.astype(jnp.float32))
         if not use_alpha:
-            d0 = jnp.concatenate([d0, jnp.full_like(d0[:, :1], 255)], -1)
-            d1 = jnp.concatenate([d1, jnp.full_like(d1[:, :1], 255)], -1)
-        dec = _decode_model(d0, d1, texel_w64(gq))
+            d0t = jnp.concatenate([d0t, jnp.full_like(d0t[..., :1], 255.0)], -1)
+            d1t = jnp.concatenate([d1t, jnp.full_like(d1t[..., :1], 255.0)], -1)
+        w64 = texel_w64_vals(gq_vals).astype(jnp.float32)[..., None]
+        e0_16 = d0t * 257.0  # (x<<8)|x == x*257
+        e1_16 = d1t * 257.0
+        c16 = jnp.floor((e0_16 * (64.0 - w64) + e1_16 * w64 + 32.0) / 64.0)
+        dec = jnp.floor(c16 / 256.0)
         err = ((dec - colors[..., : dec.shape[-1]]) ** 2).sum((1, 2))
         return err
 
-    def ideal_t(e0, e1):
-        """Per-texel ideal interpolation parameter in [0,1]."""
-        d = e1 - e0
-        denom = (d * d).sum(-1, keepdims=True) + 1e-6  # [N,1]
-        proj = jnp.einsum("ntc,nc->nt", target - e0[:, None, :], d)
+    def ideal_t(d0, d1):
+        d0t = jnp.einsum("npt,npc->ntc", mask, d0.astype(jnp.float32))
+        d1t = jnp.einsum("npt,npc->ntc", mask, d1.astype(jnp.float32))
+        d = d1t - d0t
+        denom = (d * d).sum(-1) + 1e-6
+        proj = ((target - d0t) * d).sum(-1)
         return jnp.clip(proj / denom, 0.0, 1.0)
 
     def quant_grid(tw):
         g = jnp.einsum("gt,nt->ng", pinv, tw)
-        return jnp.clip(
-            jnp.round(jnp.clip(g, 0.0, 1.0) * (wlevels - 1)), 0, wlevels - 1
-        ).astype(jnp.int32)
+        w64 = jnp.clip(jnp.round(jnp.clip(g, 0.0, 1.0) * 64.0), 0, 64).astype(jnp.int32)
+        return jnp.take(wq_lut, w64)
 
-    e0, e1 = e0s, e1s
+    e0, e1 = orient(e0, e1)
     best = None
-    for _ in range(max(1, iters)):
-        gq = quant_grid(ideal_t(e0, e1))
-        q0, _ = _quantize_colors(e0, ep_bits, unq_c)
-        q1, _ = _quantize_colors(e1, ep_bits, unq_c)
-        err = eval_exact(q0, q1, gq)
+    for it in range(max(1, iters)):
+        q0, d0 = quant_colors(e0)
+        q1, d1 = quant_colors(e1)
+        q0, q1, d0, d1 = fix_order(q0, q1, d0, d1)
+        gq = quant_grid(ideal_t(d0, d1))
+        err = eval_exact(d0, d1, gq)
         cand = (q0, q1, gq, err)
         if best is None:
             best = cand
@@ -341,58 +456,57 @@ def _fit_single_partition(colors, bw, bh, gw, gh, wbits, ep_bits, use_alpha, ite
                 jnp.where(take[(...,) + (None,) * (b.ndim - 1)], c, b)
                 for c, b in zip(cand, best)
             )
-        # Refine endpoints by least squares against effective weights.
-        w64 = texel_w64(gq).astype(jnp.float32) / 64.0
-        e1, e0 = _ls_solve(target, w64)
-        e0 = jnp.clip(e0, 0.0, 255.0)
-        e1 = jnp.clip(e1, 0.0, 255.0)
+        if it + 1 < iters:
+            w = texel_w64_vals(gq).astype(jnp.float32) / 64.0
+            e0, e1 = _masked_ls(target, w, mask)
+            e0 = jnp.clip(e0, 0.0, 255.0)
+            e1 = jnp.clip(e1, 0.0, 255.0)
+            e0, e1 = orient(e0, e1)
     return best
 
 
-def _enforce_s_order(q0, q1, gq, wbits, unq_c=None):
-    """CEM 8/12 decode blue-contracts when s(v0)>s(v1); keep the direct path
-    by swapping endpoints (and inverting weights) so s0 <= s1.
-
-    Endpoints are 8-bit (unquantization is the identity), so the sums work
-    on the stored values directly.
-    """
-    s0 = q0[:, :3].sum(-1)
-    s1 = q1[:, :3].sum(-1)
-    swap = s0 > s1
-    q0n = jnp.where(swap[:, None], q1, q0)
-    q1n = jnp.where(swap[:, None], q0, q1)
-    gqn = jnp.where(swap[:, None], (1 << wbits) - 1 - gq, gq)
-    return q0n, q1n, gqn
+# ---------------------------------------------------------------------------
+# Packing
+# ---------------------------------------------------------------------------
 
 
-def _interleave(q0, q1):
-    """(v0,v1) pairs per channel -> ISE order [M, 2*C]."""
-    m, c = q0.shape
-    out = jnp.zeros((m, 2 * c), jnp.int32)
-    for i in range(c):
-        out = out.at[:, 2 * i].set(q0[:, i])
-        out = out.at[:, 2 * i + 1].set(q1[:, i])
-    return out
-
-
-def _pack_astc(mode_field, cem, colors_ise, ep_bits, gq, wbits, m):
+def _pack_block(lay: Layout, q0, q1, gq, seed=None):
+    """q0/q1 [N,P,C] quantized color values, gq [N,G] quantized weight
+    values, seed [N] partition seed (when nparts == 2)."""
+    m = gq.shape[0]
     words = [jnp.zeros((m,), jnp.uint32) for _ in range(4)]
-    hdr = jnp.full((m,), mode_field | (0 << 11) | (cem << 13), jnp.uint32)
-    words[0] = words[0] | hdr
-    _pack_bits_le(colors_ise, ep_bits, 17, words)
-    _pack_weights_reversed(gq, wbits, words)
+    mode = block_mode_field(lay.gw, lay.gh, lay.wlevels)
+    hdr = mode | ((lay.nparts - 1) << 11)
+    if lay.nparts == 1:
+        hdr_arr = jnp.full((m,), hdr | (lay.cem << 13), jnp.uint32)
+    else:
+        hdr_arr = jnp.full((m,), hdr, jnp.uint32)
+        hdr_arr = hdr_arr | (seed.astype(jnp.uint32) << jnp.uint32(13))
+        words[0] = words[0] | (jnp.uint32(lay.cem << 2) << jnp.uint32(23 - 32 + 32))
+        # CEM field (low2=00 -> same CEM for all partitions) at bits 23..28
+    words[0] = words[0] | hdr_arr
+    if lay.nparts > 1:
+        pass  # CEM bits already OR'd above
+    # color ISE: interleave (v0,v1) per channel per partition
+    nch = q0.shape[-1]
+    cols = []
+    for pidx in range(lay.nparts):
+        for c in range(nch):
+            cols.append(q0[:, pidx, c])
+            cols.append(q1[:, pidx, c])
+    colors_ise = jnp.stack(cols, axis=1)
+    _pack_ise_jax(colors_ise, lay.clevels, False, lay.header, words)
+    _pack_ise_jax(gq, lay.wlevels, True, 0, words, reverse=True)
     return jnp.stack(words, axis=-1)
 
 
 def _void_extent(colors):
-    """Solid-color candidate: (words [N,4], err [N])."""
     m = colors.shape[0]
-    mean = colors.mean(1)  # [N,4] 0..255
+    mean = colors.mean(1)
     v16 = jnp.clip(jnp.round(mean * 257.0), 0, 65535).astype(jnp.uint32)
     dec8 = (v16 >> 8).astype(jnp.float32)
     err = ((dec8[:, None, :] - colors) ** 2).sum((1, 2))
-    w0 = jnp.full((m,), 0x1FC | (0b11 << 10), jnp.uint32)  # mode + reserved
-    # All-ones void extent coordinates: bits 12..63.
+    w0 = jnp.full((m,), 0x1FC | (0b11 << 10), jnp.uint32)
     w0 = w0 | jnp.uint32(0xFFFFF000)
     w1 = jnp.full((m,), 0xFFFFFFFF, jnp.uint32)
     w2 = (v16[:, 0] | (v16[:, 1] << 16)).astype(jnp.uint32)
@@ -400,7 +514,55 @@ def _void_extent(colors):
     return jnp.stack([w0, w1, w2, w3], axis=-1), err
 
 
-_ASTC_ITERS = (1, 1, 2, 3, 5)
+# ---------------------------------------------------------------------------
+# Partition screening
+# ---------------------------------------------------------------------------
+
+
+def _screen_partitions(colors, bw, bh, topk):
+    """Within-cluster-SSE proxy over all 1024 seeds -> top-k seed ids.
+
+    colors [N,T,4] -> seeds [N,K] int32.
+    """
+    table = partition_table(bw, bh, 2)  # [1024, T]
+    m1 = jnp.asarray((table == 1).astype(np.float32))  # [S,T]
+    t = colors.shape[1]
+    sum_all = colors.sum(1)                      # [N,C]
+    sq_all = (colors * colors).sum((1, 2))       # [N]
+    s1 = jnp.einsum("st,ntc->nsc", m1, colors)   # [N,S,C]
+    n1 = m1.sum(-1)                              # [S]
+    n0 = t - n1
+    s0 = sum_all[:, None, :] - s1
+    # avoid division by zero for degenerate seeds (all texels one side)
+    n1c = jnp.maximum(n1, 1.0)
+    n0c = jnp.maximum(n0, 1.0)
+    explained = (s1 * s1).sum(-1) / n1c + (s0 * s0).sum(-1) / n0c  # [N,S]
+    sse = sq_all[:, None] - explained
+    sse = jnp.where((n1 < 1) | (n0 < 1), jnp.inf, sse)
+    _, idx = jax.lax.top_k(-sse, topk)
+    return idx.astype(jnp.int32)
+
+
+def _mask_for_seeds(seeds, bw, bh):
+    """seeds [N] -> mask [N,2,T] via one-hot matmul row select."""
+    table = jnp.asarray(partition_table(bw, bh, 2).astype(np.float32))  # [S,T]
+    oh = jax.nn.one_hot(seeds, table.shape[0], dtype=jnp.float32)  # [N,S]
+    p1 = jnp.einsum("ns,st->nt", oh, table)
+    return jnp.stack([1.0 - p1, p1], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Top-level encode
+# ---------------------------------------------------------------------------
+
+# quality -> (iters, 2-part seeds refined, use fine single-partition ladder)
+_PLAN = {
+    0: dict(iters=1, seeds2=0, cem8_layouts=1, cem12_layouts=1),
+    1: dict(iters=1, seeds2=1, cem8_layouts=1, cem12_layouts=1),
+    2: dict(iters=2, seeds2=1, cem8_layouts=2, cem12_layouts=1),
+    3: dict(iters=3, seeds2=2, cem8_layouts=3, cem12_layouts=2),
+    4: dict(iters=4, seeds2=4, cem8_layouts=3, cem12_layouts=2),
+}
 
 
 @functools.partial(jax.jit, static_argnames=("block_w", "block_h", "quality"))
@@ -409,53 +571,40 @@ def encode_astc(
 ) -> jnp.ndarray:
     """Encode [N, bw*bh, 4] float RGBA (0..1) to ASTC [N,4] uint32 words."""
     colors = jnp.clip(blocks.astype(jnp.float32), 0, 1) * 255.0
-    (g8, h8, w8), (g12, h12, w12) = astc_config(block_w, block_h)
-    iters = _ASTC_ITERS[max(0, min(4, int(quality)))]
+    plan = _PLAN[max(0, min(4, int(quality)))]
+    iters = plan["iters"]
     m = colors.shape[0]
+    t = block_w * block_h
+    menu = layout_menu(block_w, block_h)
 
-    unq = jnp.asarray(_color_unquant(_EP_BITS))
+    ones_mask = jnp.ones((m, 1, t), jnp.float32)
+    best_words, best_err = _void_extent(colors)
 
-    # CEM 8 (RGB): alpha decodes to 255; eval_exact already includes the
-    # (a-255)^2 term, so the CEM12 candidate wins automatically when the
-    # block carries alpha.  At quality >= Normal an alternate grid config
-    # (fewer weights, 3-bit precision) competes per block.
-    cem8_configs = [(g8, h8, w8)]
-    if quality >= 2 and (block_w, block_h) in _ALT8_CONFIGS:
-        cem8_configs.append(_ALT8_CONFIGS[(block_w, block_h)])
-    words8 = None
-    err8 = None
-    for cg, ch, cw_bits in cem8_configs:
-        q0, q1, gq, e = _fit_single_partition(
-            colors, block_w, block_h, cg, ch, cw_bits, _EP_BITS, False, iters
-        )
-        q0, q1, gq = _enforce_s_order(q0, q1, gq, cw_bits, unq)
-        wds = _pack_astc(
-            block_mode_field(cg, ch, cw_bits), 8, _interleave(q0, q1), _EP_BITS,
-            gq, cw_bits, m,
-        )
-        if words8 is None:
-            words8, err8 = wds, e
-        else:
-            take = e < err8
-            words8 = jnp.where(take[:, None], wds, words8)
-            err8 = jnp.where(take, e, err8)
+    def consider(words, err):
+        nonlocal best_words, best_err
+        take = err < best_err
+        best_words = jnp.where(take[:, None], words, best_words)
+        best_err = jnp.where(take, err, best_err)
 
-    # CEM 12 (RGBA).
-    q0a, q1a, gqa, err12 = _fit_single_partition(
-        colors, block_w, block_h, g12, h12, w12, _EP_BITS, True, iters
-    )
-    q0a, q1a, gqa = _enforce_s_order(q0a, q1a, gqa, w12, unq)
-    words12 = _pack_astc(
-        block_mode_field(g12, h12, w12), 12, _interleave(q0a, q1a), _EP_BITS, gqa,
-        w12, m,
-    )
+    for lay in menu[(8, 1)][: plan["cem8_layouts"]]:
+        q0, q1, gq, err = _fit_layout(colors, lay, ones_mask, iters)
+        consider(_pack_block(lay, q0, q1, gq), err)
 
-    wordsv, errv = _void_extent(colors)
+    for lay in menu[(12, 1)][: plan["cem12_layouts"]]:
+        q0, q1, gq, err = _fit_layout(colors, lay, ones_mask, iters)
+        consider(_pack_block(lay, q0, q1, gq), err)
 
-    words = jnp.where((err12 < err8)[:, None], words12, words8)
-    err = jnp.minimum(err12, err8)
-    # Prefer void extent on (near-)ties: solid blocks score ~equal on both
-    # paths, and XLA's fused arithmetic perturbs the two error sums by
-    # ~1e-4, so an exact tie test is not reliable under jit.
-    words = jnp.where((errv <= err + 0.01)[:, None], wordsv, words)
-    return words
+    if plan["seeds2"] and menu[(8, 2)]:
+        lay2 = menu[(8, 2)][0]
+        lay12 = menu[(12, 2)][0] if menu[(12, 2)] else None
+        seeds = _screen_partitions(colors, block_w, block_h, plan["seeds2"])
+        for k in range(plan["seeds2"]):
+            seed_k = seeds[:, k]
+            mask = _mask_for_seeds(seed_k, block_w, block_h)
+            q0, q1, gq, err = _fit_layout(colors, lay2, mask, iters)
+            consider(_pack_block(lay2, q0, q1, gq, seed_k), err)
+            if lay12 is not None and quality >= 3:
+                q0, q1, gq, err = _fit_layout(colors, lay12, mask, iters)
+                consider(_pack_block(lay12, q0, q1, gq, seed_k), err)
+
+    return best_words

@@ -229,6 +229,8 @@ _COLOR_UNQUANT_TABLES = {
 
 # Color ranges: levels -> (kind, bits, C multiplier).
 _COLOR_RANGES = {
+    3: ("t", 0, 0),
+    5: ("q", 0, 0),
     6: ("t", 1, 204),
     10: ("q", 1, 113),
     12: ("t", 2, 93),

@@ -246,3 +246,81 @@ def test_astc_vs_gl(bw, bh):
     ours = decode.decode_astc(np.frombuffer(data, np.uint8), bw, bh)
     gl = _gl_blocks(data, f"COMPRESSED_RGBA_ASTC_{bw}x{bh}", bw=bw, bh=bh)
     assert np.array_equal(gl, ours)
+
+
+# ---------------------------------------------------------------------------
+# ASTC table re-derivation probes (the ground truth behind astc_ise tables)
+# ---------------------------------------------------------------------------
+
+
+def _astc_probe_mode(gw, gh, wlevels):
+    from cuttlefish_tpu.kernels.astc import block_mode_field
+
+    return block_mode_field(gw, gh, wlevels)
+
+
+def test_astc_trit_quint_tables_vs_gl():
+    """Weight-range-3/5 probe blocks expose raw trit/quint digits."""
+    if not gl_has_extension("GL_KHR_texture_compression_astc_ldr"):
+        pytest.skip("no ASTC LDR in GL")
+    from cuttlefish_tpu.kernels import astc_ise as ise
+
+    w2byte = {(((0xFFFF * w + 32) >> 6) >> 8): w for w in range(65)}
+
+    def build(weight_bits_int, nbits, mode):
+        blk = mode | (8 << 13)
+        pos = 17
+        for v in (0, 255, 0, 255, 0, 255):
+            blk |= v << pos
+            pos += 8
+        for i in range(nbits):
+            if (weight_bits_int >> i) & 1:
+                blk |= 1 << (127 - i)
+        return blk.to_bytes(16, "little")
+
+    blocks = b"".join(build(t8, 26, _astc_probe_mode(4, 4, 3)) for t8 in range(256))
+    img = gl_decode(blocks, 4 * 256, 4, "COMPRESSED_RGBA_ASTC_4x4")
+    px = img.reshape(4, 256, 4, 4)
+    unq3 = {0: 0, 32: 1, 64: 2}
+    for t8 in range(256):
+        ws = [int(px[0, t8, c, 0]) for c in range(4)] + [int(px[1, t8, 0, 0])]
+        got = tuple(unq3[w2byte[w]] for w in ws)
+        assert got == ise.decode_trit_block(t8), t8
+
+    blocks = b"".join(build(q7, 38, _astc_probe_mode(4, 4, 5)) for q7 in range(128))
+    img = gl_decode(blocks, 4 * 128, 4, "COMPRESSED_RGBA_ASTC_4x4")
+    px = img.reshape(4, 128, 4, 4)
+    unq5 = {0: 0, 16: 1, 32: 2, 48: 3, 64: 4}
+    for q7 in range(128):
+        ws = [int(px[0, q7, c, 0]) for c in range(3)]
+        got = tuple(unq5[w2byte[w]] for w in ws)
+        assert got == ise.decode_quint_block(q7), q7
+
+
+@pytest.mark.parametrize("nparts", [2, 3])
+def test_astc_partition_table_vs_gl(nparts):
+    """Solid per-partition colors expose the seed-hash texel assignment."""
+    if not gl_has_extension("GL_KHR_texture_compression_astc_ldr"):
+        pytest.skip("no ASTC LDR in GL")
+    from cuttlefish_tpu.kernels import astc_ise as ise
+    from cuttlefish_tpu.kernels.astc_partition import partition_table
+
+    clevels = 40 if nparts == 2 else 12
+    vals = []
+    for k in range(nparts):
+        chan = [0, 0] * 3
+        chan[2 * k] = chan[2 * k + 1] = 1
+        vals += chan
+    cbits, ncb = ise.ise_encode(np.asarray([vals], np.int64), clevels, False)
+    blocks = []
+    mode = _astc_probe_mode(4, 4, 4)
+    for seed in range(1024):
+        blk = mode | ((nparts - 1) << 11) | (seed << 13) | ((8 << 2) << 23)
+        for i in range(ncb):
+            if cbits[0, i]:
+                blk |= 1 << (29 + i)
+        blocks.append(blk.to_bytes(16, "little"))
+    img = gl_decode(b"".join(blocks), 4 * 1024, 4, "COMPRESSED_RGBA_ASTC_4x4")
+    px = img.reshape(4, 1024, 4, 4).transpose(1, 0, 2, 3)
+    gl_part = np.argmax(px[..., :3], axis=-1).reshape(1024, 16)
+    assert np.array_equal(gl_part, partition_table(4, 4, nparts))
