@@ -1,10 +1,9 @@
 """ASTC converters.
 
 Parity target: the reference AstcConverter (`/root/reference/lib/src/
-AstcConverter.cpp`), all 14 2D block sizes.  LDR (UNorm) profile is
-implemented; the HDR profiles (UFloat, HDR_RGB_LDR_A at `:151-163`) need
-the HDR endpoint modes and are a planned extension — converting with
-type UFloat raises until then.
+AstcConverter.cpp`), all 14 2D block sizes.  UNorm maps to the LDR
+profile; UFloat maps to the HDR profiles (HDR / HDR_RGB_LDR_A at
+`:151-163`) via CEM 11 (direct submode) + CEM 14.
 """
 
 from __future__ import annotations
@@ -22,13 +21,24 @@ _T = TextureType
 
 
 class AstcConverter(BlockConverter):
-    def __init__(self, fmt: TextureFormat):
+    def __init__(self, fmt: TextureFormat, hdr: bool = False):
         self.block_w = block_width(fmt)
         self.block_h = block_height(fmt)
+        self.hdr = hdr
 
     def encode_blocks(self, blocks, params: EncodeParams):
         from cuttlefish_tpu.kernels import astc
 
+        if self.hdr:
+            # Reference behavior (`AstcConverter.cpp:151-163`): UFloat with
+            # alpha uses HDR_RGB_LDR_A (alpha stays LDR), without alpha the
+            # pure HDR profile — either way alpha is encoded LDR here.
+            return astc.encode_astc_hdr(
+                blocks,
+                block_w=self.block_w,
+                block_h=self.block_h,
+                quality=int(params.quality),
+            )
         return astc.encode_astc(
             blocks,
             block_w=self.block_w,
@@ -40,8 +50,4 @@ class AstcConverter(BlockConverter):
 def create_astc_converter(fmt: TextureFormat, type_: TextureType) -> Converter | None:
     if not fmt.name.startswith("ASTC_"):
         return None
-    if type_ is _T.UFloat:
-        raise NotImplementedError(
-            "ASTC HDR profile not implemented yet (LDR/UNorm is)"
-        )
-    return AstcConverter(fmt)
+    return AstcConverter(fmt, hdr=type_ is _T.UFloat)

@@ -80,6 +80,54 @@ def _blue_contract(r, g, b, a):
     return ((r + b) >> 1, (g + b) >> 1, b, a)
 
 
+def lns_to_sf16(p: int) -> int:
+    """16-bit LNS interpolant -> IEEE half bits (spec C.2.23).
+
+    Piecewise-linear log map: mantissa slopes 3/4/5 over [0,512)/[512,1536)
+    /[1536,2048), continuous at the breakpoints (3*512 == 4*512-512,
+    4*1536-512 == 5*1536-2048); results in the Inf/NaN range clamp to
+    0x7BFF (the largest finite half).
+    """
+    e = p >> 11
+    m = p & 0x7FF
+    if m < 512:
+        mt = 3 * m
+    elif m < 1536:
+        mt = 4 * m - 512
+    else:
+        mt = 5 * m - 2048
+    res = (e << 10) | (mt >> 3)
+    return min(res, 0x7BFF)
+
+
+def sf16_to_lns(h: int) -> int:
+    """Inverse of lns_to_sf16 (nearest LNS code for a finite half)."""
+    h = min(h, 0x7BFF)
+    e = h >> 10
+    mt = (h & 0x3FF) << 3
+    if mt < 3 * 512:
+        m = (mt + 1) // 3
+    elif mt < 4 * 1536 - 512:
+        m = (mt + 512 + 2) // 4
+    else:
+        m = (mt + 2048 + 2) // 5
+    return (e << 11) | min(m, 0x7FF)
+
+
+def _decode_hdr_rgb(v: list[int]) -> tuple[list[int], list[int]]:
+    """CEM 11 -> two 12-bit [r,g,b] endpoint triples (direct submode only).
+
+    The encoder only emits the major-component-3 "direct" submode (top
+    bits of v4 and v5 both set); the delta submodes raise.
+    """
+    majcomp = ((v[4] >> 7) & 1) | (((v[5] >> 7) & 1) << 1)
+    if majcomp != 3:
+        raise NotImplementedError("CEM 11 delta submodes not emitted/decoded")
+    e0 = [v[0] << 4, v[2] << 4, (v[4] & 0x7F) << 5]
+    e1 = [v[1] << 4, v[3] << 4, (v[5] & 0x7F) << 5]
+    return e0, e1
+
+
 def _decode_endpoints(cem: int, v: list[int]) -> tuple[tuple, tuple]:
     """LDR CEMs -> (e0, e1) 8-bit RGBA tuples (spec C.2.14)."""
     if cem == 0:  # luminance direct
@@ -193,12 +241,120 @@ def _decode_block(block: int, bw: int, bh: int) -> np.ndarray:
     return out
 
 
+def _decode_block_hdr(block: int, bw: int, bh: int) -> np.ndarray:
+    """HDR-profile decode -> [T,4] uint16 half bits.
+
+    CEM 11 (HDR RGB, direct submode) and CEM 14 (HDR RGB + LDR alpha);
+    LDR channels inside HDR blocks convert UNORM16 -> half.
+    """
+    out = np.zeros((bw * bh, 4), np.uint16)
+    mode = block & 0x7FF
+    if (mode & 0x1FF) == 0x1FC:  # void extent
+        for c in range(4):
+            v16 = (block >> (64 + 16 * c)) & 0xFFFF
+            if (mode >> 9) & 1:
+                out[:, c] = min(v16, 0x7BFF)  # stored as fp16 directly
+            else:
+                out[:, c] = _unorm16_to_half(v16)
+        return out
+
+    gw, gh, wlevels, dual = _parse_block_mode(mode)
+    if dual:
+        raise NotImplementedError("dual-plane HDR not supported")
+    nparts = ((block >> 11) & 0x3) + 1
+    wkind, wb = range_info(wlevels, True)
+    wbits = ise_bits(gw * gh, wkind, wb)
+    if nparts == 1:
+        cem = (block >> 13) & 0xF
+        color_start = 17
+        part_of = np.zeros(bw * bh, np.int64)
+        cems = [cem]
+    else:
+        seed = (block >> 13) & 0x3FF
+        cem_field = (block >> 23) & 0x3F
+        if cem_field & 0x3:
+            raise NotImplementedError("per-partition CEM variation")
+        cem = cem_field >> 2
+        color_start = 29
+        part_of = partition_table(bw, bh, nparts)[seed].astype(np.int64)
+        cems = [cem] * nparts
+
+    nvals = sum(2 * ((c >> 2) + 1) for c in cems)
+    budget = 128 - color_start - wbits
+    clevels = implied_color_range(nvals, budget)
+    ckind, cb = range_info(clevels, False)
+    vals_q = ise_decode(
+        _bits_of(block >> color_start, ise_bits(nvals, ckind, cb)), nvals,
+        clevels, False,
+    )[0]
+    unq_c = color_unquant(clevels)
+    vals = [int(unq_c[v]) for v in vals_q]
+
+    endpoints = []  # (e0_16[4], e1_16[4], is_hdr[4]) per partition
+    off = 0
+    for c in cems:
+        k = 2 * ((c >> 2) + 1)
+        v = vals[off : off + k]
+        off += k
+        if c == 11:
+            # Alpha: both endpoints 0x7800, whose LNS decode is exactly
+            # half 1.0 (e=15, m=0 -> 0x3C00).
+            r0, r1 = _decode_hdr_rgb(v)
+            e0 = [x << 4 for x in r0] + [0x7800]
+            e1 = [x << 4 for x in r1] + [0x7800]
+            hdrmask = (True, True, True, True)
+        elif c == 14:
+            r0, r1 = _decode_hdr_rgb(v[:6])
+            e0 = [x << 4 for x in r0] + [(v[6] << 8) | v[6]]
+            e1 = [x << 4 for x in r1] + [(v[7] << 8) | v[7]]
+            hdrmask = (True, True, True, False)
+        else:
+            le0, le1 = _decode_endpoints(c, v)
+            e0 = [(x << 8) | x for x in le0]
+            e1 = [(x << 8) | x for x in le1]
+            hdrmask = (False, False, False, False)
+        endpoints.append((e0, e1, hdrmask))
+
+    wq = ise_decode(_bits_of(block, wbits, reverse=True), gw * gh, wlevels, True)[0]
+    unq_w = weight_unquant(wlevels)
+    grid = unq_w[wq]
+    a_mat = infill_weights(bw, bh, gw, gh)
+    w64 = (a_mat @ grid + 8) >> 4
+
+    for t in range(bw * bh):
+        e0, e1, hdrmask = endpoints[part_of[t]]
+        w = int(w64[t])
+        for c in range(4):
+            c16 = (e0[c] * (64 - w) + e1[c] * w + 32) >> 6
+            if hdrmask[c]:
+                out[t, c] = lns_to_sf16(c16)
+            else:
+                out[t, c] = _unorm16_to_half(c16)
+    return out
+
+
+def _unorm16_to_half(v16: int) -> int:
+    """UNORM16 interpolant -> half bits (LDR channel in an HDR block)."""
+    return int(np.float16(v16 / 65536.0).view(np.uint16))
+
+
 def decode_astc(data: np.ndarray, block_w: int, block_h: int) -> np.ndarray:
     """[N*16] or [N,16] uint8 -> [N, bw*bh, 4] uint8 RGBA."""
     data = np.asarray(data, np.uint8).reshape(-1, 16)
     out = np.zeros((data.shape[0], block_w * block_h, 4), np.uint8)
     for n in range(data.shape[0]):
         out[n] = _decode_block(
+            int.from_bytes(data[n].tobytes(), "little"), block_w, block_h
+        )
+    return out
+
+
+def decode_astc_hdr(data: np.ndarray, block_w: int, block_h: int) -> np.ndarray:
+    """[N*16] uint8 -> [N, bw*bh, 4] uint16 half bits (HDR profile)."""
+    data = np.asarray(data, np.uint8).reshape(-1, 16)
+    out = np.zeros((data.shape[0], block_w * block_h, 4), np.uint16)
+    for n in range(data.shape[0]):
+        out[n] = _decode_block_hdr(
             int.from_bytes(data[n].tobytes(), "little"), block_w, block_h
         )
     return out

@@ -608,3 +608,196 @@ def encode_astc(
                 consider(_pack_block(lay12, q0, q1, gq, seed_k), err)
 
     return best_words
+
+
+# ---------------------------------------------------------------------------
+# HDR profile (CEM 11 direct submode / CEM 14)
+# ---------------------------------------------------------------------------
+
+
+def _sf16_to_lns_jnp(h):
+    """Half bits -> 16-bit LNS code (vectorized inverse of lns_to_sf16)."""
+    h = jnp.minimum(h.astype(jnp.int32), 0x7BFF)
+    e = h >> 10
+    mt = (h & 0x3FF) << 3
+    m = jnp.where(
+        mt < 3 * 512,
+        (mt + 1) // 3,
+        jnp.where(mt < 4 * 1536 - 512, (mt + 514) // 4, (mt + 2050) // 5),
+    )
+    return (e << 11) | jnp.minimum(m, 0x7FF)
+
+
+def _to_lns16(x):
+    """float (>=0) -> LNS16 code as float32 working values."""
+    h = jax.lax.bitcast_convert_type(
+        jnp.clip(x, 0.0, 65504.0).astype(jnp.float16), jnp.uint16
+    )
+    return _sf16_to_lns_jnp(h).astype(jnp.float32)
+
+
+@functools.lru_cache(maxsize=64)
+def hdr_layout_menu(bw: int, bh: int):
+    """CEM 11 / CEM 14 single-partition layouts (8-bit colors forced:
+    the direct submode's fields are plain bytes)."""
+
+    def best(cem):
+        cands = []
+        for gw in range(2, 12):
+            for gh in range(2, 12):
+                for wl in (24, 20, 16, 12, 10, 8, 6, 5, 4):
+                    lay = _try_layout(bw, bh, 1, cem, gw, gh, wl)
+                    if lay and lay.clevels == 256:
+                        cands.append(lay)
+        if not cands:
+            return None
+        return max(
+            cands,
+            key=lambda l: (min(1.0, (l.gw * l.gh) / (bw * bh)), l.wlevels),
+        )
+
+    return {11: best(11), 14: best(14)}
+
+
+def _fit_hdr_layout(t16, lay: Layout, iters):
+    """Fit CEM 11 (direct) / CEM 14.  t16 [N,T,4] float: RGB = LNS16
+    targets, A = UNORM16 target.  Returns (q0, q1, gq, err)."""
+    a_mat_np, pinv_np = _prepared_np(lay.bw, lay.bh, lay.gw, lay.gh)
+    a_mat = jnp.asarray(a_mat_np)
+    pinv = jnp.asarray(pinv_np)
+    use_alpha = lay.cem == 14
+    nch = 4 if use_alpha else 3
+    target = t16[..., :nch]
+    n, t, _ = target.shape
+
+    wq_lut, _ = _weight_qlut(lay.wlevels)
+    wq_lut = jnp.asarray(wq_lut)
+    unq_w_tab = jnp.asarray(weight_unquant(lay.wlevels), jnp.int32)
+
+    mean = target.mean(1, keepdims=True)
+    axis = _principal_axis(target - mean)
+    proj = jnp.einsum("ntc,nc->nt", target - mean, axis)
+    e0 = mean[:, 0] + axis * proj.min(1)[:, None]
+    e1 = mean[:, 0] + axis * proj.max(1)[:, None]
+
+    def quant(e):
+        """16-bit targets -> (ISE byte values [N,C], dec16 [N,C])."""
+        r = jnp.clip(jnp.round(e[..., 0] / 256.0), 0, 255).astype(jnp.int32)
+        g = jnp.clip(jnp.round(e[..., 1] / 256.0), 0, 255).astype(jnp.int32)
+        b7 = jnp.clip(jnp.round(e[..., 2] / 512.0), 0, 127).astype(jnp.int32)
+        vals = [r, g, 0x80 | b7]
+        decs = [r * 256, g * 256, b7 * 512]
+        if use_alpha:
+            a8 = jnp.clip(jnp.round(e[..., 3] / 257.0), 0, 255).astype(jnp.int32)
+            vals.append(a8)
+            decs.append(a8 * 257)
+        return jnp.stack(vals, -1), jnp.stack(decs, -1).astype(jnp.float32)
+
+    def texel_w64(gq_vals):
+        u = jnp.take(unq_w_tab, gq_vals)
+        return (jnp.einsum("tg,ng->nt", a_mat.astype(jnp.int32), u) + 8) >> 4
+
+    def eval_exact(d0, d1, gq_vals):
+        w64 = texel_w64(gq_vals).astype(jnp.float32)[..., None]
+        c16 = jnp.floor(
+            (d0[:, None, :] * (64.0 - w64) + d1[:, None, :] * w64 + 32.0) / 64.0
+        )
+        return ((c16 - target) ** 2).sum((1, 2))
+
+    def ideal_t(d0, d1):
+        d = (d1 - d0)[:, None, :]
+        denom = (d * d).sum(-1) + 1e-6
+        return jnp.clip(((target - d0[:, None, :]) * d).sum(-1) / denom, 0.0, 1.0)
+
+    def quant_grid(tw):
+        g = jnp.einsum("gt,nt->ng", pinv, tw)
+        w64 = jnp.clip(jnp.round(jnp.clip(g, 0.0, 1.0) * 64.0), 0, 64).astype(jnp.int32)
+        return jnp.take(wq_lut, w64)
+
+    best = None
+    for it in range(max(1, iters)):
+        q0, d0 = quant(e0)
+        q1, d1 = quant(e1)
+        gq = quant_grid(ideal_t(d0, d1))
+        err = eval_exact(d0, d1, gq)
+        cand = (q0[:, None, :], q1[:, None, :], gq, err)
+        if best is None:
+            best = cand
+        else:
+            take = err < best[3]
+            best = tuple(
+                jnp.where(take[(...,) + (None,) * (b.ndim - 1)], c, b)
+                for c, b in zip(cand, best)
+            )
+        if it + 1 < iters:
+            w = texel_w64(gq).astype(jnp.float32)[..., None] / 64.0
+            from cuttlefish_tpu.kernels.bc import _ls_solve
+
+            e1n, e0n = _ls_solve(target, w[..., 0])
+            e0 = jnp.clip(e0n, 0.0, 65535.0)
+            e1 = jnp.clip(e1n, 0.0, 65535.0)
+    return best
+
+
+def _void_extent_hdr(blocks, t16):
+    """Solid-color HDR candidate.  blocks [N,T,4] float, t16 targets."""
+    m = blocks.shape[0]
+    mean = blocks.astype(jnp.float32).mean(1)  # [N,4] float
+    v16 = jax.lax.bitcast_convert_type(
+        jnp.clip(mean, 0.0, 65504.0).astype(jnp.float16), jnp.uint16
+    ).astype(jnp.uint32)
+    dec_rgb = _sf16_to_lns_jnp(v16[..., :3].astype(jnp.int32)).astype(jnp.float32)
+    dec_a = jnp.clip(mean[..., 3:], 0.0, 1.0) * 65535.0
+    dec = jnp.concatenate([dec_rgb, dec_a], -1)
+    err = ((dec[:, None, :] - t16) ** 2).sum((1, 2))
+    w0 = jnp.full((m,), 0x1FC | (1 << 9) | (0b11 << 10), jnp.uint32)
+    w0 = w0 | jnp.uint32(0xFFFFF000)
+    w1 = jnp.full((m,), 0xFFFFFFFF, jnp.uint32)
+    w2 = (v16[:, 0] | (v16[:, 1] << 16)).astype(jnp.uint32)
+    w3 = (v16[:, 2] | (v16[:, 3] << 16)).astype(jnp.uint32)
+    return jnp.stack([w0, w1, w2, w3], axis=-1), err
+
+
+@functools.partial(jax.jit, static_argnames=("block_w", "block_h", "quality", "alpha_ldr"))
+def encode_astc_hdr(
+    blocks: jnp.ndarray,
+    block_w: int = 4,
+    block_h: int = 4,
+    quality: int = 2,
+    alpha_ldr: bool = True,
+) -> jnp.ndarray:
+    """Encode [N, bw*bh, 4] float HDR RGBA to ASTC [N,4] uint32 words.
+
+    RGB channels are HDR (CEM 11, direct submode; error metric is SSE in
+    the spec's LNS space, i.e. approximately relative error); alpha is
+    LDR in [0,1] (CEM 14) as in the reference's HDR_RGB_LDR_A profile
+    (`/root/reference/lib/src/AstcConverter.cpp:151-163`).
+    """
+    iters = _PLAN[max(0, min(4, int(quality)))]["iters"]
+    rgb = jnp.maximum(blocks[..., :3].astype(jnp.float32), 0.0)
+    alpha = jnp.clip(blocks[..., 3].astype(jnp.float32), 0.0, 1.0)
+    t16 = jnp.concatenate(
+        [_to_lns16(rgb), (alpha * 65535.0)[..., None]], -1
+    )
+
+    menu = hdr_layout_menu(block_w, block_h)
+    best_words, best_err = _void_extent_hdr(blocks, t16)
+
+    lay11 = menu[11]
+    q0, q1, gq, err = _fit_hdr_layout(t16, lay11, iters)
+    # CEM 11 alpha decodes to exactly 1.0; account the unorm16 distance.
+    err = err + ((t16[..., 3] - 65535.0) ** 2).sum(1)
+    words = _pack_block(lay11, q0, q1, gq)
+    take = err < best_err
+    best_words = jnp.where(take[:, None], words, best_words)
+    best_err = jnp.where(take, err, best_err)
+
+    if alpha_ldr and menu[14] is not None:
+        lay14 = menu[14]
+        q0, q1, gq, err = _fit_hdr_layout(t16, lay14, iters)
+        words = _pack_block(lay14, q0, q1, gq)
+        take = err < best_err
+        best_words = jnp.where(take[:, None], words, best_words)
+        best_err = jnp.where(take, err, best_err)
+
+    return best_words

@@ -122,6 +122,12 @@ def decode_surface(
 
         return detile(decode_eac_rg11(raw, signed=type_ is T.SNorm))
     if fmt.name.startswith("ASTC_"):
+        if type_ is T.UFloat:
+            from cuttlefish_tpu.decode.astc import decode_astc_hdr
+
+            halfs = decode_astc_hdr(raw, bw, bh)
+            vals = halfs.astype(np.uint16).view(np.float16).astype(np.float64)
+            return detile(vals)
         from cuttlefish_tpu.decode.astc import decode_astc
 
         return detile(decode_astc(raw, bw, bh) / 255.0)

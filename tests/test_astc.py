@@ -1,5 +1,6 @@
 """ASTC encoder tests: decode parity, quality floors, all block sizes."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -102,6 +103,86 @@ class TestPipeline:
         nby = -(-20 // block_height(fmt))
         assert len(data) == nbx * nby * 16
 
-    def test_hdr_unimplemented(self):
-        with pytest.raises(NotImplementedError):
-            create_converter(_F.ASTC_4x4, _T.UFloat)
+    def test_hdr_converter_exists(self):
+        assert create_converter(_F.ASTC_4x4, _T.UFloat) is not None
+
+
+class TestHdr:
+    def test_lns_half_roundtrip(self):
+        from cuttlefish_tpu.decode.astc import lns_to_sf16, sf16_to_lns
+
+        for h in range(0, 0x7C00):
+            assert abs(lns_to_sf16(sf16_to_lns(h)) - h) <= 1
+        # monotone
+        prev = -1
+        for p in range(0, 1 << 16, 7):
+            v = lns_to_sf16(p)
+            assert v >= prev
+            prev = v
+
+    def test_hdr_roundtrip_and_quality(self):
+        from cuttlefish_tpu.decode.astc import decode_astc_hdr
+
+        rng = np.random.default_rng(11)
+        n = 32
+        rgb = (rng.random((n, 16, 3)).astype(np.float32) + 0.1) * (
+            2.0 ** rng.integers(-3, 6, (n, 1, 1))
+        )
+        blocks = np.concatenate([rgb, np.ones((n, 16, 1), np.float32)], -1)
+        blocks = (blocks + np.roll(blocks, 1, 1)) / 2  # smooth a bit
+        words = np.asarray(astc.encode_astc_hdr(jnp.asarray(blocks), 4, 4, quality=2))
+        dec = decode_astc_hdr(_bytes(words), 4, 4)
+        vals = dec.astype(np.uint16).view(np.float16).astype(np.float64)
+        assert np.all(vals[..., 3] == 1.0)
+        logerr = np.abs(
+            np.log2(np.maximum(vals[..., :3], 1e-6))
+            - np.log2(np.maximum(blocks[..., :3], 1e-6))
+        )
+        assert np.median(logerr) < 0.3
+
+    def test_hdr_solid_block_void_extent(self):
+        from cuttlefish_tpu.decode.astc import decode_astc_hdr
+
+        blocks = np.full((4, 16, 4), 5.25, np.float32)
+        blocks[..., 3] = 1.0
+        words = np.asarray(astc.encode_astc_hdr(jnp.asarray(blocks), 4, 4, quality=2))
+        dec = decode_astc_hdr(_bytes(words), 4, 4)
+        vals = dec.astype(np.uint16).view(np.float16).astype(np.float64)
+        assert np.all(vals[..., :3] == 5.25)  # exactly representable half
+
+    def test_hdr_alpha_cem14(self):
+        from cuttlefish_tpu.decode.astc import decode_astc_hdr
+
+        rng = np.random.default_rng(12)
+        n = 32
+        blocks = np.concatenate(
+            [
+                rng.random((n, 16, 3)).astype(np.float32) * 4.0,
+                rng.random((n, 16, 1)).astype(np.float32),
+            ],
+            -1,
+        ).astype(np.float32)
+        words = np.asarray(astc.encode_astc_hdr(jnp.asarray(blocks), 4, 4, quality=2))
+        dec = decode_astc_hdr(_bytes(words), 4, 4)
+        vals = dec.astype(np.uint16).view(np.float16).astype(np.float64)
+        amse = ((vals[..., 3] - blocks[..., 3]) ** 2).mean()
+        assert 10 * np.log10(1.0 / amse) > 20.0
+
+    def test_ufloat_converter_pipeline(self):
+        import cuttlefish_tpu as ct
+        from cuttlefish_tpu import metrics
+
+        rng = np.random.default_rng(13)
+        arr = (rng.random((16, 16, 4)).astype(np.float32) + 0.05) * 3.0
+        arr[..., 3] = 1.0
+        tex = ct.Texture(ct.Dimension.Dim2D, 16, 16)
+        tex.set_image(ct.Image.from_array(arr, ct.ImageFormat.RGBAF))
+        assert tex.convert(ct.TextureFormat.ASTC_4x4, ct.TextureType.UFloat)
+        dec = metrics.decode_surface(
+            tex.data(0), ct.TextureFormat.ASTC_4x4, ct.TextureType.UFloat, 16, 16
+        )
+        logerr = np.abs(
+            np.log2(np.maximum(dec[..., :3], 1e-6))
+            - np.log2(np.maximum(arr[..., :3].astype(np.float64), 1e-6))
+        )
+        assert np.median(logerr) < 0.6
