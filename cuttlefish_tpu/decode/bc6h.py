@@ -48,12 +48,74 @@ def _sext(v: int, bits: int) -> int:
     return v
 
 
+def _decode_two_region(block: int, mode_id: int, signed: bool) -> np.ndarray:
+    from cuttlefish_tpu.kernels.bc6h_tables import (
+        TWO_REGION_LAYOUT,
+        TWO_REGION_MODES,
+    )
+    from cuttlefish_tpu.kernels.bc7_tables import ANCHOR2, PARTITION2, WEIGHTS3
+
+    _, _, epbits, dbits, direct = TWO_REGION_MODES[mode_id]
+    fields = {f: [0, 0, 0] for f in ("rw", "rx", "ry", "rz")}
+    for block_bit, field, field_bit, ch in TWO_REGION_LAYOUT[mode_id]:
+        fields[field][ch] |= ((block >> block_bit) & 1) << field_bit
+    mask = (1 << epbits) - 1
+    e = np.zeros((2, 2, 3), np.int64)  # [region][endpoint][ch]
+    for c in range(3):
+        base = fields["rw"][c]
+        if signed:
+            base = _sext(base, epbits)
+        if direct:
+            vals = [fields["rx"][c], fields["ry"][c], fields["rz"][c]]
+            if signed:
+                vals = [_sext(v, epbits) for v in vals]
+        else:
+            vals = []
+            for f, db in (("rx", dbits[c]), ("ry", dbits[c]), ("rz", dbits[c])):
+                d = _sext(fields[f][c], db)
+                v = (base + d) & mask
+                if signed:
+                    v = _sext(v, epbits)
+                vals.append(v)
+        e[0, 0, c] = base
+        e[0, 1, c] = vals[0]
+        e[1, 0, c] = vals[1]
+        e[1, 1, c] = vals[2]
+
+    d5 = (block >> 77) & 0x1F
+    part = PARTITION2[d5]
+    anchor1 = ANCHOR2[d5]
+    unq = _unquant_signed if signed else _unquant_unsigned
+    u = np.zeros((2, 2, 3), np.int64)
+    for r in range(2):
+        for k in range(2):
+            for c in range(3):
+                u[r, k, c] = unq(int(e[r, k, c]), epbits)
+
+    out = np.zeros((16, 3), np.uint16)
+    pos = 82
+    for i in range(16):
+        n = 2 if (i == 0 or i == anchor1) else 3
+        w = WEIGHTS3[(block >> pos) & ((1 << n) - 1)]
+        pos += n
+        r = part[i]
+        for c in range(3):
+            interp = (u[r, 0, c] * (64 - w) + u[r, 1, c] * w + 32) >> 6
+            out[i, c] = _finalize(int(interp), signed) & 0xFFFF
+    return out
+
+
 def _decode_block(block: int, signed: bool) -> np.ndarray:
     out = np.zeros((16, 3), np.uint16)
+    from cuttlefish_tpu.kernels.bc6h_tables import TWO_REGION_MODES
+
     header2 = block & 0x3
     if header2 in (0, 1):
-        raise NotImplementedError("BC6H two-region modes not supported yet")
+        return _decode_two_region(block, 1 if header2 == 0 else 2, signed)
     header5 = block & 0x1F
+    for mode_id, (mv, ml, _, _, _) in TWO_REGION_MODES.items():
+        if ml == 5 and mv == header5:
+            return _decode_two_region(block, mode_id, signed)
     pos = 5
     def rd(n):
         nonlocal pos

@@ -1,10 +1,12 @@
 """BC6H block encoder (batched JAX) — HDR RGB, unsigned/signed half floats.
 
 TPU-native replacement for ispc_texcomp / Compressonator BC6H
-(`/root/reference/lib/src/S3tcConverter.cpp:492-591`).  One-region modes 11
-(10.10 absolute) and 12 (11.9 delta), chosen per block by exact decode-model
-error; two-region modes are a later extension (the one-region modes carry
-the bulk of quality on photographic HDR content).
+(`/root/reference/lib/src/S3tcConverter.cpp:492-591`).  All 14 modes:
+one-region 11 (10.10) and 12 (11.9 delta), plus the ten two-region modes
+(bit layouts in bc6h_tables.py, extracted from and validated against Mesa
+llvmpipe).  Two-region encoding screens the 32 BPTC partitions with a
+within-cluster-SSE matmul, fits shared float endpoints per region, then
+quantizes per mode; the quality ladder controls how many modes compete.
 
 All fitting runs in the half-float *bit* domain (a monotonic, roughly
 logarithmic proxy for the value domain, matching how CPU BC6H encoders
@@ -189,7 +191,192 @@ def _pack_mode12(q0, q1, idx, signed: bool):
     return pk.stack()
 
 
+# ---------------------------------------------------------------------------
+# Two-region modes (layouts in bc6h_tables.py, Mesa-extracted)
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+from cuttlefish_tpu.kernels.bc6h_tables import TWO_REGION_LAYOUT, TWO_REGION_MODES
+from cuttlefish_tpu.kernels.bc7_tables import ANCHOR2, PARTITION2, WEIGHTS3
+
+_W3 = jnp.asarray(WEIGHTS3)
+
+
+def _screen_partitions2(proxy):
+    """Within-cluster SSE over the 32 BC6H partitions -> best d [N]."""
+    masks = jnp.asarray(PARTITION2[:32].astype(np.float32))  # [32,16]
+    sum_all = proxy.sum(1)                                   # [N,3]
+    sq_all = (proxy * proxy).sum((1, 2))
+    s1 = jnp.einsum("st,ntc->nsc", masks, proxy)
+    n1 = masks.sum(-1)
+    s0 = sum_all[:, None, :] - s1
+    n0 = 16.0 - n1
+    explained = (s1 * s1).sum(-1) / n1 + (s0 * s0).sum(-1) / n0
+    sse = sq_all[:, None] - explained
+    return jnp.argmin(sse, axis=-1).astype(jnp.int32)
+
+
+def _region_geometry(proxy, d):
+    """Partition d [N] -> (mask [N,2,16], anchor_oh [N,16])."""
+    masks = jnp.asarray(PARTITION2[:32].astype(np.float32))
+    anchors = jnp.asarray(ANCHOR2[:32].astype(np.float32))
+    oh_d = jax.nn.one_hot(d, 32, dtype=jnp.float32)
+    r1 = jnp.einsum("ns,st->nt", oh_d, masks)
+    mask = jnp.stack([1.0 - r1, r1], axis=1)
+    anchor1 = jnp.einsum("ns,s->n", oh_d, anchors).astype(jnp.int32)
+    return mask, jax.nn.one_hot(anchor1, 16, dtype=jnp.float32)
+
+
+def _fit_regions_float(proxy, mask, anchor_oh, iters: int):
+    """Mode-independent float endpoint fit per region (shared across the
+    two-region modes; each mode then only quantizes + indexes once)."""
+    n = proxy.shape[0]
+    cnt = mask.sum(-1)[..., None] + 1e-6
+    mean = jnp.einsum("npt,ntc->npc", mask, proxy) / cnt
+    centered = (proxy[:, None, :, :] - mean[:, :, None, :]) * mask[..., None]
+    cov = jnp.einsum("nptc,nptd->npcd", centered, centered)
+    v = jnp.ones((n, 2, 3), jnp.float32)
+    for _ in range(3):
+        nv = jnp.einsum("npcd,npd->npc", cov, v)
+        nn_ = jnp.linalg.norm(nv, axis=-1, keepdims=True)
+        v = jnp.where(nn_ > 1e-10, nv / (nn_ + 1e-20), v)
+    proj = jnp.einsum("nptc,npc->npt", centered, v)
+    e0 = mean + v * proj.min(-1)[..., None]
+    e1 = mean + v * proj.max(-1)[..., None]
+
+    # refine with continuous weights (mode-independent)
+    for _ in range(max(0, iters - 1)):
+        e0t = jnp.einsum("npt,npc->ntc", mask, e0)
+        e1t = jnp.einsum("npt,npc->ntc", mask, e1)
+        dd = e1t - e0t
+        denom = (dd * dd).sum(-1) + 1e-6
+        w = jnp.clip(((proxy - e0t) * dd).sum(-1) / denom, 0.0, 1.0)
+        mw = mask * w[:, None, :]
+        m1w = mask * (1.0 - w[:, None, :])
+        a = (mw * w[:, None, :]).sum(-1)
+        bq = (mw * (1.0 - w[:, None, :])).sum(-1)
+        cc = (m1w * (1.0 - w[:, None, :])).sum(-1)
+        r1v = jnp.einsum("npt,ntc->npc", mw, proxy)
+        r0v = jnp.einsum("npt,ntc->npc", m1w, proxy)
+        det = a * cc - bq * bq
+        safe = jnp.abs(det) > 1e-6
+        det = jnp.where(safe, det, 1.0)
+        e1n = (cc[..., None] * r1v - bq[..., None] * r0v) / det[..., None]
+        e0n = (a[..., None] * r0v - bq[..., None] * r1v) / det[..., None]
+        e0 = jnp.where(safe[..., None], e0n, e0)
+        e1 = jnp.where(safe[..., None], e1n, e1)
+
+    # orient each region so its anchor texel is nearer e0 (keeps the
+    # anchor's index MSB clear without endpoint swaps at pack time)
+    a_t0 = proxy[:, 0, :]
+    a_t1 = jnp.einsum("nt,ntc->nc", anchor_oh, proxy)
+    a_t = jnp.stack([a_t0, a_t1], axis=1)
+    d0 = ((a_t - e0) ** 2).sum(-1)
+    d1 = ((a_t - e1) ** 2).sum(-1)
+    flip = (d1 < d0)[..., None]
+    return jnp.where(flip, e1, e0), jnp.where(flip, e0, e1)
+
+
+def _fit_two_region(proxy, mask, anchor_oh, e0, e1, mode_id: int, signed: bool):
+    """Quantize + index the shared float fit for one two-region mode.
+
+    Returns (fields dict rw/rx/ry/rz [N,3] raw ints, idx [N,16], err [N]).
+    """
+    _, _, epbits, dbits, direct = TWO_REGION_MODES[mode_id]
+    n = proxy.shape[0]
+    unq = _unquant_signed if signed else _unquant_unsigned
+
+    q0 = jnp.stack([_quant_candidates(e0[:, p], epbits, signed) for p in range(2)], 1)
+    q1 = jnp.stack([_quant_candidates(e1[:, p], epbits, signed) for p in range(2)], 1)
+
+    rw = q0[:, 0, :]
+    fields = {"rw": rw}
+    effs = []
+    for name, val in (("rx", q1[:, 0, :]), ("ry", q0[:, 1, :]), ("rz", q1[:, 1, :])):
+        if direct:
+            fields[name] = val
+            effs.append(val)
+        else:
+            dd = []
+            for c in range(3):
+                h = 1 << (dbits[c] - 1)
+                dd.append(jnp.clip(val[:, c] - rw[:, c], -h, h - 1))
+            dlt = jnp.stack(dd, -1)
+            fields[name] = dlt
+            effs.append(rw + dlt)
+    v01, v10, v11 = effs
+
+    def palette(lo, hi):
+        u0 = unq(lo, epbits)
+        u1 = unq(hi, epbits)
+        w = _W3[None, :, None]
+        interp = (u0[:, None, :] * (64 - w) + u1[:, None, :] * w + 32) >> 6
+        return _finalize(interp, signed).astype(jnp.float32)
+
+    pal = jnp.stack([palette(rw, v01), palette(v10, v11)], 1)  # [N,2,8,3]
+    pal_t = jnp.einsum("npt,npkc->ntkc", mask, pal)            # [N,16,8,3]
+    d2 = ((proxy[:, :, None, :] - pal_t) ** 2).sum(-1)
+    idx = d2.argmin(-1).astype(jnp.int32)
+    is_anchor = jnp.zeros((n, 16), bool).at[:, 0].set(True) | (anchor_oh > 0.5)
+    idx = jnp.where(is_anchor, jnp.minimum(idx, 3), idx)
+    oh = jax.nn.one_hot(idx, 8, dtype=jnp.float32)
+    err = ((jnp.einsum("ntk,ntkc->ntc", oh, pal_t) - proxy) ** 2).sum((1, 2))
+    return fields, idx, err
+
+
+def _pack_two_region(mode_id: int, fields, d, idx):
+    """Pack via the Mesa-extracted layout."""
+    mv, ml, epbits, dbits, direct = TWO_REGION_MODES[mode_id]
+    m = idx.shape[0]
+    words = [jnp.zeros((m,), jnp.uint32) for _ in range(4)]
+    words[0] = words[0] | jnp.uint32(mv)
+    for block_bit, field, field_bit, ch in TWO_REGION_LAYOUT[mode_id]:
+        bit = (fields[field][:, ch].astype(jnp.uint32) >> jnp.uint32(field_bit)) & 1
+        w, bo = divmod(block_bit, 32)
+        words[w] = words[w] | (bit << jnp.uint32(bo))
+    # partition
+    dv = d.astype(jnp.uint32)
+    for i in range(5):
+        w, bo = divmod(77 + i, 32)
+        words[w] = words[w] | (((dv >> jnp.uint32(i)) & 1) << jnp.uint32(bo))
+    # indices: 3-bit, anchors (pixel 0, ANCHOR2[d]) 2-bit
+    anchors = jnp.asarray(ANCHOR2[:32].astype(np.int32))
+    anchor1 = jnp.take(anchors, d)
+    pos0 = jnp.full((m,), 82, jnp.int32)
+    # static unroll over texels; per-texel width depends on runtime anchor ->
+    # compute positions arithmetically: width_i = 3 - (i==0) - (i==anchor1)
+    widths = 3 - jnp.where(jnp.arange(16)[None, :] == 0, 1, 0) - jnp.where(
+        jnp.arange(16)[None, :] == anchor1[:, None], 1, 0
+    )  # [N,16]
+    starts = jnp.concatenate(
+        [pos0[:, None], pos0[:, None] + jnp.cumsum(widths, axis=1)[:, :-1]], axis=1
+    )  # [N,16]
+    for i in range(16):
+        v = idx[:, i].astype(jnp.uint32)
+        start = starts[:, i]
+        for bit in range(3):
+            bb = start + bit
+            val = (v >> jnp.uint32(bit)) & 1
+            for w in range(2, 4):
+                in_word = (bb >= w * 32) & (bb < (w + 1) * 32)
+                sh = jnp.clip(bb - w * 32, 0, 31).astype(jnp.uint32)
+                words[w] = words[w] | jnp.where(in_word, val << sh, 0)
+    return jnp.stack(words, axis=-1)
+
+
 _BC6H_ITERS = (1, 2, 3, 5, 8)
+
+# quality -> two-region mode ids evaluated (mode 2's 6-bit deltas carry
+# far-apart clusters; mode 1's 10-bit base carries gentle splits; mode 10
+# is the direct fallback)
+_TWO_REGION_PLAN = {
+    0: (),
+    1: (),
+    2: (1, 2, 10),
+    3: (1, 2, 6, 10),
+    4: tuple(range(1, 11)),
+}
 
 
 @functools.partial(jax.jit, static_argnames=("quality", "signed"))
@@ -200,12 +387,27 @@ def encode_bc6h(
     proxy = _to_proxy(blocks.astype(jnp.float32), signed)
     iters = _BC6H_ITERS[max(0, min(4, int(quality)))]
 
-    q0, q1, idx, err11 = _fit_mode(proxy, 10, signed, iters)
+    q0, q1, idx, best_err = _fit_mode(proxy, 10, signed, iters)
     words = _pack_mode11(q0, q1, idx, signed)
 
     if quality >= 2:
         q0b, q1b, idxb, err12 = _fit_mode(proxy, 11, signed, iters, delta_bits=9)
         w12 = _pack_mode12(q0b, q1b, idxb, signed)
-        take = err12 < err11
+        take = err12 < best_err
         words = jnp.where(take[:, None], w12, words)
+        best_err = jnp.minimum(best_err, err12)
+
+    mode_ids = _TWO_REGION_PLAN[max(0, min(4, int(quality)))]
+    if mode_ids:
+        d = _screen_partitions2(proxy)
+        mask, anchor_oh = _region_geometry(proxy, d)
+        e0, e1 = _fit_regions_float(proxy, mask, anchor_oh, iters)
+        for mode_id in mode_ids:
+            fields, idx2, err2 = _fit_two_region(
+                proxy, mask, anchor_oh, e0, e1, mode_id, signed
+            )
+            w2 = _pack_two_region(mode_id, fields, d, idx2)
+            take = err2 < best_err
+            words = jnp.where(take[:, None], w2, words)
+            best_err = jnp.minimum(best_err, err2)
     return words
