@@ -18,13 +18,15 @@ _MIN_BUCKET = 64
 
 
 def _bucket(n: int) -> int:
-    """Next power of two >= n (>= _MIN_BUCKET), always mesh-divisible."""
+    """Next power of two >= n (>= _MIN_BUCKET), rounded up to a multiple
+    of the mesh size so the batch axis shards evenly on any mesh (a
+    6-device mesh gets 96 for n=64, not an indivisible 64)."""
     b = _MIN_BUCKET
     while b < n:
         b *= 2
     mesh = get_mesh()
-    if mesh is not None:
-        b = max(b, mesh.size)
+    if mesh is not None and b % mesh.size:
+        b = ((b // mesh.size) + 1) * mesh.size
     return b
 
 
@@ -55,5 +57,26 @@ class BlockConverter(Converter):
             pad = np.broadcast_to(blocks[-1:], (padded - n,) + blocks.shape[1:])
             blocks = np.concatenate([blocks, pad], axis=0)
         words = self.encode_blocks(shard_blocks(blocks), params)
-        words = np.asarray(words)[:n].astype(np.uint32)
+        words = _fetch_global(words)[:n].astype(np.uint32)
         return interleave_block_bytes(words)
+
+
+def _fetch_global(words) -> np.ndarray:
+    """Device words -> host numpy, correct on multi-process meshes.
+
+    On a single process `np.asarray` suffices.  On a multi-host mesh the
+    global array is only partially addressable per process, so the shards
+    are all-gathered (SURVEY.md §2.3: "all_gather of encoded block bytes in
+    raster order for container assembly"); every process then holds the
+    full raster-order word array and process 0 (or any) can write the
+    container.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return np.asarray(words)
+    if getattr(words, "is_fully_addressable", True):
+        return np.asarray(words)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(words, tiled=True))
