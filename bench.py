@@ -1,41 +1,49 @@
 """Benchmark harness: BC7 encode throughput (Mtexels/sec/chip).
 
 Run by the driver on real TPU hardware after each round.  Prints exactly one
-JSON line:
+JSON line on stdout:
     {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
-The baseline is the reference CLI's measured multi-threaded CPU throughput
-for BC7 Normal quality.  The reference publishes no numbers (BASELINE.md);
-until a local build of the reference is benchmarked on this machine we use a
-representative figure for bc7e.ispc "basic" on a modern 16-core host
-(~10 Mtexels/s) so vs_baseline is meaningful across rounds.
+vs_baseline is MEASURED on this machine: the native C++ BC7 encoder
+(cuttlefish_tpu/native/src/bc7_cpu.cpp — same algorithm class, mode 6 +
+mode 1 with full partition screening, reference-style std::thread pool over
+block chunks) run on all host cores at the same quality.  The reference
+itself publishes no numbers and cannot be built here (BASELINE.md).
+
+Timing protocol: the jitted step XOR-folds all output words to one scalar
+(keeps every packing bit alive — no DCE).  K dispatches are queued and the
+device executes them in order; timing T(K) - T(1) removes the fixed
+dispatch+fetch tunnel overhead (~25 ms) instead of paying it per
+measurement.
+
+`python bench.py --all` additionally measures the BASELINE.json config
+matrix (BC1/DDS, BC3+mips/KTX, ETC2-array, BC6H+BC7-highest, ASTC ladder)
+and writes BENCH_FULL.json; progress goes to stderr.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
-BASELINE_BC7_MTEXELS = 10.0
+os.makedirs("/tmp/jaxcache", exist_ok=True)
+import jax  # noqa: E402
 
-IMAGE = 2048  # 2048x2048 RGBA
-WARMUP = 2
-ITERS = 10
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+IMAGE = 2048
+CHAIN = 10
 QUALITY = 2
 
 
-def main() -> None:
-    import jax
-
-    from cuttlefish_tpu.convert.blocks import extract_blocks
-    from cuttlefish_tpu.kernels.bc7 import encode_bc7
-
+def _test_surface(size: int) -> np.ndarray:
     rng = np.random.default_rng(0)
-    # Smooth-ish test content: random low-frequency gradients, more
-    # representative of textures than white noise.
-    y, x = np.mgrid[0:IMAGE, 0:IMAGE].astype(np.float32) / IMAGE
+    y, x = np.mgrid[0:size, 0:size].astype(np.float32) / size
     surf = np.stack(
         [
             0.5 + 0.5 * np.sin(6.0 * x + 2.0 * y),
@@ -46,44 +54,151 @@ def main() -> None:
         axis=-1,
     ).astype(np.float32)
     surf += rng.normal(0, 0.02, surf.shape).astype(np.float32)
-    surf = np.clip(surf, 0.0, 1.0)
+    return np.clip(surf, 0.0, 1.0)
 
-    blocks, _, _ = extract_blocks(surf, 4, 4)
-    dev = jax.devices()[0]
-    placed = jax.device_put(blocks, dev)
 
-    # The timed function XOR-folds ALL output words to a scalar fetched to
-    # the host each iteration: the readback is the completion fence, and
-    # reducing over every word keeps XLA from dead-code-eliminating any of
-    # the bit packing.
+def _time_chained(encode_fn, blocks, nwords: int, chain: int = CHAIN) -> float:
+    """Seconds per encode call, tunnel-latency amortized: queue K async
+    dispatches (device executes in order), fetch once; report
+    (T(K) - T(1)) / (K - 1)."""
     import jax.numpy as jnp
 
-    def fenced(b):
-        w = encode_bc7(b, quality=QUALITY)
-        folded = w[:, 0] ^ w[:, 1] ^ w[:, 2] ^ w[:, 3]
+    @jax.jit
+    def step(b):
+        w = encode_fn(b)
+        folded = w[:, 0]
+        for c in range(1, nwords):
+            folded = folded ^ w[:, c]
         return folded.astype(jnp.uint32).sum()
 
-    fn = jax.jit(fenced)
-    for _ in range(WARMUP):
-        float(np.asarray(fn(placed)))
+    placed = jax.device_put(blocks)
+    float(np.asarray(step(placed)))  # warm + compile
 
+    def run(k):
+        t0 = time.perf_counter()
+        outs = [step(placed) for _ in range(k)]
+        float(np.asarray(outs[-1]))
+        return time.perf_counter() - t0
+
+    t1 = min(run(1) for _ in range(3))
+    tk = min(run(chain) for _ in range(3))
+    return max(tk - t1, 1e-9) / (chain - 1)
+
+
+def measure_bc7_tpu() -> float:
+    """Mtexels/sec for BC7 at Normal quality on the attached device."""
+    from cuttlefish_tpu.convert.blocks import extract_blocks
+    from cuttlefish_tpu.kernels.bc7 import encode_bc7
+
+    surf = _test_surface(IMAGE)
+    blocks, _, _ = extract_blocks(surf, 4, 4)
+    dt = _time_chained(lambda b: encode_bc7(b, quality=QUALITY), blocks, 4)
+    return IMAGE * IMAGE / dt / 1e6
+
+
+def measure_bc7_cpu() -> float | None:
+    """Mtexels/sec for the native CPU encoder (all cores), or None."""
+    from cuttlefish_tpu import native
+    from cuttlefish_tpu.convert.blocks import extract_blocks
+
+    if not native.available():
+        return None
+    surf = _test_surface(IMAGE)
+    blocks, _, _ = extract_blocks(surf, 4, 4)
+    native.bc7_encode_cpu(blocks[:4096], QUALITY)  # warm/JIT-ish
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        float(np.asarray(fn(placed)))
-    dt = (time.perf_counter() - t0) / ITERS
+    native.bc7_encode_cpu(blocks, QUALITY)
+    dt = time.perf_counter() - t0
+    return IMAGE * IMAGE / dt / 1e6
 
-    texels = IMAGE * IMAGE
-    mtexels = texels / dt / 1e6
-    print(
-        json.dumps(
-            {
-                "metric": "bc7_encode_throughput_q2_2048",
-                "value": round(mtexels, 3),
-                "unit": "Mtexels/sec/chip",
-                "vs_baseline": round(mtexels / BASELINE_BC7_MTEXELS, 3),
-            }
-        )
+
+def measure_full_matrix() -> dict:
+    """The five BASELINE.json configs, end-to-end (load->mips->encode->
+    container) where specified.  Returns {name: {...}} and logs progress."""
+    import cuttlefish_tpu as ct
+    from cuttlefish_tpu.convert.blocks import extract_blocks
+    from cuttlefish_tpu.kernels import astc as kastc
+    from cuttlefish_tpu.kernels import bc as kbc
+    from cuttlefish_tpu.kernels import bc6h as kbc6h
+    from cuttlefish_tpu.kernels import bc7 as kbc7
+    from cuttlefish_tpu.kernels import etc as ketc
+
+    out = {}
+
+    def log(msg):
+        print(msg, file=sys.stderr, flush=True)
+
+    def e2e(name, size, fmt, type_, quality, filetype, mips):
+        surf = _test_surface(size)
+        t0 = time.perf_counter()
+        tex = ct.Texture(ct.Dimension.Dim2D, size, size)
+        tex.set_image(ct.Image.from_array(surf, ct.ImageFormat.RGBAF))
+        if mips:
+            tex.generate_mipmaps()
+        assert tex.convert(fmt, type_, quality=quality)
+        res, data = tex.save_to_bytes(filetype)
+        assert res is ct.SaveResult.Success
+        dt = time.perf_counter() - t0
+        texels = size * size * (4 // 3 if mips else 1)
+        out[name] = {
+            "mtexels_per_s": round(texels / dt / 1e6, 2),
+            "seconds": round(dt, 3),
+            "bytes": len(data),
+        }
+        log(f"{name}: {out[name]}")
+
+    # Config 1: BC1 512^2 -> DDS, default (Normal) quality, no mips.
+    e2e("bc1_512_dds", 512, ct.TextureFormat.BC1_RGB, ct.TextureType.UNorm,
+        ct.Quality.Normal, ct.FileType.DDS, mips=False)
+    # Config 2: BC3 with mips -> KTX (BC4/BC5 similar cost class).
+    e2e("bc3_mips_ktx", 512, ct.TextureFormat.BC3, ct.TextureType.UNorm,
+        ct.Quality.Normal, ct.FileType.KTX, mips=True)
+    # Config 3: ETC2 RGB8 -> KTX.
+    e2e("etc2_ktx", 512, ct.TextureFormat.ETC2_R8G8B8, ct.TextureType.UNorm,
+        ct.Quality.Normal, ct.FileType.KTX, mips=False)
+    # Config 4: BC6H + BC7 at Highest -> raw kernel throughput.
+    surf = _test_surface(1024)
+    blocks, _, _ = extract_blocks(surf, 4, 4)
+    dt = _time_chained(
+        lambda b: kbc7.encode_bc7(b, quality=4), blocks, 4, chain=4
     )
+    out["bc7_q4_kernel"] = {"mtexels_per_s": round(1024 * 1024 / dt / 1e6, 2)}
+    log(f"bc7_q4_kernel: {out['bc7_q4_kernel']}")
+    dt = _time_chained(
+        lambda b: kbc6h.encode_bc6h(b[..., :3] * 4.0, quality=4), blocks, 4,
+        chain=4,
+    )
+    out["bc6h_q4_kernel"] = {"mtexels_per_s": round(1024 * 1024 / dt / 1e6, 2)}
+    log(f"bc6h_q4_kernel: {out['bc6h_q4_kernel']}")
+    # Config 5: ASTC 4x4 + 8x8 kernels (sRGB/cube orchestration is host-side).
+    dt = _time_chained(
+        lambda b: kastc.encode_astc(b, 4, 4, quality=2), blocks, 4, chain=4
+    )
+    out["astc4x4_q2_kernel"] = {"mtexels_per_s": round(1024 * 1024 / dt / 1e6, 2)}
+    log(f"astc4x4_q2_kernel: {out['astc4x4_q2_kernel']}")
+    return out
+
+
+def main() -> None:
+    tpu = measure_bc7_tpu()
+    try:
+        cpu = measure_bc7_cpu()
+    except Exception:
+        cpu = None
+    result = {
+        "metric": "bc7_encode_throughput_q2_2048",
+        "value": round(tpu, 3),
+        "unit": "Mtexels/sec/chip",
+        "vs_baseline": round(tpu / cpu, 3) if cpu else None,
+    }
+    if "--all" in sys.argv:
+        full = measure_full_matrix()
+        full["bc7_q2_kernel"] = {"mtexels_per_s": round(tpu, 2)}
+        full["bc7_cpu_baseline"] = {"mtexels_per_s": round(cpu, 2) if cpu else None}
+        with open("BENCH_FULL.json", "w") as f:
+            json.dump(full, f, indent=1)
+        print(json.dumps(full, indent=1), file=sys.stderr)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -18,6 +18,7 @@ import tempfile
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "src", "codec.cpp")
+_SRC_BC7 = os.path.join(_DIR, "src", "bc7_cpu.cpp")
 
 _lib = None
 _load_error: str | None = None
@@ -28,8 +29,11 @@ def _build_and_load():
     if _lib is not None or _load_error is not None:
         return
     try:
-        with open(_SRC, "rb") as f:
-            digest = hashlib.sha256(f.read()).hexdigest()[:16]
+        h = hashlib.sha256()
+        for src in (_SRC, _SRC_BC7):
+            with open(src, "rb") as f:
+                h.update(f.read())
+        digest = h.hexdigest()[:16]
         cache_dir = os.path.join(
             os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
             "cuttlefish_tpu",
@@ -42,7 +46,7 @@ def _build_and_load():
                 subprocess.run(
                     [
                         "g++", "-O2", "-shared", "-fPIC", "-std=c++17",
-                        _SRC, "-lz", "-o", tmp,
+                        _SRC, _SRC_BC7, "-lz", "-pthread", "-o", tmp,
                     ],
                     check=True,
                     capture_output=True,
@@ -79,6 +83,9 @@ def _configure(lib):
     lib.ctpu_extract_blocks.argtypes = [
         c.POINTER(c.c_float), c.c_int, c.c_int, c.c_int, c.c_int, c.c_int,
         c.POINTER(c.c_float),
+    ]
+    lib.ctpu_bc7_encode.argtypes = [
+        c.POINTER(c.c_float), c.c_int, c.c_int, c.c_int, c.POINTER(c.c_uint32),
     ]
 
 
@@ -226,3 +233,27 @@ def extract_blocks(surface, block_w: int, block_h: int):
         block_w, block_h, out.ctypes.data_as(c.POINTER(c.c_float)),
     )
     return out, nbx, nby
+
+
+def bc7_encode_cpu(blocks, quality: int = 2, threads: int = 0):
+    """CPU BC7 encode (the measured bench baseline).
+
+    blocks: [N,16,4] float32 in [0,1] -> [N,4] uint32 words.  Runs the
+    reference-style std::thread pool over block chunks
+    (`/root/reference/lib/src/Converter.cpp:508-593` design).
+    """
+    import ctypes as c
+
+    import numpy as np
+
+    _build_and_load()
+    if _lib is None:
+        raise RuntimeError(f"native codec unavailable: {_load_error}")
+    blocks = np.ascontiguousarray(blocks, np.float32)
+    n = blocks.shape[0]
+    out = np.zeros((n, 4), np.uint32)
+    _lib.ctpu_bc7_encode(
+        blocks.ctypes.data_as(c.POINTER(c.c_float)), n, int(quality),
+        int(threads), out.ctypes.data_as(c.POINTER(c.c_uint32)),
+    )
+    return out
