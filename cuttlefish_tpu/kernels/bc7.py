@@ -849,11 +849,37 @@ _QUALITY_PLAN = {
 }
 
 
-@functools.partial(jax.jit, static_argnames=("quality", "perceptual"))
 def encode_bc7(
     blocks: jnp.ndarray, quality: int = 2, perceptual: bool = False
 ) -> jnp.ndarray:
-    """Encode [N,16,4] float RGBA blocks (0..1) to BC7 [N,4] uint32 words."""
+    """Encode [N,16,4] float RGBA blocks (0..1) to BC7 [N,4] uint32 words.
+
+    Dispatch: on TPU at quality 0-2 the Pallas kernel
+    (kernels/bc7_pallas.py) runs the whole mode sweep VMEM-resident
+    (~12x the jnp path's throughput); quality 3-4 and CPU use the jnp
+    path.  ``CUTTLEFISH_PALLAS=0`` disables the Pallas path, ``=1``
+    forces it (interpreted on CPU — for tests).
+    """
+    import os
+
+    use = os.environ.get("CUTTLEFISH_PALLAS", "auto")
+    if use != "0" and int(quality) <= 2:
+        from cuttlefish_tpu.kernels.bc7_pallas import encode_bc7_pallas
+
+        if jax.default_backend() == "tpu":
+            return encode_bc7_pallas(blocks, int(quality), perceptual)
+        if use == "1":
+            return encode_bc7_pallas(
+                blocks, int(quality), perceptual, interpret=True
+            )
+    return _encode_bc7_jnp(blocks, quality, perceptual)
+
+
+@functools.partial(jax.jit, static_argnames=("quality", "perceptual"))
+def _encode_bc7_jnp(
+    blocks: jnp.ndarray, quality: int = 2, perceptual: bool = False
+) -> jnp.ndarray:
+    """jnp reference path (all 5 quality levels, all 8 modes)."""
     colors = jnp.clip(blocks.astype(jnp.float32), 0.0, 1.0) * 255.0
     if perceptual:
         ch_w = jnp.array([0.55, 1.1, 0.35, 1.0], jnp.float32)

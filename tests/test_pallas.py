@@ -1,0 +1,58 @@
+"""Pallas kernel parity tests (interpret mode on CPU).
+
+The Pallas encoders must emit decode-valid bitstreams whose quality is
+equal-or-better than the jnp reference path on the same content (the two
+paths share the exact integer decode model; tiny float-order differences
+in screening ties may flip individual blocks either way).
+"""
+
+import numpy as np
+import pytest
+
+from cuttlefish_tpu.decode import decode_bc7
+
+
+def _psnr(dec, ref):
+    mse = ((dec.astype(np.float64) - ref) ** 2).mean()
+    return 10 * np.log10(255**2 / (mse + 1e-12))
+
+
+@pytest.fixture(scope="module")
+def blocks():
+    rng = np.random.default_rng(7)
+    base = rng.random((96, 1, 4), np.float32)
+    grad = rng.normal(0, 0.15, (96, 16, 4)).astype(np.float32)
+    b = np.clip(base + grad, 0, 1)
+    b[::3, :, 3] = np.clip(b[::3, :, 3] * 0.6 + 0.2, 0, 1)
+    return b
+
+
+def _decode(words):
+    raw = np.frombuffer(
+        np.ascontiguousarray(np.asarray(words).astype("<u4")).tobytes(),
+        np.uint8,
+    )
+    return decode_bc7(raw)
+
+
+def test_bc7_pallas_q0_bit_equal(blocks):
+    """Quality 0 (mode 6 only) is bit-identical to the jnp path."""
+    from cuttlefish_tpu.kernels.bc7 import _encode_bc7_jnp
+    from cuttlefish_tpu.kernels.bc7_pallas import encode_bc7_pallas
+
+    wp = np.asarray(encode_bc7_pallas(blocks, quality=0, interpret=True))
+    wj = np.asarray(_encode_bc7_jnp(blocks, quality=0))
+    assert np.array_equal(wp, wj)
+
+
+def test_bc7_pallas_q2_quality(blocks):
+    """Quality 2 (modes 6+1+5+4): decode-valid, PSNR >= jnp path - 0.1 dB."""
+    from cuttlefish_tpu.kernels.bc7 import _encode_bc7_jnp
+    from cuttlefish_tpu.kernels.bc7_pallas import encode_bc7_pallas
+
+    ref = np.clip(np.round(blocks * 255), 0, 255)
+    wp = encode_bc7_pallas(blocks, quality=2, interpret=True)
+    wj = _encode_bc7_jnp(blocks, quality=2)
+    p_pallas = _psnr(_decode(wp), ref)
+    p_jnp = _psnr(_decode(wj), ref)
+    assert p_pallas >= p_jnp - 0.1, (p_pallas, p_jnp)
