@@ -41,6 +41,18 @@ class Converter:
     def encode(self, surface: np.ndarray, params: EncodeParams) -> np.ndarray:
         raise NotImplementedError
 
+    def encode_many(
+        self, surfaces: list, params: EncodeParams
+    ) -> list[np.ndarray]:
+        """Encode several surfaces of one texture (all mips/faces/depths).
+
+        Block-compressed formats override this to batch every surface's
+        blocks into ONE device dispatch (the reference runs one thread pool
+        over all images the same way, `Converter.cpp:508-593`); the default
+        encodes surface-by-surface.
+        """
+        return [self.encode(s, params) for s in surfaces]
+
 
 def create_converter(fmt: TextureFormat, type_: TextureType) -> Converter | None:
     """Factory keyed on (format, type); None = invalid combo

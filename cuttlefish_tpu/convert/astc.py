@@ -25,6 +25,8 @@ class AstcConverter(BlockConverter):
         self.block_w = block_width(fmt)
         self.block_h = block_height(fmt)
         self.hdr = hdr
+        if hdr:
+            self.transfer_dtype = "f16"  # HDR profile: half-float domain
 
     def encode_blocks(self, blocks, params: EncodeParams):
         from cuttlefish_tpu.kernels import astc

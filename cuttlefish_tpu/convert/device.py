@@ -36,10 +36,18 @@ class BlockConverter(Converter):
 
     Subclasses implement `encode_blocks([N, bh*bw, 4] jnp float32, params)
     -> [N, words] uint32` (a jitted batched kernel).
+
+    ``transfer_dtype`` controls the host->device wire format — the axon
+    tunnel is bandwidth-bound, so blocks travel as uint8 for 8-bit-domain
+    LDR formats (exactly the reference encoders' input precision; rgbcx /
+    bc7e / etc2comp all consume RGBA8) or float16 for signed / HDR /
+    11-bit domains (lossless for BC6H's half-float inputs), and are
+    dequantized to float32 on device.
     """
 
     block_w = 4
     block_h = 4
+    transfer_dtype = "u8"  # "u8" | "f16" | "f32"
 
     def encode_blocks(self, blocks, params: EncodeParams):
         raise NotImplementedError
@@ -49,16 +57,75 @@ class BlockConverter(Converter):
         return surface
 
     def encode(self, surface: np.ndarray, params: EncodeParams) -> np.ndarray:
-        surface = self.prepare_surface(np.asarray(surface, np.float32), params)
-        blocks, _, _ = extract_blocks(surface, self.block_w, self.block_h)
+        return self.encode_many([surface], params)[0]
+
+    def encode_many(
+        self, surfaces: list, params: EncodeParams
+    ) -> list[np.ndarray]:
+        """One device dispatch for ALL surfaces: every surface's 4x4 (or
+        format-native) blocks are concatenated on the batch axis, encoded
+        as one padded bucket, and split back — a full mip chain costs one
+        jit shape instead of one per mip level."""
+        all_blocks = []
+        counts = []
+        for surface in surfaces:
+            surface = self.prepare_surface(
+                np.asarray(surface, np.float32), params
+            )
+            blocks, _, _ = extract_blocks(surface, self.block_w, self.block_h)
+            all_blocks.append(blocks)
+            counts.append(blocks.shape[0])
+        blocks = (
+            np.concatenate(all_blocks, axis=0)
+            if len(all_blocks) > 1
+            else all_blocks[0]
+        )
         n = blocks.shape[0]
         padded = _bucket(n)
         if padded != n:
             pad = np.broadcast_to(blocks[-1:], (padded - n,) + blocks.shape[1:])
             blocks = np.concatenate([blocks, pad], axis=0)
-        words = self.encode_blocks(shard_blocks(blocks), params)
+        blocks = _dequant_on_device(shard_blocks(_wire(blocks, self.transfer_dtype)))
+        words = self.encode_blocks(blocks, params)
         words = _fetch_global(words)[:n].astype(np.uint32)
-        return interleave_block_bytes(words)
+        out = []
+        start = 0
+        for c in counts:
+            out.append(interleave_block_bytes(words[start : start + c]))
+            start += c
+        return out
+
+
+def _wire(blocks: np.ndarray, dtype: str) -> np.ndarray:
+    """Host-side wire encoding for the tunnel (see BlockConverter doc)."""
+    if dtype == "u8":
+        # Round-half-up in one vectorized pass (np.round's extra pass over
+        # 30+ MB costs more than the whole device round-trip).
+        return (np.clip(blocks, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    if dtype == "f16":
+        return blocks.astype(np.float16)
+    return blocks
+
+
+_DEQUANT_FNS: dict = {}
+
+
+def _dequant_on_device(blocks):
+    """Inverse of _wire, on device (jitted once; preserves sharding —
+    a fresh jit object per call would retrace and pay a full tunnel
+    round-trip every convert)."""
+    import jax
+    import jax.numpy as jnp
+
+    if blocks.dtype not in (np.uint8, np.float16):
+        return blocks
+    if not _DEQUANT_FNS:
+        _DEQUANT_FNS["u8"] = jax.jit(
+            lambda b: b.astype(jnp.float32) * (1.0 / 255.0)
+        )
+        _DEQUANT_FNS["f16"] = jax.jit(lambda b: b.astype(jnp.float32))
+    key = "u8" if blocks.dtype == np.uint8 else "f16"
+    return _DEQUANT_FNS[key](blocks)
 
 
 def _fetch_global(words) -> np.ndarray:

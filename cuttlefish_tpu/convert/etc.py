@@ -75,6 +75,8 @@ class Etc2PunchThroughConverter(BlockConverter):
 
 
 class EacR11Converter(BlockConverter):
+    transfer_dtype = "f16"  # 11-bit target domain; u8 wire would quantize
+
     def __init__(self, signed: bool, channels: int):
         self._signed = signed
         self._channels = channels

@@ -76,6 +76,8 @@ class Bc3Converter(BlockConverter):
 class Bc4Converter(BlockConverter):
     def __init__(self, signed: bool):
         self._signed = signed
+        if signed:
+            self.transfer_dtype = "f16"
 
     def encode_blocks(self, blocks, params):
         from cuttlefish_tpu.kernels import bc
@@ -88,6 +90,8 @@ class Bc4Converter(BlockConverter):
 class Bc5Converter(BlockConverter):
     def __init__(self, signed: bool):
         self._signed = signed
+        if signed:
+            self.transfer_dtype = "f16"
 
     def encode_blocks(self, blocks, params):
         from cuttlefish_tpu.kernels import bc
@@ -98,6 +102,8 @@ class Bc5Converter(BlockConverter):
 
 
 class Bc6hConverter(BlockConverter):
+    transfer_dtype = "f16"  # half-float HDR domain (lossless wire format)
+
     def __init__(self, signed: bool):
         self._signed = signed
 

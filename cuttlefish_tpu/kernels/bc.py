@@ -200,8 +200,49 @@ def _pack_idx2(idx):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("quality", "punch_through", "allow_black"))
+def _use_pallas() -> bool:
+    """Pallas path on TPU (CUTTLEFISH_PALLAS=0 disables, =1 forces the
+    interpreted kernel on CPU for tests)."""
+    import os
+
+    use = os.environ.get("CUTTLEFISH_PALLAS", "auto")
+    if use == "0":
+        return False
+    return use == "1" or jax.default_backend() == "tpu"
+
+
+def _static_chw(ch_weights):
+    """Concrete channel weights as a hashable static tuple, or None if the
+    value is traced (in which case the caller falls back to the jnp path)."""
+    if ch_weights is None:
+        return (1.0, 1.0, 1.0)
+    try:
+        import numpy as _np
+
+        return tuple(float(x) for x in _np.asarray(ch_weights))
+    except Exception:
+        return None
+
+
 def encode_bc1(
+    blocks, quality=2, punch_through=False, allow_black=True, ch_weights=None
+):
+    """Dispatch: Pallas kernel on TPU, jnp path otherwise (see module doc)."""
+    if _use_pallas():
+        chw = _static_chw(ch_weights)
+        if chw is not None:
+            from cuttlefish_tpu.kernels.bc_pallas import encode_bc1_pallas
+
+            return encode_bc1_pallas(
+                blocks, int(quality), punch_through, allow_black, chw
+            )
+    return _encode_bc1_jnp(
+        blocks, quality, punch_through, allow_black, ch_weights
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("quality", "punch_through", "allow_black"))
+def _encode_bc1_jnp(
     blocks: jnp.ndarray,
     quality: int = 2,
     punch_through: bool = False,
@@ -322,8 +363,17 @@ def _bc4_assign(vals, d0, d1, weights, extremes=None):
     return idx, jnp.clip(e, 0.0, None).min(axis=-1).sum(axis=1)
 
 
+def encode_bc4(vals, quality=2, signed=False):
+    """Dispatch: Pallas kernel on TPU, jnp path otherwise."""
+    if _use_pallas():
+        from cuttlefish_tpu.kernels.bc_pallas import encode_bc4_pallas
+
+        return encode_bc4_pallas(vals, int(quality), signed)
+    return _encode_bc4_jnp(vals, quality, signed)
+
+
 @functools.partial(jax.jit, static_argnames=("quality", "signed"))
-def encode_bc4(
+def _encode_bc4_jnp(
     vals: jnp.ndarray, quality: int = 2, signed: bool = False
 ) -> jnp.ndarray:
     """Encode [N,16] floats (unsigned [0,1] / signed [-1,1]) to [N,2] uint32.
@@ -431,35 +481,63 @@ def encode_bc4(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("quality",))
-def encode_bc2(blocks: jnp.ndarray, quality: int = 2, ch_weights=None) -> jnp.ndarray:
+def encode_bc2(blocks, quality=2, ch_weights=None):
     """[N,16,4] -> [N,4] uint32: explicit 4-bit alpha + BC1 colors
     (`S3tcConverter.cpp:340-356`, packBc2Alpha `:131-143`)."""
+    if _use_pallas():
+        chw = _static_chw(ch_weights)
+        if chw is not None:
+            from cuttlefish_tpu.kernels.bc_pallas import encode_bc2_pallas
+
+            return encode_bc2_pallas(blocks, int(quality), chw)
+    return _encode_bc2_jnp(blocks, quality, ch_weights)
+
+
+@functools.partial(jax.jit, static_argnames=("quality",))
+def _encode_bc2_jnp(blocks: jnp.ndarray, quality: int = 2, ch_weights=None) -> jnp.ndarray:
     a = jnp.round(jnp.clip(blocks[..., 3], 0.0, 1.0) * 15.0).astype(jnp.uint32)
     shifts = (4 * jnp.arange(8, dtype=jnp.uint32))
     a0 = (a[:, :8] << shifts[None, :]).sum(axis=1, dtype=jnp.uint32)
     a1 = (a[:, 8:] << shifts[None, :]).sum(axis=1, dtype=jnp.uint32)
-    color = encode_bc1(
+    color = _encode_bc1_jnp(
         blocks, quality=quality, punch_through=False, allow_black=False,
         ch_weights=ch_weights,
     )
     return jnp.concatenate([jnp.stack([a0, a1], -1), color], axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("quality",))
-def encode_bc3(blocks: jnp.ndarray, quality: int = 2, ch_weights=None) -> jnp.ndarray:
+def encode_bc3(blocks, quality=2, ch_weights=None):
     """[N,16,4] -> [N,4] uint32: BC4 alpha + BC1 colors (no 3-color mode)."""
-    alpha = encode_bc4(blocks[..., 3], quality=quality, signed=False)
-    color = encode_bc1(
+    if _use_pallas():
+        chw = _static_chw(ch_weights)
+        if chw is not None:
+            from cuttlefish_tpu.kernels.bc_pallas import encode_bc3_pallas
+
+            return encode_bc3_pallas(blocks, int(quality), chw)
+    return _encode_bc3_jnp(blocks, quality, ch_weights)
+
+
+@functools.partial(jax.jit, static_argnames=("quality",))
+def _encode_bc3_jnp(blocks: jnp.ndarray, quality: int = 2, ch_weights=None) -> jnp.ndarray:
+    alpha = _encode_bc4_jnp(blocks[..., 3], quality=quality, signed=False)
+    color = _encode_bc1_jnp(
         blocks, quality=quality, punch_through=False, allow_black=False,
         ch_weights=ch_weights,
     )
     return jnp.concatenate([alpha, color], axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("quality", "signed"))
-def encode_bc5(blocks: jnp.ndarray, quality: int = 2, signed: bool = False) -> jnp.ndarray:
+def encode_bc5(blocks, quality=2, signed=False):
     """[N,16,>=2] -> [N,4] uint32: two BC4 channels (red, green)."""
-    r = encode_bc4(blocks[..., 0], quality=quality, signed=signed)
-    g = encode_bc4(blocks[..., 1], quality=quality, signed=signed)
+    if _use_pallas():
+        from cuttlefish_tpu.kernels.bc_pallas import encode_bc5_pallas
+
+        return encode_bc5_pallas(blocks, int(quality), signed)
+    return _encode_bc5_jnp(blocks, quality, signed)
+
+
+@functools.partial(jax.jit, static_argnames=("quality", "signed"))
+def _encode_bc5_jnp(blocks: jnp.ndarray, quality: int = 2, signed: bool = False) -> jnp.ndarray:
+    r = _encode_bc4_jnp(blocks[..., 0], quality=quality, signed=signed)
+    g = _encode_bc4_jnp(blocks[..., 1], quality=quality, signed=signed)
     return jnp.concatenate([r, g], axis=-1)

