@@ -1,8 +1,8 @@
 """ETC1/ETC2/EAC block decoders (numpy/python, per the Khronos specs).
 
-Covers ETC1 individual/differential, ETC2 planar, EAC alpha and R11
-(signed + unsigned).  T/H modes raise until the encoder emits them.
-Blocks are big-endian 64-bit words with column-major pixel order.
+Covers ETC1 individual/differential, ETC2 T/H/planar (opaque and
+punch-through), EAC alpha and R11 (signed + unsigned).  Blocks are
+big-endian 64-bit words with column-major pixel order.
 """
 
 from __future__ import annotations
@@ -262,7 +262,24 @@ def decode_etc2_a1(data: np.ndarray) -> np.ndarray:
         ]
         b2 = [b1[c] + d2[c] for c in range(3)]
         if not all(0 <= v <= 31 for v in b2):
-            raise NotImplementedError("A1 T/H modes not supported yet")
+            # Punch-through T/H: same palettes, entry 2 = transparent
+            # black (Khronos DFS punch-through tables); planar has no
+            # transparent entry and decodes fully opaque.
+            if not 0 <= b2[0] <= 31:
+                rgb, punch_idx = _decode_t(block), 2
+            elif not 0 <= b2[1] <= 31:
+                rgb, punch_idx = _decode_h(block), 2
+            else:
+                rgb, punch_idx = _decode_planar(block), None
+            out[n, :, :3] = rgb
+            out[n, :, 3] = 255
+            if punch_idx is not None:
+                for p in range(16):
+                    x, y = p // 4, p % 4
+                    idx = (((block >> (16 + p)) & 1) << 1) | ((block >> p) & 1)
+                    if idx == punch_idx:
+                        out[n, 4 * y + x] = [0, 0, 0, 0]
+            continue
         base1 = [_expand5(v) for v in b1]
         base2 = [_expand5(v) for v in b2]
         t1 = (block >> 37) & 0x7

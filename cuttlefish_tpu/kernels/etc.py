@@ -380,14 +380,15 @@ def _pack_t(q1, q2, didx, idx_raster):
     return hi, lo
 
 
-def _etc2_t_candidate(colors, ch_w):
-    """Best T-mode encoding: cluster split + distance search.
+def _pca_split(colors, weight=None):
+    """Principal-axis cluster split -> (mean_pos, mean_neg) [M,3].
 
-    colors [M,16,3] 0..255 -> (err [M], (hi, lo)).
-    """
-    m = colors.shape[0]
-    mean = colors.mean(1, keepdims=True)
-    centered = colors - mean
+    `weight` [M,16] optionally excludes texels (punch-through transparents)
+    from both the axis fit and the cluster means."""
+    w = jnp.ones(colors.shape[:2]) if weight is None else weight
+    cnt = w.sum(1, keepdims=True) + 1e-6
+    mean = (jnp.einsum("npc,np->nc", colors, w) / cnt)[:, None, :]
+    centered = (colors - mean) * w[..., None]
     cov = jnp.einsum("nic,nid->ncd", centered, centered)
     norms = (centered * centered).sum(-1)
     from cuttlefish_tpu.kernels.bc import select_at_max
@@ -399,14 +400,28 @@ def _etc2_t_candidate(colors, ch_w):
         nn = jnp.linalg.norm(nv, axis=-1, keepdims=True)
         v = jnp.where(nn > 1e-10, nv / (nn + 1e-20), v)
     t = jnp.einsum("nic,nc->ni", centered, v)
-    split = t > 0  # [M,16]
+    split = (t > 0).astype(jnp.float32) * w
 
-    def cluster_mean(mask):
+    def cmean(mask):
         cnt = mask.sum(1, keepdims=True) + 1e-6
         return (colors * mask[..., None]).sum(1) / cnt
 
-    mean_pos = cluster_mean(split.astype(jnp.float32))
-    mean_neg = cluster_mean((~split).astype(jnp.float32))
+    return cmean(split), cmean((1.0 - split) * w)
+
+
+def _etc2_t_candidate(colors, ch_w, alpha_mask=None):
+    """Best T-mode encoding: cluster split + distance search.
+
+    colors [M,16,3] 0..255 -> (err [M], (hi, lo)).  With `alpha_mask`
+    (punch-through, opaque bit 0) palette entry 2 becomes transparent
+    black: opaque texels may not use it, transparent texels must
+    (Khronos DFS §C.2.3 punch-through tables), and the opaque bit is
+    cleared in the packed word.
+    """
+    m = colors.shape[0]
+    punch = alpha_mask is not None
+    mean_pos, mean_neg = _pca_split(colors, alpha_mask)
+    texel_w = jnp.ones(colors.shape[:2]) if not punch else alpha_mask
 
     best = None
     for c1f, c2f in ((mean_pos, mean_neg), (mean_neg, mean_pos)):
@@ -425,8 +440,12 @@ def _etc2_t_candidate(colors, ch_w):
             )  # [M,4,3]
             diff = colors[:, :, None, :] - pal[:, None, :, :]
             e = jnp.einsum("npkc,c->npk", diff * diff, ch_w)
+            if punch:
+                e = e.at[:, :, 2].set(jnp.inf)
             idx = e.argmin(-1).astype(jnp.int32)
-            err = e.min(-1).sum(1)
+            err = (e.min(-1) * texel_w).sum(1)
+            if punch:
+                idx = jnp.where(alpha_mask < 0.5, 2, idx)
             cand = (q1, q2, jnp.full((m,), di, jnp.int32), idx, err)
             if best is None:
                 best = cand
@@ -437,7 +456,10 @@ def _etc2_t_candidate(colors, ch_w):
                     for c, b in zip(cand, best)
                 )
     q1, q2, didx, idx, err = best
-    return err, _pack_t(q1, q2, didx, idx)
+    hi, lo = _pack_t(q1, q2, didx, idx)
+    if punch:
+        hi = hi & ~jnp.uint32(2)  # opaque bit 33 = 0
+    return err, (hi, lo)
 
 
 # ---------------------------------------------------------------------------
@@ -494,31 +516,15 @@ def _pack_h(q1, q2, didx, idx_raster):
     return hi, lo
 
 
-def _etc2_h_candidate(colors, ch_w):
+def _etc2_h_candidate(colors, ch_w, alpha_mask=None):
     """Best H-mode encoding: cluster split + distance search with the
-    ordering-encoded low distance bit.  colors [M,16,3] 0..255."""
+    ordering-encoded low distance bit.  colors [M,16,3] 0..255.  With
+    `alpha_mask` (punch-through) palette entry 2 (= C2+d) becomes
+    transparent black, same rules as the T variant."""
     m = colors.shape[0]
-    mean = colors.mean(1, keepdims=True)
-    centered = colors - mean
-    cov = jnp.einsum("nic,nid->ncd", centered, centered)
-    norms = (centered * centered).sum(-1)
-    from cuttlefish_tpu.kernels.bc import select_at_max
-    start = select_at_max(norms, centered)
-    n0 = jnp.linalg.norm(start, axis=-1, keepdims=True)
-    v = jnp.where(n0 > 1e-10, start / (n0 + 1e-20), jnp.ones_like(start))
-    for _ in range(3):
-        nv = jnp.einsum("ncd,nd->nc", cov, v)
-        nn = jnp.linalg.norm(nv, axis=-1, keepdims=True)
-        v = jnp.where(nn > 1e-10, nv / (nn + 1e-20), v)
-    t = jnp.einsum("nic,nc->ni", centered, v)
-    split = (t > 0).astype(jnp.float32)
-
-    def cmean(mask):
-        cnt = mask.sum(1, keepdims=True) + 1e-6
-        return (colors * mask[..., None]).sum(1) / cnt
-
-    mean_pos = cmean(split)
-    mean_neg = cmean(1.0 - split)
+    punch = alpha_mask is not None
+    mean_pos, mean_neg = _pca_split(colors, alpha_mask)
+    texel_w = jnp.ones(colors.shape[:2]) if not punch else alpha_mask
 
     best = None
     for c1f, c2f in ((mean_pos, mean_neg), (mean_neg, mean_pos)):
@@ -543,8 +549,12 @@ def _etc2_h_candidate(colors, ch_w):
             )
             diff = colors[:, :, None, :] - pal[:, None, :, :]
             e = jnp.einsum("npkc,c->npk", diff * diff, ch_w)
+            if punch:
+                e = e.at[:, :, 2].set(jnp.inf)
             idx = e.argmin(-1).astype(jnp.int32)
-            err = e.min(-1).sum(1) + jnp.where(valid, 0.0, jnp.inf)
+            err = (e.min(-1) * texel_w).sum(1) + jnp.where(valid, 0.0, jnp.inf)
+            if punch:
+                idx = jnp.where(alpha_mask < 0.5, 2, idx)
             cand = (q1, q2, jnp.full((m,), di, jnp.int32), idx, err)
             if best is None:
                 best = cand
@@ -555,10 +565,24 @@ def _etc2_h_candidate(colors, ch_w):
                     for c, b in zip(cand, best)
                 )
     q1, q2, didx, idx, err = best
-    return err, _pack_h(q1, q2, didx, idx)
+    hi, lo = _pack_h(q1, q2, didx, idx)
+    if punch:
+        hi = hi & ~jnp.uint32(2)  # opaque bit 33 = 0
+    return err, (hi, lo)
 
 
-_ETC_SHIFTS = {0: (0.0,), 1: (0.0,), 2: (0.0,), 3: (-8.0, 0.0, 8.0), 4: (-12.0, -6.0, 0.0, 6.0, 12.0)}
+# Base-color neighborhood search per quality level: luma perturbations of
+# the quantized sub-block means (+-8 = one 5-bit quant step).  The effort
+# ladder is the analog of etc2comp's effort 0..100 mapping
+# (`EtcConverter.cpp:34-54`): Lowest additionally skips the individual-mode
+# candidates, and candidate count grows 2/4/12/20/28 from Lowest to Highest.
+_ETC_SHIFTS = {
+    0: (0.0,),
+    1: (0.0,),
+    2: (-8.0, 0.0, 8.0),
+    3: (-12.0, -6.0, 0.0, 6.0, 12.0),
+    4: (-16.0, -10.0, -5.0, 0.0, 5.0, 10.0, 16.0),
+}
 
 
 @functools.partial(jax.jit, static_argnames=("quality", "etc2"))
@@ -576,7 +600,7 @@ def encode_etc_rgb(
     best_err = None
     best = None
     for flip in (0, 1):
-        for diff in (True, False):
+        for diff in ((True,) if quality == 0 else (True, False)):
             for shift in _ETC_SHIFTS[quality]:
                 err, words = _etc1_candidate(colors, ch_w, diff, flip, shift)
                 if best_err is None:
@@ -840,7 +864,9 @@ def encode_etc2_a1(
     take = herr < best_err
     best_o = tuple(jnp.where(take, w, b) for w, b in zip(hwords, best_o))
 
-    # Punch-through path.
+    # Punch-through path: differential + T + H, each with index 2
+    # transparent (the reference's etc2comp searches the same three,
+    # EtcConverter.cpp:56-115 via full-effort Encode).
     best_t = None
     terr = None
     for flip in (0, 1):
@@ -852,6 +878,11 @@ def encode_etc2_a1(
                 take = err < terr
                 best_t = tuple(jnp.where(take, w, b) for w, b in zip(words, best_t))
                 terr = jnp.where(take, err, terr)
+    for cand_fn in (_etc2_t_candidate, _etc2_h_candidate):
+        err, words = cand_fn(colors, ch_w, alpha_mask=alpha_mask)
+        take = err < terr
+        best_t = tuple(jnp.where(take, w, b) for w, b in zip(words, best_t))
+        terr = jnp.where(take, err, terr)
 
     has_alpha = (alpha_mask < 0.5).any(axis=1)
     out = tuple(jnp.where(has_alpha, t, o) for t, o in zip(best_t, best_o))

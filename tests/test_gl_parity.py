@@ -191,6 +191,39 @@ def test_etc2_a1_vs_gl():
     assert np.array_equal(gl, ours)
 
 
+def test_etc2_a1_punch_th_vs_gl():
+    """Two-cluster chroma-split content with punched texels biases the
+    punch-through T/H candidates; verify the emitted bitstreams (opaque
+    bit 0, palette entry 2 transparent) against Mesa."""
+    rng = np.random.default_rng(23)
+    c1 = rng.random((N, 1, 3)).astype(np.float32)
+    c2 = rng.random((N, 1, 3)).astype(np.float32)
+    pick = rng.random((N, 16, 1)) > 0.5
+    rgb = np.where(pick, c1, c2).astype(np.float32)
+    alpha = (rng.random((N, 16, 1)) > 0.25).astype(np.float32)
+    blocks = np.concatenate([rgb, alpha], axis=-1)
+    data = _bytes(ketc.encode_etc2_a1(jnp.asarray(blocks), quality=2))
+    # The encoder must actually have chosen T or H for some block
+    # (opaque bit 0 + R or G differential overflow).
+    raw = np.frombuffer(data, np.uint8).reshape(N, 8)
+    chose_th = 0
+    for row in raw:
+        block = int.from_bytes(row.tobytes(), "big")
+        if (block >> 33) & 1:
+            continue
+        b1 = [(block >> 59) & 0x1F, (block >> 51) & 0x1F, (block >> 43) & 0x1F]
+        d2 = [
+            (v - 8 if v & 4 else v)
+            for v in ((block >> 56) & 7, (block >> 48) & 7, (block >> 40) & 7)
+        ]
+        if not (0 <= b1[0] + d2[0] <= 31) or not (0 <= b1[1] + d2[1] <= 31):
+            chose_th += 1
+    assert chose_th > 0
+    ours = decode.decode_etc2_a1(raw)
+    gl = _gl_blocks(data, "COMPRESSED_RGB8_PUNCHTHROUGH_ALPHA1_ETC2")
+    assert np.array_equal(gl, ours)
+
+
 def test_etc2_rgba_vs_gl():
     blocks = _rand_blocks(21)
     data = _bytes(ketc.encode_etc2_rgba(jnp.asarray(blocks), quality=2))
