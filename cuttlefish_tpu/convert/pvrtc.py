@@ -4,8 +4,9 @@ Parity target: the reference PvrtcConverter (`/root/reference/lib/src/
 PvrtcConverter.cpp`) which delegates to the closed-source PVRTexLib and
 treats the surface as a single whole-image job (PVRTC modulation reads
 neighboring color words, so blocks are not independent).  PVRTC1 RGB/RGBA
-2bpp and 4bpp encode here; PVRTC2 is a planned extension (the reference
-marks it optional behind PVRTexLib availability).
+2bpp and 4bpp encode here with wraparound interpolation; PVRTC2 RGBA
+2/4bpp encodes the clamped-border interpolated subset (see
+kernels/pvrtc.py encode_pvrtc2 for layout provenance).
 
 Surfaces must be power-of-two and at least the format's minimum size
 (16x8 for 2bpp, 8x8 for 4bpp), matching PVRTC1 hardware constraints.
@@ -22,6 +23,8 @@ _F = TextureFormat
 
 
 class Pvrtc1Converter(Converter):
+    version = 1
+
     def __init__(self, bpp2: bool):
         self._bpp2 = bpp2
 
@@ -46,8 +49,11 @@ class Pvrtc1Converter(Converter):
             raise ValueError(
                 f"PVRTC1 requires power-of-two surfaces, multiple of {bw}x{bh}"
             )
+        from cuttlefish_tpu.kernels.pvrtc import encode_pvrtc2
+
+        encode = encode_pvrtc1 if self.version == 1 else encode_pvrtc2
         words = np.asarray(
-            encode_pvrtc1(
+            encode(
                 jax.device_put(surface), bpp2=self._bpp2, quality=int(params.quality)
             )
         )
@@ -58,13 +64,19 @@ class Pvrtc1Converter(Converter):
         )
 
 
+class Pvrtc2Converter(Pvrtc1Converter):
+    """PVRTC2 2/4bpp (`PvrtcConverter.cpp:90-93`): clamped-border variant."""
+
+    version = 2
+
+
 def create_pvrtc_converter(fmt: TextureFormat, type_: TextureType) -> Converter | None:
     if fmt in (_F.PVRTC1_RGB_2BPP, _F.PVRTC1_RGBA_2BPP):
         return Pvrtc1Converter(bpp2=True)
     if fmt in (_F.PVRTC1_RGB_4BPP, _F.PVRTC1_RGBA_4BPP):
         return Pvrtc1Converter(bpp2=False)
-    if fmt in (_F.PVRTC2_RGBA_2BPP, _F.PVRTC2_RGBA_4BPP):
-        raise NotImplementedError(
-            "PVRTC2 not implemented yet (reference gates it behind PVRTexLib)"
-        )
+    if fmt == _F.PVRTC2_RGBA_2BPP:
+        return Pvrtc2Converter(bpp2=True)
+    if fmt == _F.PVRTC2_RGBA_4BPP:
+        return Pvrtc2Converter(bpp2=False)
     return None

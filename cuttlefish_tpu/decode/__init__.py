@@ -23,4 +23,4 @@ from cuttlefish_tpu.decode.etc import (  # noqa: F401
     decode_etc2_rgba,
     decode_etc_rgb,
 )
-from cuttlefish_tpu.decode.pvrtc import decode_pvrtc1  # noqa: F401
+from cuttlefish_tpu.decode.pvrtc import decode_pvrtc1, decode_pvrtc2  # noqa: F401

@@ -67,8 +67,8 @@ def _unpack_b(cw: np.ndarray) -> np.ndarray:
     return np.stack([r, g, b, a], -1).astype(np.float32) / 255.0
 
 
-def decode_pvrtc1(
-    data: np.ndarray, width: int, height: int, bpp2: bool = False
+def _decode_pvrtc(
+    data: np.ndarray, width: int, height: int, bpp2: bool, wrap: bool
 ) -> np.ndarray:
     """Raster-order block words -> (H, W, 4) float32 decoded surface."""
     import jax.numpy as jnp
@@ -80,21 +80,42 @@ def decode_pvrtc1(
     cw = words[:, 1].astype(np.uint32)
     a = _unpack_a(cw).reshape(nby, nbx, 4)
     b = _unpack_b(cw).reshape(nby, nbx, 4)
-    a_img = np.asarray(upscale_bilinear(jnp.asarray(a), bw, bh))
-    b_img = np.asarray(upscale_bilinear(jnp.asarray(b), bw, bh))
+    a_img = np.asarray(upscale_bilinear(jnp.asarray(a), bw, bh, wrap=wrap))
+    b_img = np.asarray(upscale_bilinear(jnp.asarray(b), bw, bh, wrap=wrap))
 
     bits = 1 if bpp2 else 2
     weights = _MOD_W_4BPP if not bpp2 else np.array([0, 8], np.float32)
+    # Punch-through modulation mode (color word bit 0, 4bpp): weights
+    # 0/4/4/8 and index 2 zeroes alpha (PVRTDecompress getModulationValues).
+    punch_weights = np.array([0, 4, 4, 8], np.float32)
     out = np.zeros((height, width, 4), np.float32)
     for by in range(nby):
         for bx in range(nbx):
             m = int(mod[by * nbx + bx])
+            punch = (not bpp2) and (cw[by * nbx + bx] & 1)
+            wtab = punch_weights if punch else weights
             for fy in range(bh):
                 for fx in range(bw):
                     idx = (m >> (bits * (fy * bw + fx))) & ((1 << bits) - 1)
-                    w8 = weights[idx]
+                    w8 = wtab[idx]
                     y, x = by * bh + fy, bx * bw + fx
                     out[y, x] = (
                         a_img[y, x] * (8 - w8) + b_img[y, x] * w8
                     ) / 8.0
+                    if punch and idx == 2:
+                        out[y, x, 3] = 0.0
     return out
+
+
+def decode_pvrtc1(
+    data: np.ndarray, width: int, height: int, bpp2: bool = False
+) -> np.ndarray:
+    return _decode_pvrtc(data, width, height, bpp2, wrap=True)
+
+
+def decode_pvrtc2(
+    data: np.ndarray, width: int, height: int, bpp2: bool = False
+) -> np.ndarray:
+    """PVRTC2 interpolated subset: clamped borders instead of wraparound
+    (see kernels/pvrtc.py encode_pvrtc2 for the layout caveats)."""
+    return _decode_pvrtc(data, width, height, bpp2, wrap=False)

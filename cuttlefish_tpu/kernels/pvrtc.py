@@ -1,6 +1,6 @@
-"""PVRTC1 encoder (whole-surface JAX).
+"""PVRTC1/PVRTC2 encoders (whole-surface JAX).
 
-TPU-native replacement for PVRTexLib's PVRTC1 compressor
+TPU-native replacement for PVRTexLib's PVRTC compressor
 (`/root/reference/lib/src/PvrtcConverter.cpp`).  PVRTC1 stores two
 low-frequency color signals (A and B) at one color pair per block plus a
 per-texel 2-bit (4bpp) / 1-bit (2bpp) modulation; decoding bilinearly
@@ -129,9 +129,14 @@ def _quant_b(c):
     return packed, dec
 
 
-def upscale_bilinear(grid: jnp.ndarray, bw: int, bh: int) -> jnp.ndarray:
+def upscale_bilinear(
+    grid: jnp.ndarray, bw: int, bh: int, wrap: bool = True
+) -> jnp.ndarray:
     """[nby, nbx, C] block colors -> [nby*bh, nbx*bw, C] with the PVRTC
-    4x/2x bilinear + wraparound rule (block centers at half-block)."""
+    4x/2x bilinear rule (block centers at half-block).  PVRTC1 wraps
+    around the surface (`wrap=True`); PVRTC2 clamps at the borders
+    (`wrap=False`), which is its headline change — border blocks no
+    longer bleed colors from the opposite edge."""
     nby, nbx = grid.shape[:2]
     h, w = nby * bh, nbx * bw
     ys = jnp.arange(h)
@@ -140,10 +145,16 @@ def upscale_bilinear(grid: jnp.ndarray, bw: int, bh: int) -> jnp.ndarray:
     fx = xs % bw
     j = ys // bh
     i = xs // bw
-    py = jnp.where(fy < bh // 2, j - 1, j) % nby
-    px = jnp.where(fx < bw // 2, i - 1, i) % nbx
-    qy = (py + 1) % nby
-    qx = (px + 1) % nbx
+    if wrap:
+        py = jnp.where(fy < bh // 2, j - 1, j) % nby
+        px = jnp.where(fx < bw // 2, i - 1, i) % nbx
+        qy = (py + 1) % nby
+        qx = (px + 1) % nbx
+    else:
+        py = jnp.clip(jnp.where(fy < bh // 2, j - 1, j), 0, nby - 1)
+        px = jnp.clip(jnp.where(fx < bw // 2, i - 1, i), 0, nbx - 1)
+        qy = jnp.clip(py + 1, 0, nby - 1)
+        qx = jnp.clip(px + 1, 0, nbx - 1)
     wy = jnp.where(fy < bh // 2, fy + bh // 2, fy - bh // 2).astype(jnp.float32) / bh
     wx = jnp.where(fx < bw // 2, fx + bw // 2, fx - bw // 2).astype(jnp.float32) / bw
     p00 = grid[py][:, px]
@@ -184,16 +195,23 @@ def _block_endpoints(surface: jnp.ndarray, bw: int, bh: int):
     return lo.reshape(nby, nbx, nch), hi.reshape(nby, nbx, nch)
 
 
-@functools.partial(jax.jit, static_argnames=("bpp2", "quality"))
-def encode_pvrtc1(
-    surface: jnp.ndarray, bpp2: bool = False, quality: int = 2
+@functools.partial(jax.jit, static_argnames=("bpp2", "quality", "wrap"))
+def _encode_pvrtc(
+    surface: jnp.ndarray,
+    bpp2: bool = False,
+    quality: int = 2,
+    wrap: bool = True,
 ) -> jnp.ndarray:
     """Encode an RGB(A) surface (H, W, 4) float 0..1 -> [nblocks, 2] uint32
     words in raster order (caller applies the Morton permutation).
 
     Endpoints with alpha below 15/16 use the translucent color modes
-    (3-bit alpha + reduced color precision); the punch-through modulation
-    mode (flag bit 0) is a planned extension.
+    (3-bit alpha + reduced color precision).  4bpp blocks additionally
+    choose per block between the standard modulation (weights 0,3,5,8)
+    and the punch-through modulation mode (flag bit 0: weights 0,4,8 and
+    index 2 = blend at 4/8 with alpha forced to 0, matching
+    PVRTDecompress' getModulationValues).  `wrap=False` selects PVRTC2's
+    clamped border interpolation.
     """
     bw, bh = (8, 4) if bpp2 else (4, 4)
     rgba = surface[..., :4].astype(jnp.float32)
@@ -208,8 +226,8 @@ def encode_pvrtc1(
     def modulate(lo_g, hi_g):
         _, dec_a = _quant_a(lo_g)
         _, dec_b = _quant_b(hi_g)
-        a_img = upscale_bilinear(dec_a, bw, bh)
-        b_img = upscale_bilinear(dec_b, bw, bh)
+        a_img = upscale_bilinear(dec_a, bw, bh, wrap=wrap)
+        b_img = upscale_bilinear(dec_b, bw, bh, wrap=wrap)
         d = b_img - a_img
         denom = (d * d).sum(-1) + 1e-8
         t = ((rgba - a_img) * d).sum(-1) / denom  # ideal in [0,1]
@@ -251,9 +269,40 @@ def encode_pvrtc1(
     pa, _ = _quant_a(lo)
     pb, _ = _quant_b(hi)
 
+    bits = 1 if bpp2 else 2
+    punch_flag = jnp.zeros((nby, nbx), jnp.uint32)
+    if not bpp2:
+        # Punch-through modulation mode, chosen per block: candidate
+        # weights {0, 4, 8} plus index 2 = (A+B)/2 with alpha 0.
+        std_w = _MOD_W_4BPP / 8.0
+        cand_std = (
+            a_img[..., None, :] * (1.0 - std_w)[None, None, :, None]
+            + b_img[..., None, :] * std_w[None, None, :, None]
+        )  # [H,W,4cand,4ch]
+        e_std = ((rgba[..., None, :] - cand_std) ** 2).sum(-1)
+        mi_std = e_std.argmin(-1).astype(jnp.int32)
+        e_std = e_std.min(-1)
+
+        p_w = jnp.asarray([0.0, 0.5, 0.5, 1.0])
+        cand_p = (
+            a_img[..., None, :] * (1.0 - p_w)[None, None, :, None]
+            + b_img[..., None, :] * p_w[None, None, :, None]
+        )
+        cand_p = cand_p.at[..., 2, 3].set(0.0)  # index 2: alpha punched
+        e_p = ((rgba[..., None, :] - cand_p) ** 2).sum(-1)
+        mi_p = e_p.argmin(-1).astype(jnp.int32)
+        e_p = e_p.min(-1)
+
+        def bsum(e):
+            return e.reshape(nby, bh, nbx, bw).sum((1, 3))
+
+        use_punch = bsum(e_p) < bsum(e_std)  # [nby,nbx]
+        punch_flag = use_punch.astype(jnp.uint32)
+        up = jnp.repeat(jnp.repeat(use_punch, bh, 0), bw, 1)
+        mi = jnp.where(up, mi_p, mi_std)
+
     # Modulation word per block: 2 bits per texel raster order (1 bit for
     # 2bpp), texel (fx, fy) at bit (fy*bw+fx)*bits.
-    bits = 1 if bpp2 else 2
     mb = mi.reshape(nby, bh, nbx, bw).transpose(0, 2, 1, 3).reshape(
         nby * nbx, bh * bw
     )
@@ -261,11 +310,39 @@ def encode_pvrtc1(
     modword = (mb.astype(jnp.uint32) << shifts).sum(axis=1, dtype=jnp.uint32)
 
     # Color word (upper 32 bits of the block): bit 0 = modulation mode (0 =
-    # standard), bits 1..15 = color A incl. its opaque flag (positioned by
-    # _quant_a), bits 16..31 = color B incl. its opaque flag.  Modulation 0
-    # selects A (the low half), matching PVRTDecompress.
+    # standard, 1 = punch-through), bits 1..15 = color A incl. its opaque
+    # flag (positioned by _quant_a), bits 16..31 = color B incl. its opaque
+    # flag.  Modulation 0 selects A (the low half), matching PVRTDecompress.
     colorword = (
         (pb.reshape(-1).astype(jnp.uint32) << jnp.uint32(16))
         | pa.reshape(-1).astype(jnp.uint32)
+        | punch_flag.reshape(-1)
     )
     return jnp.stack([modword, colorword], axis=-1)
+
+
+def encode_pvrtc1(
+    surface: jnp.ndarray, bpp2: bool = False, quality: int = 2
+) -> jnp.ndarray:
+    """PVRTC1: wraparound interpolation (`PvrtcConverter.cpp:36-129`)."""
+    return _encode_pvrtc(surface, bpp2=bpp2, quality=quality, wrap=True)
+
+
+def encode_pvrtc2(
+    surface: jnp.ndarray, bpp2: bool = False, quality: int = 2
+) -> jnp.ndarray:
+    """PVRTC2 2/4bpp (reference: `PvrtcConverter.cpp:90-93` via PVRTexLib).
+
+    PVRTC2's public description (Imagination, "PVRTC2: taking texture
+    compression to a new dimension") keeps PVRTC1's two low-frequency
+    color signals + per-texel modulation but replaces the toroidal
+    wraparound with clamped border interpolation and adds hard-transition
+    / local-palette block modes.  This encoder emits the interpolated
+    subset — PVRTC1 color fields, clamped borders, punch-through
+    modulation for 4bpp — and never sets the hard-transition flag.  No
+    conformant PVRTC2 decoder exists in this environment, so the bit
+    layout is validated by the in-repo spec decoder only
+    (decode/pvrtc.py); the subset choice keeps every emitted field one
+    the PVRTC1-validated machinery produces.
+    """
+    return _encode_pvrtc(surface, bpp2=bpp2, quality=quality, wrap=False)

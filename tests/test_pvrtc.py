@@ -4,7 +4,7 @@ import numpy as np
 import pytest
 
 from cuttlefish_tpu.convert import EncodeParams, create_converter
-from cuttlefish_tpu.decode.pvrtc import decode_pvrtc1
+from cuttlefish_tpu.decode.pvrtc import decode_pvrtc1, decode_pvrtc2
 from cuttlefish_tpu.formats import Quality, TextureFormat, TextureType
 from cuttlefish_tpu.kernels.pvrtc import encode_pvrtc1, morton_order
 
@@ -109,9 +109,68 @@ class TestPipeline:
         with pytest.raises(ValueError):
             conv.encode(np.zeros((20, 24, 4), np.float32), EncodeParams())
 
-    def test_pvrtc2_unimplemented(self):
-        with pytest.raises(NotImplementedError):
-            create_converter(_F.PVRTC2_RGBA_4BPP, _T.UNorm)
+    @pytest.mark.parametrize(
+        "fmt,bpp2",
+        [(_F.PVRTC2_RGBA_4BPP, False), (_F.PVRTC2_RGBA_2BPP, True)],
+    )
+    def test_pvrtc2_converter(self, fmt, bpp2):
+        conv = create_converter(fmt, _T.UNorm)
+        surface = _smooth_surface(32, 32, np.random.default_rng(7))
+        data = conv.encode(surface, EncodeParams(quality=Quality.Normal))
+        assert len(data) == (32 * 32 * (2 if bpp2 else 4)) // 8
+        words = np.frombuffer(bytes(data), np.uint8).reshape(-1, 8)
+        inv = np.argsort(morton_order(32 // (8 if bpp2 else 4), 32 // 4))
+        dec = decode_pvrtc2(words[inv].reshape(-1), 32, 32, bpp2=bpp2)
+        assert _psnr(dec[..., :3], surface[..., :3]) > (24 if bpp2 else 28)
+
+    def test_pvrtc2_border_no_wrap(self):
+        """A bright left edge must not bleed into the right edge (the
+        PVRTC1 wraparound artifact PVRTC2 exists to fix)."""
+        surf = np.zeros((32, 32, 4), np.float32)
+        surf[..., 3] = 1.0
+        surf[:, :4, :3] = 1.0
+        from cuttlefish_tpu.kernels.pvrtc import encode_pvrtc2
+
+        words = np.asarray(encode_pvrtc2(surf, bpp2=False, quality=2))
+        dec = decode_pvrtc2(
+            np.ascontiguousarray(words.astype("<u4")).view(np.uint8), 32, 32
+        )
+        assert dec[:, -2:, :3].max() < 0.25
+        words1 = np.asarray(encode_pvrtc1(surf, bpp2=False, quality=2))
+        dec1 = decode_pvrtc1(
+            np.ascontiguousarray(words1.astype("<u4")).view(np.uint8), 32, 32
+        )
+        # Sanity: the wraparound variant does bleed on this content.
+        assert dec1[:, -2:, :3].max() > dec[:, -2:, :3].max()
+
+
+class TestPunchThrough:
+    def test_punch_alpha_mask(self):
+        """Hard-alpha content selects the punch-through modulation mode
+        and reproduces the transparency mask exactly."""
+        rng = np.random.default_rng(8)
+        surf = _smooth_surface(32, 32, rng)
+        hole = rng.random((32, 32)) < 0.3
+        surf[hole, 3] = 0.0
+        words = np.asarray(encode_pvrtc1(surf, bpp2=False, quality=2))
+        assert (words[:, 1] & 1).any()  # some block chose punch mode
+        dec = decode_pvrtc1(
+            np.ascontiguousarray(words.astype("<u4")).view(np.uint8), 32, 32
+        )
+        # Punched texels decode to alpha exactly 0.
+        assert dec[..., 3][hole].max() < 0.25
+        assert np.median(dec[..., 3][hole]) == 0.0
+        assert dec[..., 3][~hole].min() > 0.4
+
+    def test_opaque_content_never_punched(self):
+        """Punch mode may win on opaque content (its 4/8 weight beats
+        3/8 and 5/8 for mid-range texels) but must never zero alpha."""
+        surf = _smooth_surface(32, 32, np.random.default_rng(9))
+        words = np.asarray(encode_pvrtc1(surf, bpp2=False, quality=2))
+        dec = decode_pvrtc1(
+            np.ascontiguousarray(words.astype("<u4")).view(np.uint8), 32, 32
+        )
+        assert np.abs(dec[..., 3] - 1.0).max() < 1e-6
 
 
 class TestAlpha:
