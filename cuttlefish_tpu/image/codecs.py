@@ -222,6 +222,19 @@ def load(source) -> tuple[np.ndarray, ImageFormat]:
         return decode_hdr(data), ImageFormat.RGBF
     if data[:2] in (b"PF", b"Pf") and data[2:3] in (b"\n", b" ", b"\r"):
         return decode_pfm(data)
+    if data.startswith(b"\x76\x2f\x31\x01"):
+        from cuttlefish_tpu.image import exr
+
+        try:
+            arr, kind = exr.decode_exr(data)
+        except exr.ExrError as e:
+            raise DecodeError(str(e)) from e
+        fmt = {
+            "gray": ImageFormat.Float,
+            "rgb": ImageFormat.RGBF,
+            "rgba": ImageFormat.RGBAF,
+        }[kind]
+        return arr.astype(np.float32), fmt
     # Native C++ codec first (the FreeImage-analog layer); PIL covers the
     # long tail (JPEG, TIFF, ...) and any native-path failure.
     if data.startswith(b"\x89PNG\r\n\x1a\n"):
@@ -266,6 +279,14 @@ def save(data: np.ndarray, fmt: ImageFormat, file_name: str) -> bool:
         if ext == ".pfm":
             with open(file_name, "wb") as f:
                 f.write(encode_pfm(np.asarray(data, np.float32)))
+            return True
+        if ext == ".exr":
+            from cuttlefish_tpu.image import exr
+
+            if data.ndim == 3 and data.shape[2] not in (3, 4):
+                return False
+            with open(file_name, "wb") as f:
+                f.write(exr.encode_exr(np.asarray(data, np.float32)))
             return True
         if not _HAVE_PIL:
             return False

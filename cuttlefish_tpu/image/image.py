@@ -91,6 +91,16 @@ class Image:
         self._color_space = color_space
         return True
 
+    def save(self, file_name) -> bool:
+        """Save in the current storage format; codec picked by extension
+        (PNG/TGA/BMP/HDR/PFM/EXR native or via PIL).  Mirrors
+        `Image::save` (`/root/reference/lib/src/Image.cpp:924-958`):
+        returns False for invalid images or format/file-type combos the
+        codec cannot represent."""
+        if self._data is None:
+            return False
+        return codecs.save(self._data, self._format, str(file_name))
+
     def initialize(
         self,
         fmt: ImageFormat,

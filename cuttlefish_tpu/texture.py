@@ -385,30 +385,40 @@ class Texture:
         self._alpha_type = alpha_type
         self._color_mask = color_mask or ColorMask()
 
+        from cuttlefish_tpu import profiling
+
         t0 = time.perf_counter()
         texels = 0
+        profiling.reset_phases()
         try:
             # Collect every (mip, depth, face) surface and encode them in a
             # single batched dispatch (converter.encode_many) — the analog
             # of the reference's one thread pool over all images
             # (Converter.cpp:508-593), and the fix for paying the device
             # dispatch latency once per mip level.
-            surfaces = []
-            shape: list[tuple[int, int]] = []
-            for mip in range(self._mip_levels):
-                for d in range(len(self._images[mip])):
-                    for f in range(self._faces):
-                        surface = self._images[mip][d][f].rgbaf()
-                        texels += surface.shape[0] * surface.shape[1]
-                        surfaces.append(surface)
-                shape.append((len(self._images[mip]), self._faces))
-            encoded = converter.encode_many(surfaces, params)
-            textures: list[list[list[bytes]]] = []
-            it = iter(encoded)
-            for depths, faces in shape:
-                textures.append(
-                    [[bytes(next(it)) for _ in range(faces)] for _ in range(depths)]
-                )
+            with profiling.trace("convert"):
+                with profiling.phase("prepare"):
+                    surfaces = []
+                    shape: list[tuple[int, int]] = []
+                    for mip in range(self._mip_levels):
+                        for d in range(len(self._images[mip])):
+                            for f in range(self._faces):
+                                surface = self._images[mip][d][f].rgbaf()
+                                texels += surface.shape[0] * surface.shape[1]
+                                surfaces.append(surface)
+                        shape.append((len(self._images[mip]), self._faces))
+                with profiling.phase("encode"):
+                    encoded = converter.encode_many(surfaces, params)
+                with profiling.phase("serialize"):
+                    textures: list[list[list[bytes]]] = []
+                    it = iter(encoded)
+                    for depths, faces in shape:
+                        textures.append(
+                            [
+                                [bytes(next(it)) for _ in range(faces)]
+                                for _ in range(depths)
+                            ]
+                        )
         except Exception:
             self._format = TextureFormat.Unknown
             self._textures = None
@@ -419,6 +429,7 @@ class Texture:
             "texels": texels,
             "seconds": elapsed,
             "mtexels_per_sec": texels / elapsed / 1e6 if elapsed > 0 else 0.0,
+            "phases": dict(profiling.last_phases),
         }
         self._textures = textures
         return True

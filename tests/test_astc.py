@@ -63,6 +63,7 @@ class TestAstc4x4:
         # Constant alpha must be represented well (CEM12 endpoints).
         assert np.abs(dec[..., 3] / 255.0 - 0.5).max() < 0.02
 
+    @pytest.mark.slow
     def test_quality_monotone(self):
         rng = np.random.default_rng(3)
         blocks = rng.random((32, 16, 4), np.float32)

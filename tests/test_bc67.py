@@ -9,6 +9,8 @@ from cuttlefish_tpu.decode.bc7 import decode_bc7
 from cuttlefish_tpu.formats import ColorSpace, Quality, TextureFormat, TextureType
 from cuttlefish_tpu.kernels import bc6h, bc7
 
+pytestmark = pytest.mark.slow  # heavy jit compiles; core loop runs -m 'not slow'
+
 _F = TextureFormat
 _T = TextureType
 

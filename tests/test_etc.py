@@ -54,6 +54,7 @@ class TestEtc1:
         dec = decode_etc_rgb(_bytes(etc.encode_etc_rgb(blocks, quality=2)))
         assert _psnr(dec / 255.0, blocks[..., :3]) > 30
 
+    @pytest.mark.slow
     def test_quality_monotone(self):
         rng = np.random.default_rng(3)
         blocks = rng.random((64, 16, 4), np.float32)
@@ -65,6 +66,7 @@ class TestEtc1:
 
 
 class TestEtc2:
+    @pytest.mark.slow
     def test_planar_gradient(self):
         rng = np.random.default_rng(1)
         grad = np.zeros((16, 16, 4), np.float32)
@@ -96,6 +98,7 @@ class TestEtc2:
         e2 = np.mean((d2 / 255.0 - grad[..., :3]) ** 2)
         assert e2 <= e1
 
+    @pytest.mark.slow
     def test_rgba(self):
         rng = np.random.default_rng(4)
         blocks = rng.random((32, 16, 4), np.float32)
@@ -103,6 +106,7 @@ class TestEtc2:
         dec = decode_etc2_rgba(_bytes(etc.encode_etc2_rgba(blocks, quality=2)))
         assert _psnr(dec[..., 3] / 255.0, blocks[..., 3]) > 28
 
+    @pytest.mark.slow
     def test_punch_through(self):
         rng = np.random.default_rng(5)
         blocks = rng.random((16, 16, 4), np.float32)
@@ -114,6 +118,7 @@ class TestEtc2:
         opaque[::3] = False
         assert (dec[:, opaque, 3] == 255).all()
 
+    @pytest.mark.slow
     def test_punch_through_opaque_block(self):
         rng = np.random.default_rng(6)
         blocks = rng.random((8, 16, 4), np.float32)
@@ -168,6 +173,7 @@ class TestPipeline:
 
 
 class TestTMode:
+    @pytest.mark.slow
     def test_two_cluster_blocks(self):
         rng = np.random.default_rng(12)
         c0 = rng.random((64, 1, 4)).astype(np.float32)
@@ -208,6 +214,7 @@ class TestHMode:
 
 
 class TestEffortLadder:
+    @pytest.mark.slow
     def test_quality_monotone_psnr(self):
         """The effort ladder does real extra work: PSNR never degrades with
         quality and the Lowest/Highest candidate sets differ (VERDICT

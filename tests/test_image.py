@@ -240,3 +240,74 @@ def test_pfm_roundtrip():
     arr, fmt = codecs.decode_pfm(data)
     assert fmt is ImageFormat.RGBF
     np.testing.assert_array_equal(arr, rgb)
+
+
+def test_image_save_roundtrip(tmp_path):
+    """Image.save (ref Image.cpp:924-958) round-trips PNG and EXR."""
+    rng = np.random.default_rng(0)
+    a8 = (rng.random((12, 17, 4)) * 255).astype(np.uint8)
+    img = Image.from_array(a8, ImageFormat.RGBA8)
+    assert img.save(tmp_path / "t.png")
+    back = Image(str(tmp_path / "t.png"))
+    assert np.array_equal(back.array, a8)
+
+    hdrv = (rng.random((9, 13, 3)) * 50).astype(np.float32)
+    imgf = Image.from_array(hdrv, ImageFormat.RGBF)
+    assert imgf.save(tmp_path / "t.exr")
+    backf = Image(str(tmp_path / "t.exr"))
+    assert backf.format is ImageFormat.RGBF
+    # HALF storage: relative error bounded by float16 precision.
+    assert np.abs(backf.array - hdrv).max() <= np.abs(hdrv).max() * 1e-3
+
+    assert not Image().save(tmp_path / "invalid.png")
+
+
+def test_exr_roundtrip_and_zip(tmp_path):
+    """EXR: NONE-written files decode exactly; a ZIPS variant built with
+    the spec reorder+predictor+deflate decodes to the same pixels."""
+    import struct
+
+    from cuttlefish_tpu.image import exr
+
+    rng = np.random.default_rng(1)
+    # Quantized gradient: compressible, so the ZIPS variant below really
+    # exercises the inflate + predictor + interleave path.
+    y, x = np.mgrid[0:21, 0:10].astype(np.float32)
+    arr = np.stack([y / 4, x / 2, (x + y) % 3, np.round(y) * 0.5], -1)
+    arr = (arr + rng.integers(0, 2, arr.shape)).astype(np.float32)
+    none = exr.encode_exr(arr, half=False)
+    dec, kind = exr.decode_exr(none)
+    assert kind == "rgba"
+    assert np.array_equal(dec, arr)
+
+    g = (rng.random((5, 7)) * 4).astype(np.float32)
+    decg, kindg = exr.decode_exr(exr.encode_exr(g, half=True))
+    assert kindg == "gray"
+    assert np.abs(decg - g).max() < 0.01
+
+    # Build the equivalent ZIPS file: flip the compression byte and
+    # recompress every scanline chunk with the spec preprocessing.
+    key = b"compression\x00compression\x00"
+    cpos = none.index(key) + len(key) + 4
+    height, width = arr.shape[:2]
+    row = width * 4 * 4
+    head_end = none.index(struct.pack("<ii", 0, row))
+    table_pos = head_end - 8 * height
+    header = bytearray(none[:table_pos])
+    header[cpos] = 2  # ZIPS
+    chunks, offsets = [], []
+    off = table_pos + 8 * height
+    src = table_pos + 8 * height
+    for y in range(height):
+        yv, sz = struct.unpack_from("<ii", none, src)
+        raw = none[src + 8 : src + 8 + sz]
+        src += 8 + sz
+        comp = exr._zip_block(raw)
+        offsets.append(off)
+        chunk = struct.pack("<ii", yv, len(comp)) + comp
+        chunks.append(chunk)
+        off += len(chunk)
+    zfile = bytes(header) + struct.pack(f"<{height}Q", *offsets) + b"".join(chunks)
+    dec2, _ = exr.decode_exr(zfile)
+    assert np.array_equal(dec2, arr)
+    assert len(zfile) < len(none)

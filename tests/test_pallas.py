@@ -11,6 +11,8 @@ import pytest
 
 from cuttlefish_tpu.decode import decode_bc7
 
+pytestmark = pytest.mark.slow  # heavy jit compiles; core loop runs -m 'not slow'
+
 
 def _psnr(dec, ref):
     mse = ((dec.astype(np.float64) - ref) ** 2).mean()
