@@ -565,11 +565,40 @@ _PLAN = {
 }
 
 
-@functools.partial(jax.jit, static_argnames=("block_w", "block_h", "quality"))
 def encode_astc(
+    blocks, block_w: int = 4, block_h: int = 4, quality: int = 2
+):
+    """Encode [N, bw*bh, 4] float RGBA (0..1) to ASTC [N,4] uint32 words.
+
+    Dispatch: on TPU the 4x4 quality-0..2 path runs the Pallas kernel
+    (kernels/astc_pallas.py, VMEM-resident layout sweep); other block
+    sizes, higher quality, and CPU use the jnp path.
+    CUTTLEFISH_PALLAS=0 disables, =1 forces the interpreted kernel."""
+    import os
+
+    use = os.environ.get("CUTTLEFISH_PALLAS", "auto")
+    if (
+        use != "0"
+        and block_w == 4
+        and block_h == 4
+        and int(quality) <= 2
+    ):
+        if jax.default_backend() == "tpu":
+            from cuttlefish_tpu.kernels.astc_pallas import encode_astc4x4_pallas
+
+            return encode_astc4x4_pallas(blocks, int(quality))
+        if use == "1":
+            from cuttlefish_tpu.kernels.astc_pallas import encode_astc4x4_pallas
+
+            return encode_astc4x4_pallas(blocks, int(quality), interpret=True)
+    return _encode_astc_jnp(blocks, block_w, block_h, quality)
+
+
+@functools.partial(jax.jit, static_argnames=("block_w", "block_h", "quality"))
+def _encode_astc_jnp(
     blocks: jnp.ndarray, block_w: int = 4, block_h: int = 4, quality: int = 2
 ) -> jnp.ndarray:
-    """Encode [N, bw*bh, 4] float RGBA (0..1) to ASTC [N,4] uint32 words."""
+    """jnp reference path (all 14 block sizes, all 5 quality levels)."""
     colors = jnp.clip(blocks.astype(jnp.float32), 0, 1) * 255.0
     plan = _PLAN[max(0, min(4, int(quality)))]
     iters = plan["iters"]

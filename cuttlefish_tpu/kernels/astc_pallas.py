@@ -1,0 +1,596 @@
+"""ASTC 4x4 LDR block encoder as a Pallas TPU kernel (quality 0-2).
+
+Same blocks-on-lanes layout as bc7_pallas.py: texels on sublanes
+([16,TN] tiles), channels unrolled, the whole layout sweep VMEM-resident.
+The algorithm mirrors kernels/astc.py's `encode_astc` for the 4x4 block
+size (where the weight grid equals the texel grid, so spec C.2.18 infill
+is the identity): void extent + the 1-partition CEM8/CEM12 layout menu in
+kernel A, and the 1024-seed partition screening + 2-partition CEM8 fit in
+kernel B (smaller lane tile — the [1024,TN] screening moments must stay
+in VMEM).  Replaces the astcenc role of the reference
+(`/root/reference/lib/src/AstcConverter.cpp`) on the TPU hot path.
+
+Table lookups (trit/quint quantization ladders, trit pack blocks) never
+gather: per-value lookups ride the MXU as one-hot matmuls against the
+Mesa-validated tables from astc_ise.py, and per-texel weight quantization
+unrolls over the <= 16 ladder levels as vector selects.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cuttlefish_tpu.kernels.astc import (
+    Layout,
+    _PLAN,
+    _color_qlut,
+    _weight_qlut,
+    block_mode_field,
+    layout_menu,
+)
+from cuttlefish_tpu.kernels.astc_ise import (
+    ise_sequence_layout,
+    range_info,
+    trit_pack_table,
+    quint_pack_table,
+    weight_unquant,
+)
+from cuttlefish_tpu.kernels.astc_partition import partition_table
+
+TN_A = 512
+TN_B = 128
+
+_U32 = jnp.uint32
+
+
+def _rt(x):
+    return jnp.sum(x, axis=0, keepdims=True)
+
+
+def _sel(take, a, b):
+    if isinstance(a, (list, tuple)):
+        return [jnp.where(take, x, y) for x, y in zip(a, b)]
+    return jnp.where(take, a, b)
+
+
+def _mm(m, x):
+    return jax.lax.dot_general(
+        m, x, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _lut_rows(idx, table):
+    """MXU gather: idx [1,TN] int 0..D-1, table [R,D] f32 array (a kernel
+    input ref value) -> list of R [1,TN] int32 rows (table[r][idx])."""
+    d = table.shape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (d, idx.shape[1]), 0)
+    oh = (iota == idx).astype(jnp.float32)  # [D,TN]
+    out = _mm(table, oh)  # [R,TN]
+    return [
+        out[r : r + 1, :].astype(jnp.int32) for r in range(table.shape[0])
+    ]
+
+
+def _wquant_levels(w64, levels: int):
+    """Per-texel nearest-level weight quantization by unrolled level sweep.
+
+    w64 [16,TN] int 0..64 -> (q [16,TN] ISE value, unq [16,TN] 0..64).
+    Ties keep the lowest ISE index (matches _weight_qlut's argmin)."""
+    unq_tab = weight_unquant(levels)
+    best_q = jnp.zeros_like(w64)
+    best_u = jnp.full_like(w64, int(unq_tab[0]))
+    best_d = jnp.abs(w64 - int(unq_tab[0]))
+    for q in range(1, levels):
+        d = jnp.abs(w64 - int(unq_tab[q]))
+        take = d < best_d
+        best_q = jnp.where(take, q, best_q)
+        best_u = jnp.where(take, int(unq_tab[q]), best_u)
+        best_d = jnp.where(take, d, best_d)
+    return best_q, best_u
+
+
+# ---------------------------------------------------------------------------
+# ISE packing (static stream positions, [1,TN] registers)
+# ---------------------------------------------------------------------------
+
+
+def _trit_block_idx(digits):
+    """5 trit digits (list of [1,TN] int32, padded with zeros) -> flat
+    C-order index into the [3,3,3,3,3] pack table."""
+    acc = jnp.zeros_like(digits[0])
+    for k, dk in enumerate(digits):
+        acc = acc + dk * (3 ** (len(digits) - 1 - k))
+    return acc
+
+
+def _pack_ise_pallas(words, values, levels, for_weights, start, reverse,
+                     pack_tbl):
+    """values: list of n [1,TN] int32 quantized values.  Mirrors
+    kernels/astc.py:_pack_ise_jax, with the trit/quint pack-block gather
+    as a one-hot matmul against `pack_tbl` [1,243|125] (a kernel input)."""
+    kind, b = range_info(levels, for_weights)
+    n = len(values)
+    m = [v & ((1 << b) - 1) if b else jnp.zeros_like(v) for v in values]
+    packed = []
+    if kind != "b":
+        per = 5 if kind == "t" else 3
+        ngroups = (n + per - 1) // per
+        for g in range(ngroups):
+            digits = []
+            for k in range(per):
+                i = g * per + k
+                digits.append(
+                    values[i] >> b if i < n else jnp.zeros_like(values[0])
+                )
+            if kind == "t":
+                idx = _trit_block_idx(digits)
+            else:
+                acc = jnp.zeros_like(digits[0])
+                for k, dk in enumerate(digits):
+                    acc = acc + dk * (5 ** (per - 1 - k))
+                idx = acc
+            (pk,) = _lut_rows(idx, pack_tbl)
+            packed.append(pk)
+
+    layout = ise_sequence_layout(n, kind, b)
+    for pos, (src, i, j) in enumerate(layout):
+        if src == "m":
+            if i < 0:
+                continue
+            bit = (m[i].astype(_U32) >> _U32(j)) & _U32(1)
+        else:
+            bit = (packed[i].astype(_U32) >> _U32(j)) & _U32(1)
+        block_bit = (127 - pos) if reverse else (start + pos)
+        w, bo = divmod(block_bit, 32)
+        words[w] = words[w] | (bit << _U32(bo))
+
+
+# ---------------------------------------------------------------------------
+# Shared fit machinery
+# ---------------------------------------------------------------------------
+
+
+def _pca_seed(px, mask, chn):
+    """Masked principal-axis extremes; px list of [16,TN]."""
+    cnt = _rt(mask) + 1e-6
+    mean = [_rt(px[c] * mask) / cnt for c in range(chn)]
+    cent = [(px[c] - mean[c]) * mask for c in range(chn)]
+    cov = [[_rt(cent[c] * cent[d]) for d in range(chn)] for c in range(chn)]
+    v = [jnp.ones_like(mean[0]) for _ in range(chn)]
+    for _ in range(3):
+        nv = [sum(cov[c][d] * v[d] for d in range(chn)) for c in range(chn)]
+        nn = jnp.sqrt(sum(x * x for x in nv))
+        v = [jnp.where(nn > 1e-10, nv[c] / (nn + 1e-20), v[c]) for c in range(chn)]
+    t = sum(cent[c] * v[c] for c in range(chn))
+    tmax = jnp.max(jnp.where(mask > 0, t, -1e30), axis=0, keepdims=True)
+    tmin = jnp.min(jnp.where(mask > 0, t, 1e30), axis=0, keepdims=True)
+    e1 = [mean[c] + v[c] * tmax for c in range(chn)]
+    e0 = [mean[c] + v[c] * tmin for c in range(chn)]
+    return e0, e1
+
+
+def _orient(e0, e1):
+    """Endpoint order: sum(rgb) of e0 must not exceed e1's (avoids the
+    CEM8 blue-contraction decode branch, like the jnp path)."""
+    s0 = sum(e0[:3])
+    s1 = sum(e1[:3])
+    swap = s0 > s1
+    return _sel(swap, e1, e0), _sel(swap, e0, e1)
+
+
+def _quant_colors(e, clevels, clut):
+    """e: channel list of [1,TN] floats 0..255 -> (q, dec) int lists.
+    clut: [2,256] (rows: ISE index, decoded byte) kernel input, unused
+    for the identity 256-level range."""
+    qs, ds = [], []
+    if clevels == 256:
+        for ec in e:
+            v = jnp.clip(jnp.round(ec), 0, 255).astype(jnp.int32)
+            qs.append(v)
+            ds.append(v)
+        return qs, ds
+    for ec in e:
+        v = jnp.clip(jnp.round(ec), 0, 255).astype(jnp.int32)
+        q, d = _lut_rows(v, clut)
+        qs.append(q)
+        ds.append(d)
+    return qs, ds
+
+
+def _ls(px, w, mask, chn):
+    """LS endpoints for fixed weights w [16,TN] in [0,1]."""
+    wv = w * mask
+    uv = (1.0 - w) * mask
+    a11 = _rt(wv * w)
+    a12 = _rt(wv * (1.0 - w))
+    a22 = _rt(uv * (1.0 - w))
+    b1 = [_rt(wv * px[c]) for c in range(chn)]
+    b0 = [_rt(uv * px[c]) for c in range(chn)]
+    det = a11 * a22 - a12 * a12
+    ok = jnp.abs(det) > 1e-6
+    safe = jnp.where(ok, det, 1.0)
+    cnt = _rt(mask) + 1e-6
+    mean = [_rt(px[c] * mask) / cnt for c in range(chn)]
+    e1 = [
+        jnp.where(ok, (a22 * b1[c] - a12 * b0[c]) / safe, mean[c])
+        for c in range(chn)
+    ]
+    e0 = [
+        jnp.where(ok, (a11 * b0[c] - a12 * b1[c]) / safe, mean[c])
+        for c in range(chn)
+    ]
+    clip = lambda e: [jnp.clip(x, 0.0, 255.0) for x in e]
+    return clip(e0), clip(e1)
+
+
+def _eval_exact(px, d0t, d1t, w64, nch):
+    """Exact decoder model: per-channel d0t/d1t [*,TN] int (alpha=255 row
+    appended by the caller for CEM8), weights w64 [16,TN] int 0..64.
+    Returns per-block error [1,TN] over 4 channels."""
+    err = jnp.zeros_like(px[0][0:1, :])
+    for c in range(4):
+        d0 = d0t[c] if c < nch else jnp.full_like(w64, 255)
+        d1 = d1t[c] if c < nch else jnp.full_like(w64, 255)
+        e0 = d0 * 257
+        e1 = d1 * 257
+        c16 = (e0 * (64 - w64) + e1 * w64 + 32) >> 6
+        dec = (c16 >> 8).astype(jnp.float32)
+        err = err + _rt((dec - px[c]) ** 2)
+    return err
+
+
+def _fit_1part(px, lay: Layout, iters: int, clut):
+    """1-partition fit on the 4x4 identity grid.  Returns
+    (q0, q1, gq16, err): q* channel lists [1,TN], gq16 [16,TN]."""
+    nch = 4 if lay.cem == 12 else 3
+    ones = jnp.ones_like(px[0])
+    e0, e1 = _pca_seed(px, ones, nch)
+    e0, e1 = _orient(e0, e1)
+
+    best = None
+    for it in range(max(1, iters)):
+        q0, d0 = _quant_colors(e0, lay.clevels, clut)
+        q1, d1 = _quant_colors(e1, lay.clevels, clut)
+        # fix_order on decoded sums.
+        swap = sum(d0[:3]) > sum(d1[:3])
+        q0, q1 = _sel(swap, q1, q0), _sel(swap, q0, q1)
+        d0, d1 = _sel(swap, d1, d0), _sel(swap, d0, d1)
+        # ideal per-texel weight.
+        df = [(d1[c] - d0[c]).astype(jnp.float32) for c in range(nch)]
+        denom = sum(f * f for f in df) + 1e-6
+        proj = sum((px[c] - d0[c].astype(jnp.float32)) * df[c] for c in range(nch))
+        t = jnp.clip(proj / denom, 0.0, 1.0)
+        w64i = jnp.clip(jnp.round(t * 64.0), 0, 64).astype(jnp.int32)
+        gq, unq = _wquant_levels(w64i, lay.wlevels)
+        err = _eval_exact(px, d0, d1, unq, nch)
+        cand = (q0, q1, gq, err)
+        if best is None:
+            best = cand
+        else:
+            take = err < best[3]
+            best = (
+                _sel(take, cand[0], best[0]),
+                _sel(take, cand[1], best[1]),
+                jnp.where(take, cand[2], best[2]),
+                jnp.where(take, err, best[3]),
+            )
+        if it + 1 < max(1, iters):
+            w = best[2]
+            unq_tab = weight_unquant(lay.wlevels)
+            u = jnp.zeros_like(w)
+            for q in range(lay.wlevels):
+                u = jnp.where(w == q, int(unq_tab[q]), u)
+            e0, e1 = _ls(px[:nch], u.astype(jnp.float32) / 64.0, ones, nch)
+            e0, e1 = _orient(e0, e1)
+    return best
+
+
+def _pack_1part(lay: Layout, q0, q1, gq, shape, trit_tbl):
+    """Mirror of kernels/astc.py:_pack_block for nparts=1."""
+    words = [jnp.zeros(shape, _U32) for _ in range(4)]
+    mode = block_mode_field(lay.gw, lay.gh, lay.wlevels)
+    hdr = mode | ((lay.nparts - 1) << 11) | (lay.cem << 13)
+    words[0] = words[0] | _U32(hdr)
+    nch = len(q0)
+    cols = []
+    for c in range(nch):
+        cols.append(q0[c])
+        cols.append(q1[c])
+    _pack_ise_pallas(words, cols, lay.clevels, False, lay.header, False,
+                     trit_tbl)
+    gq_vals = [gq[i : i + 1, :] for i in range(16)]
+    _pack_ise_pallas(words, gq_vals, lay.wlevels, True, 0, True, trit_tbl)
+    return words
+
+
+def _void_extent(px):
+    shape = px[0][0:1, :].shape
+    mean = [_rt(px[c]) / 16.0 for c in range(4)]
+    v16 = [
+        jnp.clip(jnp.round(m * 257.0), 0, 65535).astype(jnp.int32)
+        for m in mean
+    ]
+    err = jnp.zeros(shape)
+    for c in range(4):
+        dec8 = (v16[c] >> 8).astype(jnp.float32)
+        err = err + _rt((dec8 - px[c]) ** 2)
+    w0 = jnp.full(shape, (0x1FC | (0b11 << 10)) | 0xFFFFF000, _U32)
+    w1 = jnp.full(shape, 0xFFFFFFFF, _U32)
+    w2 = (v16[0] | (v16[1] << 16)).astype(_U32)
+    w3 = (v16[2] | (v16[3] << 16)).astype(_U32)
+    return [w0, w1, w2, w3], err
+
+
+# ---------------------------------------------------------------------------
+# Kernel A: void extent + 1-partition layouts
+# ---------------------------------------------------------------------------
+
+
+def _layouts_a(quality):
+    plan = _PLAN[quality]
+    menu = layout_menu(4, 4)
+    return (
+        menu[(8, 1)][: plan["cem8_layouts"]]
+        + menu[(12, 1)][: plan["cem12_layouts"]]
+    )
+
+
+def _kernel_a(x_ref, trit_ref, *rest, quality, clut_levels):
+    clut_refs = rest[: len(clut_levels)]
+    out_ref, err_ref = rest[len(clut_levels)], rest[len(clut_levels) + 1]
+    cluts = {lv: r[:] for lv, r in zip(clut_levels, clut_refs)}
+    trit_tbl = trit_ref[:]
+    px = [x_ref[c] for c in range(4)]
+    iters = _PLAN[quality]["iters"]
+
+    words, err = _void_extent(px)
+    for lay in _layouts_a(quality):
+        q0, q1, gq, lerr = _fit_1part(px, lay, iters, cluts.get(lay.clevels))
+        lwords = _pack_1part(lay, q0, q1, gq, lerr.shape, trit_tbl)
+        take = lerr < err
+        words = [jnp.where(take, a, b) for a, b in zip(lwords, words)]
+        err = jnp.where(take, lerr, err)
+
+    for w in range(4):
+        out_ref[w : w + 1, :] = words[w]
+    err_ref[0:1, :] = err
+
+
+# ---------------------------------------------------------------------------
+# Kernel B: 2-partition screening + fit (CEM 8)
+# ---------------------------------------------------------------------------
+
+
+def _kernel_b(x_ref, pt_ref, ptt_ref, trit_ref, clut_ref, out_ref, err_ref,
+              *, quality):
+    trit_tbl = trit_ref[:]
+    clut = clut_ref[:]
+    px = [x_ref[c] for c in range(4)]
+    plan = _PLAN[quality]
+    iters = plan["iters"]
+    lay = layout_menu(4, 4)[(8, 2)][0]
+    nch = 3
+
+    # --- screening: within-cluster SSE proxy over all 1024 seeds (MXU).
+    pt = pt_ref[:]  # [1024,16] membership of subset 1
+    ns = jnp.sum(pt, axis=1, keepdims=True)  # [1024,1]
+    s1 = [_mm(pt, px[c]) for c in range(4)]  # [1024,TN]
+    sq_all = _rt(sum(px[c] * px[c] for c in range(4)))  # [1,TN]
+    s_all = [_rt(px[c]) for c in range(4)]
+    n1 = ns + 1e-6
+    n0 = (16.0 - ns) + 1e-6
+    explained = sum(s1[c] * s1[c] for c in range(4)) / n1 + sum(
+        (s_all[c] - s1[c]) * (s_all[c] - s1[c]) for c in range(4)
+    ) / n0
+    sse = sq_all - explained
+    degenerate = (ns < 1.0) | (ns > 15.0)
+    sse = jnp.where(degenerate, jnp.inf, sse)
+    iota = jax.lax.broadcasted_iota(jnp.int32, sse.shape, 0)
+    smin = jnp.min(sse, axis=0, keepdims=True)
+    seed = jnp.min(jnp.where(sse == smin, iota, 1024), axis=0, keepdims=True)
+    onehot = (iota == seed).astype(jnp.float32)  # [1024,TN]
+    m1 = _mm(ptt_ref[:], onehot)  # [16,TN]
+
+    # --- per-partition fits (masked), shared weight grid.
+    masks = (1.0 - m1, m1)
+    seeds = [_orient(*_pca_seed(px, m, nch)) for m in masks]
+
+    best = None
+    for it in range(max(1, iters)):
+        qs, ds = [], []
+        for p in range(2):
+            q0, d0 = _quant_colors(seeds[p][0], lay.clevels, clut)
+            q1, d1 = _quant_colors(seeds[p][1], lay.clevels, clut)
+            swap = sum(d0[:3]) > sum(d1[:3])
+            q0, q1 = _sel(swap, q1, q0), _sel(swap, q0, q1)
+            d0, d1 = _sel(swap, d1, d0), _sel(swap, d0, d1)
+            qs.append((q0, q1))
+            ds.append((d0, d1))
+        # per-texel endpoints via the membership mask
+        d0t = [
+            ds[0][0][c].astype(jnp.float32) * (1.0 - m1)
+            + ds[1][0][c].astype(jnp.float32) * m1
+            for c in range(nch)
+        ]
+        d1t = [
+            ds[0][1][c].astype(jnp.float32) * (1.0 - m1)
+            + ds[1][1][c].astype(jnp.float32) * m1
+            for c in range(nch)
+        ]
+        df = [d1t[c] - d0t[c] for c in range(nch)]
+        denom = sum(f * f for f in df) + 1e-6
+        proj = sum((px[c] - d0t[c]) * df[c] for c in range(nch))
+        t = jnp.clip(proj / denom, 0.0, 1.0)
+        w64i = jnp.clip(jnp.round(t * 64.0), 0, 64).astype(jnp.int32)
+        gq, unq = _wquant_levels(w64i, lay.wlevels)
+        # exact eval (integer endpoints per texel)
+        d0i = [d.astype(jnp.int32) for d in d0t]
+        d1i = [d.astype(jnp.int32) for d in d1t]
+        err = _eval_exact(px, d0i, d1i, unq, nch)
+        cand = (qs, gq, err)
+        if best is None:
+            best = cand
+        else:
+            take = err < best[2]
+            newqs = [
+                (
+                    _sel(take, cand[0][p][0], best[0][p][0]),
+                    _sel(take, cand[0][p][1], best[0][p][1]),
+                )
+                for p in range(2)
+            ]
+            best = (
+                newqs,
+                jnp.where(take, cand[1], best[1]),
+                jnp.where(take, err, best[2]),
+            )
+        if it + 1 < max(1, iters):
+            unq_tab = weight_unquant(lay.wlevels)
+            u = jnp.zeros_like(best[1])
+            for q in range(lay.wlevels):
+                u = jnp.where(best[1] == q, int(unq_tab[q]), u)
+            w = u.astype(jnp.float32) / 64.0
+            seeds = [
+                _orient(*_ls(px[:nch], w, m, nch)) for m in masks
+            ]
+
+    qs, gq, err = best
+    # --- pack (mirror _pack_block nparts=2 path)
+    words = [jnp.zeros(err.shape, _U32) for _ in range(4)]
+    mode = block_mode_field(lay.gw, lay.gh, lay.wlevels)
+    hdr = mode | ((lay.nparts - 1) << 11)
+    words[0] = words[0] | _U32(hdr)
+    words[0] = words[0] | (seed.astype(_U32) << _U32(13))
+    words[0] = words[0] | _U32(lay.cem << 2) << _U32(23 - 32 + 32)
+    cols = []
+    for p in range(2):
+        for c in range(nch):
+            cols.append(qs[p][0][c])
+            cols.append(qs[p][1][c])
+    _pack_ise_pallas(words, cols, lay.clevels, False, lay.header, False,
+                     trit_tbl)
+    gq_vals = [gq[i : i + 1, :] for i in range(16)]
+    _pack_ise_pallas(words, gq_vals, lay.wlevels, True, 0, True, trit_tbl)
+
+    for w in range(4):
+        out_ref[w : w + 1, :] = words[w]
+    err_ref[0:1, :] = err
+
+
+# ---------------------------------------------------------------------------
+# Wrapper
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("quality", "interpret"))
+def encode_astc4x4_pallas(
+    blocks: jnp.ndarray, quality: int = 2, interpret: bool = False
+) -> jnp.ndarray:
+    """Encode [N,16,4] float RGBA (0..1) -> ASTC 4x4 [N,4] uint32 words."""
+    quality = max(0, min(2, int(quality)))
+    plan = _PLAN[quality]
+    n = blocks.shape[0]
+
+    def pad_to(tn):
+        npad = -(-n // tn) * tn
+        x = jnp.clip(blocks.astype(jnp.float32), 0.0, 1.0) * 255.0
+        x = jnp.pad(x, ((0, npad - n), (0, 0), (0, 0)))
+        return jnp.transpose(x, (2, 1, 0)), npad  # [4,16,Np]
+
+    trit_tbl = jnp.asarray(
+        trit_pack_table().reshape(1, -1).astype(np.float32)
+    )  # [1,243]
+    clut_levels = tuple(
+        sorted({l.clevels for l in _layouts_a(quality) if l.clevels != 256})
+    )
+    cluts = [
+        jnp.asarray(np.stack(_color_qlut(lv)).astype(np.float32))
+        for lv in clut_levels
+    ]  # each [2,256]
+
+    tn_a = TN_A if n >= TN_A else -(-n // 128) * 128
+    xa, npad_a = pad_to(tn_a)
+    words_a, err_a = pl.pallas_call(
+        functools.partial(
+            _kernel_a, quality=quality, clut_levels=clut_levels
+        ),
+        grid=(npad_a // tn_a,),
+        in_specs=[
+            pl.BlockSpec(
+                (4, 16, tn_a), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, 243), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        + [
+            pl.BlockSpec((2, 256), lambda i: (0, 0), memory_space=pltpu.VMEM)
+            for _ in clut_levels
+        ],
+        out_specs=[
+            pl.BlockSpec((4, tn_a), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn_a), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((4, npad_a), jnp.uint32),
+            jax.ShapeDtypeStruct((1, npad_a), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xa, trit_tbl, *cluts)
+    words = jnp.transpose(words_a)[:n]
+    err = err_a[0, :n]
+
+    if plan["seeds2"]:
+        tn_b = TN_B if n >= TN_B else -(-n // 128) * 128
+        xb, npad_b = pad_to(tn_b)
+        pt = jnp.asarray(
+            (partition_table(4, 4, 2) == 1).astype(np.float32)
+        )  # [1024,16]
+        lay2 = layout_menu(4, 4)[(8, 2)][0]
+        clut2 = jnp.asarray(
+            np.stack(_color_qlut(lay2.clevels)).astype(np.float32)
+        )
+        words_b, err_b = pl.pallas_call(
+            functools.partial(_kernel_b, quality=quality),
+            grid=(npad_b // tn_b,),
+            in_specs=[
+                pl.BlockSpec(
+                    (4, 16, tn_b), lambda i: (0, 0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1024, 16), lambda i: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (16, 1024), lambda i: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, 243), lambda i: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (2, 256), lambda i: (0, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (4, tn_b), lambda i: (0, i), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, tn_b), lambda i: (0, i), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((4, npad_b), jnp.uint32),
+                jax.ShapeDtypeStruct((1, npad_b), jnp.float32),
+            ],
+            interpret=interpret,
+        )(xb, pt, jnp.transpose(pt), trit_tbl, clut2)
+        wb = jnp.transpose(words_b)[:n]
+        eb = err_b[0, :n]
+        take = eb < err
+        words = jnp.where(take[:, None], wb, words)
+    return words

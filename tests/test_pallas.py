@@ -97,3 +97,23 @@ def test_bc7_pallas_q2_quality(blocks):
     p_pallas = _psnr(_decode(wp), ref)
     p_jnp = _psnr(_decode(wj), ref)
     assert p_pallas >= p_jnp - 0.1, (p_pallas, p_jnp)
+
+
+def test_astc4x4_pallas_bit_equal(blocks):
+    """ASTC 4x4 Pallas kernel (interpret mode) matches the jnp path
+    bit-for-bit at quality 0-2 (same seeds, same exact-decode eval, same
+    ISE packing), and the bitstream decodes correctly."""
+    from cuttlefish_tpu.decode.astc import decode_astc
+    from cuttlefish_tpu.kernels.astc import _encode_astc_jnp
+    from cuttlefish_tpu.kernels.astc_pallas import encode_astc4x4_pallas
+
+    for q in (0, 1, 2):
+        wp = np.asarray(encode_astc4x4_pallas(blocks, q, interpret=True))
+        wj = np.asarray(_encode_astc_jnp(blocks, 4, 4, q))
+        assert np.array_equal(wp, wj), q
+    dec = decode_astc(
+        np.frombuffer(wp.astype("<u4").tobytes(), np.uint8), 4, 4
+    )
+    ref = np.clip(np.asarray(blocks), 0, 1) * 255.0
+    mse = ((dec.astype(np.float64) - ref) ** 2).mean()
+    assert 10 * np.log10(255.0**2 / mse) > 12.0
