@@ -130,19 +130,25 @@ def measure_full_matrix() -> dict:
 
     def e2e(name, size, fmt, type_, quality, filetype, mips):
         surf = _test_surface(size)
-        t0 = time.perf_counter()
-        tex = ct.Texture(ct.Dimension.Dim2D, size, size)
-        tex.set_image(ct.Image.from_array(surf, ct.ImageFormat.RGBAF))
-        if mips:
-            tex.generate_mipmaps()
-        assert tex.convert(fmt, type_, quality=quality)
-        res, data = tex.save_to_bytes(filetype)
-        assert res is ct.SaveResult.Success
-        dt = time.perf_counter() - t0
+
+        def once():
+            t0 = time.perf_counter()
+            tex = ct.Texture(ct.Dimension.Dim2D, size, size)
+            tex.set_image(ct.Image.from_array(surf, ct.ImageFormat.RGBAF))
+            if mips:
+                tex.generate_mipmaps()
+            assert tex.convert(fmt, type_, quality=quality)
+            res, data = tex.save_to_bytes(filetype)
+            assert res is ct.SaveResult.Success
+            return time.perf_counter() - t0, data
+
+        cold, _ = once()  # compile + cache warm
+        dt, data = min(once() for _ in range(3))
         texels = size * size * (4 // 3 if mips else 1)
         out[name] = {
             "mtexels_per_s": round(texels / dt / 1e6, 2),
             "seconds": round(dt, 3),
+            "cold_seconds": round(cold, 3),
             "bytes": len(data),
         }
         log(f"{name}: {out[name]}")

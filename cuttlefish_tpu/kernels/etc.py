@@ -585,8 +585,48 @@ _ETC_SHIFTS = {
 }
 
 
+
+def _use_pallas() -> bool:
+    """Pallas path on TPU (CUTTLEFISH_PALLAS=0 disables, =1 forces the
+    interpreted kernel on CPU for tests)."""
+    import os
+
+    use = os.environ.get("CUTTLEFISH_PALLAS", "auto")
+    if use == "0":
+        return False
+    return use == "1" or jax.default_backend() == "tpu"
+
+
+def _interp() -> bool:
+    import os
+
+    return jax.default_backend() != "tpu"
+
+
+def _static_chw(ch_weights):
+    if ch_weights is None:
+        return (1.0, 1.0, 1.0)
+    try:
+        return tuple(float(x) for x in np.asarray(ch_weights))
+    except Exception:
+        return None
+
+
+def encode_etc_rgb(blocks, quality=2, etc2=False, ch_weights=None):
+    """Dispatch: Pallas kernel on TPU, jnp path otherwise."""
+    if _use_pallas():
+        chw = _static_chw(ch_weights)
+        if chw is not None:
+            from cuttlefish_tpu.kernels.etc_pallas import encode_etc_rgb_pallas
+
+            return encode_etc_rgb_pallas(
+                blocks, int(quality), bool(etc2), chw, interpret=_interp()
+            )
+    return _encode_etc_rgb_jnp(blocks, quality, etc2, ch_weights)
+
+
 @functools.partial(jax.jit, static_argnames=("quality", "etc2"))
-def encode_etc_rgb(
+def _encode_etc_rgb_jnp(
     blocks: jnp.ndarray,
     quality: int = 2,
     etc2: bool = False,
@@ -709,8 +749,17 @@ def _encode_eac_generic(vals, quality, decode_fn, base_range, mult_of_range):
     return best
 
 
+def encode_eac_alpha(vals, quality=2):
+    """Dispatch: Pallas kernel on TPU, jnp path otherwise."""
+    if _use_pallas():
+        from cuttlefish_tpu.kernels.etc_pallas import encode_eac_alpha_pallas
+
+        return encode_eac_alpha_pallas(vals, int(quality), interpret=_interp())
+    return _encode_eac_alpha_jnp(vals, quality)
+
+
 @functools.partial(jax.jit, static_argnames=("quality",))
-def encode_eac_alpha(vals: jnp.ndarray, quality: int = 2) -> jnp.ndarray:
+def _encode_eac_alpha_jnp(vals: jnp.ndarray, quality: int = 2) -> jnp.ndarray:
     """[N,16] floats 0..1 -> EAC 8-bit alpha words [N,2] (byte-swapped)."""
     v = jnp.clip(vals.astype(jnp.float32), 0, 1) * 255.0
 
@@ -889,11 +938,23 @@ def encode_etc2_a1(
     return _swap_words(*out)
 
 
-@functools.partial(jax.jit, static_argnames=("quality",))
-def encode_etc2_rgba(blocks: jnp.ndarray, quality: int = 2, ch_weights=None) -> jnp.ndarray:
+def encode_etc2_rgba(blocks, quality=2, ch_weights=None):
     """[N,16,4] -> [N,4] words: EAC alpha block then ETC2 RGB block."""
-    alpha = encode_eac_alpha(blocks[..., 3], quality=quality)
-    rgb = encode_etc_rgb(blocks, quality=quality, etc2=True, ch_weights=ch_weights)
+    if _use_pallas():
+        chw = _static_chw(ch_weights)
+        if chw is not None:
+            from cuttlefish_tpu.kernels.etc_pallas import encode_etc2_rgba_pallas
+
+            return encode_etc2_rgba_pallas(
+                blocks, int(quality), chw, interpret=_interp()
+            )
+    return _encode_etc2_rgba_jnp(blocks, quality, ch_weights)
+
+
+@functools.partial(jax.jit, static_argnames=("quality",))
+def _encode_etc2_rgba_jnp(blocks: jnp.ndarray, quality: int = 2, ch_weights=None) -> jnp.ndarray:
+    alpha = _encode_eac_alpha_jnp(blocks[..., 3], quality=quality)
+    rgb = _encode_etc_rgb_jnp(blocks, quality=quality, etc2=True, ch_weights=ch_weights)
     return jnp.concatenate([alpha, rgb], axis=-1)
 
 

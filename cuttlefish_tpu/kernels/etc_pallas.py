@@ -1,0 +1,689 @@
+"""ETC1/ETC2/EAC block encoders as Pallas TPU kernels (quality 0-2).
+
+Blocks-on-lanes layout (texels on sublanes, [16,TN] tiles, channels
+unrolled) like bc7_pallas.py / astc_pallas.py.  Mirrors kernels/etc.py's
+candidate sweeps exactly — same base quantization, modifier-table fits,
+planar LS fit, T/H cluster splits, and mode-signaling bit layouts (all
+Mesa-validated through the jnp path) — so the emitted words are
+bit-identical to the jnp encoders in the common case.  Replaces the
+etc2comp role of the reference (`/root/reference/lib/src/EtcConverter.cpp`)
+on the TPU hot path.
+
+The ETC modifier tables, planar projection matrix, subblock masks, and
+pixel-order permutations are all static Python constants unrolled into
+the kernel (no gathers, no table inputs).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cuttlefish_tpu.kernels.etc import (
+    _EAC_MODS_NP,
+    _EAC_MULT_CANDS,
+    _ETC1_MODS_NP,
+    _ETC2_DIST_NP,
+    _ETC_SHIFTS,
+    _RASTER_OF_P_NP,
+)
+
+TN = 512
+
+_U32 = jnp.uint32
+_BIG = 1e30
+
+
+def _rt(x):
+    return jnp.sum(x, axis=0, keepdims=True)
+
+
+def _sel(take, a, b):
+    if isinstance(a, (list, tuple)):
+        return [jnp.where(take, x, y) for x, y in zip(a, b)]
+    return jnp.where(take, a, b)
+
+
+def _iota16(shape):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+
+
+def _expand4(v):
+    return (v << 4) | v
+
+
+def _expand5(v):
+    return (v << 3) | (v >> 2)
+
+
+def _bswap(w):
+    w = w.astype(_U32)
+    return (
+        ((w & _U32(0xFF)) << _U32(24))
+        | ((w & _U32(0xFF00)) << _U32(8))
+        | ((w >> _U32(8)) & _U32(0xFF00))
+        | (w >> _U32(24))
+    )
+
+
+def _index_words(idx):
+    """idx [16,TN] (raster order) -> lo word [1,TN]: bit p = lsb of pixel
+    p (column-major), bit 16+p = msb."""
+    lo = jnp.zeros_like(idx[0:1, :]).astype(_U32)
+    for p in range(16):
+        ri = int(_RASTER_OF_P_NP[p])
+        v = idx[ri : ri + 1, :].astype(_U32)
+        lo = lo | ((v & _U32(1)) << _U32(p))
+        lo = lo | (((v >> _U32(1)) & _U32(1)) << _U32(16 + p))
+    return lo
+
+
+def _sub_masks(shape, flip: int):
+    """(sub1, sub2) [16,TN] membership (raster order)."""
+    it = _iota16(shape)
+    if flip == 0:
+        s2 = ((it % 4) >= 2).astype(jnp.float32)
+    else:
+        s2 = ((it // 4) >= 2).astype(jnp.float32)
+    return 1.0 - s2, s2
+
+
+def _best_table_fit(px, dec, sub_mask, chw, mods_np, allowed=None):
+    """Exhaustive modifier-table fit.  px list of [16,TN]; dec list of
+    [1,TN] decoded base ints.  Returns (table [1,TN], idx [16,TN],
+    err [1,TN])."""
+    best_t = None
+    best_idx = None
+    best_err = None
+    for t in range(8):
+        e_t = None
+        idx_t = None
+        for m in range(4):
+            if allowed is not None and not allowed[m]:
+                continue
+            mod = float(mods_np[t][m])
+            e = sum(
+                chw[c]
+                * (
+                    px[c]
+                    - jnp.clip(dec[c].astype(jnp.float32) + mod, 0.0, 255.0)
+                )
+                ** 2
+                for c in range(3)
+            )
+            if e_t is None:
+                e_t = e
+                idx_t = jnp.full_like(px[0], m, dtype=jnp.int32)
+            else:
+                take = e < e_t
+                idx_t = jnp.where(take, m, idx_t)
+                e_t = jnp.minimum(e, e_t)
+        err = _rt(e_t * sub_mask)
+        tv = jnp.full_like(err, t, dtype=jnp.int32)
+        if best_err is None:
+            best_t, best_idx, best_err = tv, idx_t, err
+        else:
+            take = err < best_err
+            best_t = jnp.where(take, tv, best_t)
+            best_idx = jnp.where(take, idx_t, best_idx)
+            best_err = jnp.minimum(err, best_err)
+    return best_t, best_idx, best_err
+
+
+def _quant_bases(mean1, mean2, diff: bool):
+    """mean*: channel lists [1,TN].  Returns ((f1,f2), (dec1,dec2))."""
+    if diff:
+        b1 = [
+            jnp.clip(jnp.round(m * (31.0 / 255.0)), 0, 31).astype(jnp.int32)
+            for m in mean1
+        ]
+        b2 = [
+            jnp.clip(jnp.round(m * (31.0 / 255.0)), 0, 31).astype(jnp.int32)
+            for m in mean2
+        ]
+        d = [jnp.clip(b2[c] - b1[c], -4, 3) for c in range(3)]
+        b2 = [b1[c] + d[c] for c in range(3)]
+        dec1 = [_expand5(b) for b in b1]
+        dec2 = [_expand5(b) for b in b2]
+        return (b1, d), (dec1, dec2)
+    b1 = [
+        jnp.clip(jnp.round(m * (15.0 / 255.0)), 0, 15).astype(jnp.int32)
+        for m in mean1
+    ]
+    b2 = [
+        jnp.clip(jnp.round(m * (15.0 / 255.0)), 0, 15).astype(jnp.int32)
+        for m in mean2
+    ]
+    return (b1, b2), ([_expand4(b) for b in b1], [_expand4(b) for b in b2])
+
+
+def _pack_etc1(fields, diff, flip, t1, t2, idx):
+    f1, f2 = fields
+    hi = jnp.zeros_like(t1).astype(_U32)
+    if diff:
+        for c in range(3):
+            hi = hi | (f1[c].astype(_U32) << _U32(59 - 8 * c - 32))
+            hi = hi | ((f2[c] & 0x7).astype(_U32) << _U32(56 - 8 * c - 32))
+    else:
+        for c in range(3):
+            hi = hi | (f1[c].astype(_U32) << _U32(60 - 8 * c - 32))
+            hi = hi | (f2[c].astype(_U32) << _U32(56 - 8 * c - 32))
+    hi = hi | (t1.astype(_U32) << _U32(5))
+    hi = hi | (t2.astype(_U32) << _U32(2))
+    if diff:
+        hi = hi | _U32(2)
+    if flip:
+        hi = hi | _U32(1)
+    return hi, _index_words(idx)
+
+
+def _etc1_candidate(px, chw, diff: bool, flip: int, shift: float):
+    sub1, sub2 = _sub_masks(px[0].shape, flip)
+    n1 = _rt(sub1)
+    n2 = _rt(sub2)
+    mean1 = [_rt(px[c] * sub1) / n1 + shift for c in range(3)]
+    mean2 = [_rt(px[c] * sub2) / n2 + shift for c in range(3)]
+    fields, (dec1, dec2) = _quant_bases(mean1, mean2, diff)
+    t1, idx1, err1 = _best_table_fit(px, dec1, sub1, chw, _ETC1_MODS_NP)
+    t2, idx2, err2 = _best_table_fit(px, dec2, sub2, chw, _ETC1_MODS_NP)
+    idx = jnp.where(sub2 > 0, idx2, idx1)
+    hi, lo = _pack_etc1(fields, diff, flip, t1, t2, idx)
+    return err1 + err2, (hi, lo)
+
+
+# ---------------------------------------------------------------------------
+# ETC2 planar
+# ---------------------------------------------------------------------------
+
+_PLANAR_PROJ = None
+
+
+def _planar_proj():
+    global _PLANAR_PROJ
+    if _PLANAR_PROJ is None:
+        x = np.array([(i % 4) / 4.0 for i in range(16)])
+        y = np.array([(i // 4) / 4.0 for i in range(16)])
+        basis = np.stack([1.0 - x - y, x, y], axis=0)  # [3,16]
+        g = basis @ basis.T
+        _PLANAR_PROJ = (np.linalg.inv(g) @ basis).astype(np.float64)
+    return _PLANAR_PROJ
+
+
+def _quant_planar(c, bits):
+    maxv = (1 << bits) - 1
+    v = jnp.clip(jnp.round(c * (maxv / 255.0)), 0, maxv).astype(jnp.int32)
+    if bits == 6:
+        dec = (v << 2) | (v >> 4)
+    else:
+        dec = (v << 1) | (v >> 6)
+    return v, dec.astype(jnp.float32)
+
+
+def _planar_candidate(px, chw):
+    proj = _planar_proj()
+    coef = [[None] * 3 for _ in range(3)]  # [O/H/V][channel]
+    for k in range(3):
+        for c in range(3):
+            acc = None
+            for i in range(16):
+                term = float(proj[k][i]) * px[c][i : i + 1, :]
+                acc = term if acc is None else acc + term
+            coef[k][c] = acc
+    bits = (6, 7, 6)
+    q = [[None] * 3 for _ in range(3)]
+    dec = [[None] * 3 for _ in range(3)]
+    for k in range(3):
+        for c in range(3):
+            q[k][c], dec[k][c] = _quant_planar(coef[k][c], bits[c])
+    it = _iota16(px[0].shape)
+    xi = (it % 4).astype(jnp.float32)
+    yi = (it // 4).astype(jnp.float32)
+    err = None
+    for c in range(3):
+        val = (
+            xi * (dec[1][c] - dec[0][c])
+            + yi * (dec[2][c] - dec[0][c])
+            + 4.0 * dec[0][c]
+            + 2.0
+        )
+        d = jnp.clip(jnp.floor(val * 0.25), 0.0, 255.0)
+        e = chw[c] * (px[c] - d) ** 2
+        err = e if err is None else err + e
+    fields = (
+        q[0][0], q[0][1], q[0][2],
+        q[1][0], q[1][1], q[1][2],
+        q[2][0], q[2][1], q[2][2],
+    )
+    return _rt(err), fields
+
+
+def _pack_planar(fields):
+    (ro, go, bo, rh, gh, bh, rv, gv, bv) = [f.astype(_U32) for f in fields]
+    hi = jnp.zeros_like(ro)
+    lo = jnp.zeros_like(ro)
+    hi = hi | (ro << _U32(57 - 32))
+    hi = hi | ((go >> _U32(6)) << _U32(56 - 32))
+    hi = hi | ((go & _U32(0x3F)) << _U32(49 - 32))
+    hi = hi | ((bo >> _U32(5)) << _U32(48 - 32))
+    hi = hi | (((bo >> _U32(3)) & _U32(0x3)) << _U32(43 - 32))
+    hi = hi | ((bo & _U32(0x7)) << _U32(39 - 32))
+    hi = hi | ((rh >> _U32(1)) << _U32(34 - 32))
+    hi = hi | (rh & _U32(0x1))
+    hi = hi | _U32(2)
+    lo = lo | (gh << _U32(25))
+    lo = lo | (bh << _U32(19))
+    lo = lo | (rv << _U32(13))
+    lo = lo | (gv << _U32(6))
+    lo = lo | bv
+    bo43 = (bo >> _U32(3)) & _U32(0x3)
+    bo21 = (bo >> _U32(1)) & _U32(0x3)
+    need_a = (bo43 + bo21) >= 4
+    hi = hi | jnp.where(need_a, _U32(0x7) << _U32(45 - 32), _U32(0))
+    hi = hi | jnp.where(need_a, _U32(0), _U32(1) << _U32(42 - 32))
+    r1 = ((ro >> _U32(2)) & _U32(0xF)).astype(jnp.int32)
+    dr = (((ro & _U32(0x3)) << _U32(1)) | (go >> _U32(6))).astype(jnp.int32)
+    dr_s = jnp.where(dr >= 4, dr - 8, dr)
+    hi = hi | jnp.where(
+        (r1 + dr_s) < 0, _U32(1) << _U32(63 - 32), _U32(0)
+    )
+    g1 = ((go >> _U32(2)) & _U32(0xF)).astype(jnp.int32)
+    dg = (((go & _U32(0x3)) << _U32(1)) | (bo >> _U32(5))).astype(jnp.int32)
+    dg_s = jnp.where(dg >= 4, dg - 8, dg)
+    hi = hi | jnp.where(
+        (g1 + dg_s) < 0, _U32(1) << _U32(55 - 32), _U32(0)
+    )
+    return hi, lo
+
+
+# ---------------------------------------------------------------------------
+# ETC2 T / H
+# ---------------------------------------------------------------------------
+
+
+def _pca_split_means(px, chw):
+    """Principal-axis split -> (mean_pos, mean_neg) channel lists [1,TN]."""
+    mean = [_rt(px[c]) / 16.0 for c in range(3)]
+    cent = [px[c] - mean[c] for c in range(3)]
+    cov = [[_rt(cent[c] * cent[d]) for d in range(3)] for c in range(3)]
+    norms = sum(cent[c] * cent[c] for c in range(3))
+    mx = jnp.max(norms, axis=0, keepdims=True)
+    iota = _iota16(norms.shape)
+    fidx = jnp.min(jnp.where(norms == mx, iota, 16), axis=0, keepdims=True)
+    first = (iota == fidx).astype(jnp.float32)
+    start = [_rt(cent[c] * first) for c in range(3)]
+    n0 = jnp.sqrt(sum(s * s for s in start))
+    v = [
+        jnp.where(n0 > 1e-10, s / (n0 + 1e-20), jnp.ones_like(s))
+        for s in start
+    ]
+    for _ in range(3):
+        nv = [sum(cov[c][d] * v[d] for d in range(3)) for c in range(3)]
+        nn = jnp.sqrt(sum(x * x for x in nv))
+        v = [jnp.where(nn > 1e-10, nv[c] / (nn + 1e-20), v[c]) for c in range(3)]
+    t = sum(cent[c] * v[c] for c in range(3))
+    split = (t > 0).astype(jnp.float32)
+    cp = _rt(split) + 1e-6
+    cn = _rt(1.0 - split) + 1e-6
+    mp = [_rt(px[c] * split) / cp for c in range(3)]
+    mn = [_rt(px[c] * (1.0 - split)) / cn for c in range(3)]
+    return mp, mn
+
+
+def _quant444(c):
+    q = [
+        jnp.clip(jnp.round(x * (15.0 / 255.0)), 0, 15).astype(jnp.int32)
+        for x in c
+    ]
+    return q, [_expand4(v).astype(jnp.float32) for v in q]
+
+
+def _pal_err_idx(px, pal, chw):
+    """pal: list of 4 channel-lists -> (idx [16,TN], per-texel min err)."""
+    e_best = None
+    idx = None
+    for k in range(4):
+        e = sum(
+            chw[c] * (px[c] - pal[k][c]) ** 2 for c in range(3)
+        )
+        if e_best is None:
+            e_best = e
+            idx = jnp.zeros_like(px[0], dtype=jnp.int32)
+        else:
+            take = e < e_best
+            idx = jnp.where(take, k, idx)
+            e_best = jnp.minimum(e, e_best)
+    return idx, e_best
+
+
+def _pack_t(q1, q2, didx, idx):
+    r1, g1, b1 = q1
+    r32 = r1 >> 2
+    r10 = r1 & 0x3
+    hi = jnp.zeros_like(r1).astype(_U32)
+    hi = hi | (r32.astype(_U32) << _U32(59 - 32))
+    hi = hi | (r10.astype(_U32) << _U32(56 - 32))
+    hi = hi | (g1.astype(_U32) << _U32(52 - 32))
+    hi = hi | (b1.astype(_U32) << _U32(48 - 32))
+    hi = hi | (q2[0].astype(_U32) << _U32(44 - 32))
+    hi = hi | (q2[1].astype(_U32) << _U32(40 - 32))
+    hi = hi | (q2[2].astype(_U32) << _U32(36 - 32))
+    hi = hi | ((didx >> 1).astype(_U32) << _U32(34 - 32))
+    hi = hi | (didx & 1).astype(_U32)
+    hi = hi | _U32(2)
+    use_a = (r32 + r10) >= 4
+    hi = hi | jnp.where(use_a, _U32(0x7) << _U32(61 - 32), _U32(0))
+    hi = hi | jnp.where(use_a, _U32(0), _U32(1) << _U32(58 - 32))
+    return hi, _index_words(idx)
+
+
+def _pack_h(q1, q2, didx, idx):
+    r1, g1, b1 = q1
+    q = 2 * (g1 & 1) + (b1 >> 3)
+    b21 = (b1 >> 1) & 0x3
+    over = (q + b21) >= 4
+    free3 = jnp.where(over, 7, 0)
+    bit50 = jnp.where(over, 0, 1)
+    hi = jnp.zeros_like(r1).astype(_U32)
+    hi = hi | (r1.astype(_U32) << _U32(59 - 32))
+    hi = hi | ((g1 >> 1).astype(_U32) << _U32(56 - 32))
+    hi = hi | ((g1 & 1).astype(_U32) << _U32(52 - 32))
+    hi = hi | ((b1 >> 3).astype(_U32) << _U32(51 - 32))
+    hi = hi | (((b1 >> 1) & 0x3).astype(_U32) << _U32(48 - 32))
+    hi = hi | ((b1 & 0x1).astype(_U32) << _U32(47 - 32))
+    hi = hi | (q2[0].astype(_U32) << _U32(43 - 32))
+    hi = hi | (q2[1].astype(_U32) << _U32(39 - 32))
+    hi = hi | (q2[2].astype(_U32) << _U32(35 - 32))
+    hi = hi | ((didx >> 2).astype(_U32) << _U32(34 - 32))
+    hi = hi | (((didx >> 1) & 1).astype(_U32))
+    hi = hi | _U32(2)
+    hi = hi | (free3.astype(_U32) << _U32(53 - 32))
+    hi = hi | (bit50.astype(_U32) << _U32(50 - 32))
+    dr = g1 >> 1
+    dr_s = jnp.where(dr >= 4, dr - 8, dr)
+    r_under = (r1 + dr_s) < 0
+    hi = hi | jnp.where(r_under, _U32(1) << _U32(63 - 32), _U32(0))
+    return hi, _index_words(idx)
+
+
+def _etc2_t_candidate(px, chw):
+    mp, mn = _pca_split_means(px, chw)
+    best = None
+    for c1f, c2f in ((mp, mn), (mn, mp)):
+        q1, d1 = _quant444(c1f)
+        q2, d2 = _quant444(c2f)
+        for di in range(8):
+            dist = float(_ETC2_DIST_NP[di])
+            pal = [
+                d1,
+                [jnp.clip(d + dist, 0.0, 255.0) for d in d2],
+                d2,
+                [jnp.clip(d - dist, 0.0, 255.0) for d in d2],
+            ]
+            idx, e = _pal_err_idx(px, pal, chw)
+            err = _rt(e)
+            div = jnp.full_like(idx[0:1, :], di)
+            cand = (q1, q2, div, idx, err)
+            if best is None:
+                best = cand
+            else:
+                take = err < best[4]
+                best = (
+                    _sel(take, cand[0], best[0]),
+                    _sel(take, cand[1], best[1]),
+                    jnp.where(take, cand[2], best[2]),
+                    jnp.where(take, cand[3], best[3]),
+                    jnp.minimum(err, best[4]),
+                )
+    q1, q2, didx, idx, err = best
+    return err, _pack_t(q1, q2, didx, idx)
+
+
+def _etc2_h_candidate(px, chw):
+    mp, mn = _pca_split_means(px, chw)
+    best = None
+    for c1f, c2f in ((mp, mn), (mn, mp)):
+        q1, _ = _quant444(c1f)
+        q2, _ = _quant444(c2f)
+        d1 = [_expand4(v).astype(jnp.float32) for v in q1]
+        d2 = [_expand4(v).astype(jnp.float32) for v in q2]
+        packed1 = (q1[0] << 8) | (q1[1] << 4) | q1[2]
+        packed2 = (q2[0] << 8) | (q2[1] << 4) | q2[2]
+        ord_bit = (packed1 >= packed2).astype(jnp.int32)
+        for di in range(8):
+            dist = float(_ETC2_DIST_NP[di])
+            valid = ((di & 1) == ord_bit).astype(jnp.float32)
+            pal = [
+                [jnp.clip(d + dist, 0.0, 255.0) for d in d1],
+                [jnp.clip(d - dist, 0.0, 255.0) for d in d1],
+                [jnp.clip(d + dist, 0.0, 255.0) for d in d2],
+                [jnp.clip(d - dist, 0.0, 255.0) for d in d2],
+            ]
+            idx, e = _pal_err_idx(px, pal, chw)
+            err = _rt(e) + (1.0 - valid) * _BIG
+            div = jnp.full_like(idx[0:1, :], di)
+            cand = (q1, q2, div, idx, err)
+            if best is None:
+                best = cand
+            else:
+                take = err < best[4]
+                best = (
+                    _sel(take, cand[0], best[0]),
+                    _sel(take, cand[1], best[1]),
+                    jnp.where(take, cand[2], best[2]),
+                    jnp.where(take, cand[3], best[3]),
+                    jnp.minimum(err, best[4]),
+                )
+    q1, q2, didx, idx, err = best
+    return err, _pack_h(q1, q2, didx, idx)
+
+
+# ---------------------------------------------------------------------------
+# EAC alpha
+# ---------------------------------------------------------------------------
+
+
+def _eac_alpha(a, quality: int):
+    """a [16,TN] 0..255 -> (hi, lo) byte-swap-ready words."""
+    lo_v = jnp.min(a, axis=0, keepdims=True)
+    hi_v = jnp.max(a, axis=0, keepdims=True)
+    base = jnp.clip(jnp.round((lo_v + hi_v) * 0.5), 0, 255).astype(jnp.int32)
+    span = (hi_v - lo_v) * 0.5
+    ncand = _EAC_MULT_CANDS[max(0, min(4, int(quality)))]
+    max_pos = _EAC_MODS_NP[:, 4:].max(1)
+    best = None
+    for t in range(16):
+        m0 = jnp.clip(
+            jnp.round(span / float(max_pos[t])), 1, 15
+        ).astype(jnp.int32)
+        for dm in range(-(ncand // 2), ncand - ncand // 2):
+            mult = jnp.clip(m0 + dm, 1, 15)
+            e_best = None
+            idx = None
+            for k in range(8):
+                mod = float(_EAC_MODS_NP[t][k])
+                pal = jnp.clip(
+                    base.astype(jnp.float32)
+                    + mod * mult.astype(jnp.float32),
+                    0.0,
+                    255.0,
+                )
+                e = (a - pal) ** 2
+                if e_best is None:
+                    e_best = e
+                    idx = jnp.zeros_like(a, dtype=jnp.int32)
+                else:
+                    take = e < e_best
+                    idx = jnp.where(take, k, idx)
+                    e_best = jnp.minimum(e, e_best)
+            err = _rt(e_best)
+            tv = jnp.full_like(err, t, dtype=jnp.int32)
+            cand = (base, mult, tv, idx, err)
+            if best is None:
+                best = cand
+            else:
+                take = err < best[4]
+                best = (
+                    jnp.where(take, cand[0], best[0]),
+                    jnp.where(take, cand[1], best[1]),
+                    jnp.where(take, cand[2], best[2]),
+                    jnp.where(take, cand[3], best[3]),
+                    jnp.minimum(err, best[4]),
+                )
+    base, mult, table, idx, _ = best
+    # Pack (mirror _eac_pack): 64-bit BE word, base@63..56, mult@55..52,
+    # table@51..48, pixel p's 3-bit index at bits 45-3p..47-3p.
+    hi = (
+        (base.astype(_U32) << _U32(24))
+        | (mult.astype(_U32) << _U32(20))
+        | (table.astype(_U32) << _U32(16))
+    )
+    lo = jnp.zeros_like(hi)
+    for p in range(16):
+        ri = int(_RASTER_OF_P_NP[p])
+        v = idx[ri : ri + 1, :].astype(_U32)
+        bitpos = 45 - 3 * p
+        if bitpos >= 32:
+            hi = hi | (v << _U32(bitpos - 32))
+        elif bitpos >= 0:
+            lo = lo | (v << _U32(bitpos))
+            if bitpos > 29:
+                hi = hi | (v >> _U32(32 - bitpos))
+        else:
+            lo = lo | (v >> _U32(-bitpos))
+    return hi, lo
+
+
+# ---------------------------------------------------------------------------
+# Kernels + wrappers
+# ---------------------------------------------------------------------------
+
+
+def _rgb_words(px, quality, etc2, chw):
+    """Full ETC1/ETC2 RGB candidate sweep -> (hi, lo) un-swapped words."""
+    best_err = None
+    best = None
+    for flip in (0, 1):
+        for diff in ((True,) if quality == 0 else (True, False)):
+            for shift in _ETC_SHIFTS[quality]:
+                err, words = _etc1_candidate(px, chw, diff, flip, shift)
+                if best_err is None:
+                    best_err, best = err, words
+                else:
+                    take = err < best_err
+                    best = tuple(
+                        jnp.where(take, w, b) for w, b in zip(words, best)
+                    )
+                    best_err = jnp.minimum(err, best_err)
+    if etc2:
+        perr, fields = _planar_candidate(px, chw)
+        hi, lo = _pack_planar(fields)
+        take = perr < best_err
+        best = tuple(jnp.where(take, w, b) for w, b in zip((hi, lo), best))
+        best_err = jnp.minimum(perr, best_err)
+        for cand_fn in (_etc2_t_candidate, _etc2_h_candidate):
+            err, words = cand_fn(px, chw)
+            take = err < best_err
+            best = tuple(jnp.where(take, w, b) for w, b in zip(words, best))
+            best_err = jnp.minimum(err, best_err)
+    return best
+
+
+def _kernel_rgb(x_ref, out_ref, *, quality, etc2, chw):
+    px = [x_ref[c] for c in range(3)]
+    hi, lo = _rgb_words(px, quality, etc2, chw)
+    out_ref[0:1, :] = _bswap(hi)
+    out_ref[1:2, :] = _bswap(lo)
+
+
+def _kernel_rgba(x_ref, out_ref, *, quality, chw):
+    px = [x_ref[c] for c in range(4)]
+    ahi, alo = _eac_alpha(px[3], quality)
+    hi, lo = _rgb_words(px[:3], quality, True, chw)
+    out_ref[0:1, :] = _bswap(ahi)
+    out_ref[1:2, :] = _bswap(alo)
+    out_ref[2:3, :] = _bswap(hi)
+    out_ref[3:4, :] = _bswap(lo)
+
+
+def _run(kernel, blocks, nwords, nch, interpret):
+    n = blocks.shape[0]
+    tn = TN if n >= TN else -(-n // 128) * 128
+    npad = -(-n // tn) * tn
+    x = jnp.clip(blocks[..., :nch].astype(jnp.float32), 0.0, 1.0) * 255.0
+    x = jnp.pad(x, ((0, npad - n), (0, 0), (0, 0)))
+    x = jnp.transpose(x, (2, 1, 0))  # [nch,16,Np]
+    words = pl.pallas_call(
+        kernel,
+        grid=(npad // tn,),
+        in_specs=[
+            pl.BlockSpec(
+                (nch, 16, tn), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (nwords, tn), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((nwords, npad), jnp.uint32),
+        interpret=interpret,
+    )(x)
+    return jnp.transpose(words)[:n]
+
+
+def _chw_static(ch_weights):
+    if ch_weights is None:
+        return (1.0, 1.0, 1.0)
+    try:
+        return tuple(float(x) for x in np.asarray(ch_weights))
+    except Exception:
+        return None
+
+
+@functools.partial(
+    jax.jit, static_argnames=("quality", "etc2", "chw", "interpret")
+)
+def encode_etc_rgb_pallas(
+    blocks, quality=2, etc2=False, chw=(1.0, 1.0, 1.0), interpret=False
+):
+    """[N,16,>=3] float RGB(A) 0..1 -> ETC1/ETC2 RGB words [N,2]."""
+    quality = max(0, min(4, int(quality)))
+    return _run(
+        functools.partial(_kernel_rgb, quality=quality, etc2=etc2, chw=chw),
+        blocks,
+        2,
+        3,
+        interpret,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("quality", "chw", "interpret"))
+def encode_etc2_rgba_pallas(
+    blocks, quality=2, chw=(1.0, 1.0, 1.0), interpret=False
+):
+    """[N,16,4] float 0..1 -> EAC alpha + ETC2 RGB words [N,4]."""
+    quality = max(0, min(4, int(quality)))
+    return _run(
+        functools.partial(_kernel_rgba, quality=quality, chw=chw),
+        blocks,
+        4,
+        4,
+        interpret,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("quality", "interpret"))
+def encode_eac_alpha_pallas(vals, quality=2, interpret=False):
+    """[N,16] float 0..1 -> EAC alpha words [N,2]."""
+    quality = max(0, min(4, int(quality)))
+
+    def kernel(x_ref, out_ref):
+        a = x_ref[0]
+        hi, lo = _eac_alpha(a, quality)
+        out_ref[0:1, :] = _bswap(hi)
+        out_ref[1:2, :] = _bswap(lo)
+
+    return _run(kernel, vals[..., None], 2, 1, interpret)

@@ -117,3 +117,27 @@ def test_astc4x4_pallas_bit_equal(blocks):
     ref = np.clip(np.asarray(blocks), 0, 1) * 255.0
     mse = ((dec.astype(np.float64) - ref) ** 2).mean()
     assert 10 * np.log10(255.0**2 / mse) > 12.0
+
+
+def test_etc_family_pallas_bit_parity(blocks, monkeypatch):
+    """ETC1/ETC2/EAC Pallas kernels (interpret mode) match the jnp path
+    bit-for-bit."""
+    monkeypatch.setenv("CUTTLESFISH_PALLAS", "1")  # guard against typo-env
+    monkeypatch.setenv("CUTTLEFISH_PALLAS", "1")
+    from cuttlefish_tpu.kernels import etc
+
+    cases = [
+        (etc.encode_etc_rgb(blocks, 2), etc._encode_etc_rgb_jnp(blocks, 2)),
+        (
+            etc.encode_etc_rgb(blocks, 2, etc2=True),
+            etc._encode_etc_rgb_jnp(blocks, 2, etc2=True),
+        ),
+        (etc.encode_etc2_rgba(blocks, 2), etc._encode_etc2_rgba_jnp(blocks, 2)),
+        (
+            etc.encode_eac_alpha(blocks[..., 3], 2),
+            etc._encode_eac_alpha_jnp(blocks[..., 3], 2),
+        ),
+    ]
+    for i, (a, b) in enumerate(cases):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.all(a == b), i
