@@ -379,11 +379,33 @@ _TWO_REGION_PLAN = {
 }
 
 
+def encode_bc6h(blocks, quality=2, signed=False):
+    """Encode [N,16,3] float RGB (HDR) blocks to BC6H [N,4] uint32 words.
+
+    Dispatch: Pallas kernel on TPU (kernels/bc6h_pallas.py), jnp path
+    otherwise; CUTTLEFISH_PALLAS=0 disables, =1 forces interpret mode."""
+    import os
+
+    use = os.environ.get("CUTTLEFISH_PALLAS", "auto")
+    if use != "0":
+        if jax.default_backend() == "tpu":
+            from cuttlefish_tpu.kernels.bc6h_pallas import encode_bc6h_pallas
+
+            return encode_bc6h_pallas(blocks, int(quality), bool(signed))
+        if use == "1":
+            from cuttlefish_tpu.kernels.bc6h_pallas import encode_bc6h_pallas
+
+            return encode_bc6h_pallas(
+                blocks, int(quality), bool(signed), interpret=True
+            )
+    return _encode_bc6h_jnp(blocks, quality, signed)
+
+
 @functools.partial(jax.jit, static_argnames=("quality", "signed"))
-def encode_bc6h(
+def _encode_bc6h_jnp(
     blocks: jnp.ndarray, quality: int = 2, signed: bool = False
 ) -> jnp.ndarray:
-    """Encode [N,16,3] float RGB (HDR) blocks to BC6H [N,4] uint32 words."""
+    """jnp reference path (all quality levels)."""
     proxy = _to_proxy(blocks.astype(jnp.float32), signed)
     iters = _BC6H_ITERS[max(0, min(4, int(quality)))]
 

@@ -141,3 +141,35 @@ def test_etc_family_pallas_bit_parity(blocks, monkeypatch):
     for i, (a, b) in enumerate(cases):
         a, b = np.asarray(a), np.asarray(b)
         assert np.all(a == b), i
+
+
+def test_bc6h_pallas_quality():
+    """BC6H Pallas kernel (interpret): decode-valid, PSNR >= jnp - 0.1 dB
+    for unsigned and signed at quality 0 (q2+ covered by the TPU bench;
+    interpret mode is too slow for the two-region sweep in CI)."""
+    from cuttlefish_tpu.decode.bc6h import decode_bc6h
+    from cuttlefish_tpu.kernels.bc6h import _encode_bc6h_jnp
+    from cuttlefish_tpu.kernels.bc6h_pallas import encode_bc6h_pallas
+    from cuttlefish_tpu.packfloat import half_bits_to_f32
+
+    rng = np.random.default_rng(1)
+    src = (rng.random((64, 16, 3)) * 8.0).astype(np.float32)
+
+    def psnr(bits):
+        dec = half_bits_to_f32(bits.astype(np.uint16))
+        mx = np.abs(src).max()
+        return 10 * np.log10(mx * mx / ((dec - src) ** 2).mean())
+
+    for signed in (False, True):
+        s = src * (np.float32(-1.0) if signed else np.float32(1.0))
+        wp = np.asarray(encode_bc6h_pallas(s, 0, signed, interpret=True))
+        wj = np.asarray(_encode_bc6h_jnp(s, 0, signed))
+        dp = decode_bc6h(
+            np.frombuffer(wp.astype("<u4").tobytes(), np.uint8), signed=signed
+        )
+        dj = decode_bc6h(
+            np.frombuffer(wj.astype("<u4").tobytes(), np.uint8), signed=signed
+        )
+        pp = 10 * np.log10(1.0 / max(((half_bits_to_f32(dp.astype(np.uint16)) - s) ** 2).mean(), 1e-12))
+        pjj = 10 * np.log10(1.0 / max(((half_bits_to_f32(dj.astype(np.uint16)) - s) ** 2).mean(), 1e-12))
+        assert pp >= pjj - 0.1, (signed, pp, pjj)
