@@ -94,7 +94,7 @@ def infill_weights(bw: int, bh: int, gw: int, gh: int) -> np.ndarray:
     return a
 
 
-def block_mode_field(gw: int, gh: int, wlevels: int) -> int:
+def block_mode_field(gw: int, gh: int, wlevels: int, dual: bool = False) -> int:
     r, h = _RH_FROM_WRANGE[wlevels]
     r0 = r & 1
     r21 = r >> 1
@@ -106,7 +106,10 @@ def block_mode_field(gw: int, gh: int, wlevels: int) -> int:
         b, a, cfg = gh - 8, gw - 2, 0b10
     else:
         raise ValueError(f"unsupported weight grid {gw}x{gh}")
-    return (h << 9) | (b << 7) | (a << 5) | (r0 << 4) | (cfg << 2) | r21
+    return (
+        (int(dual) << 10) | (h << 9) | (b << 7) | (a << 5)
+        | (r0 << 4) | (cfg << 2) | r21
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -117,37 +120,42 @@ def block_mode_field(gw: int, gh: int, wlevels: int) -> int:
 class Layout:
     """A fully-determined block configuration (everything static)."""
 
-    def __init__(self, bw, bh, nparts, cem, gw, gh, wlevels):
+    def __init__(self, bw, bh, nparts, cem, gw, gh, wlevels, dual=False):
         self.bw, self.bh = bw, bh
         self.nparts, self.cem = nparts, cem
         self.gw, self.gh, self.wlevels = gw, gh, wlevels
+        self.dual = dual
         wkind, wb = range_info(wlevels, True)
-        self.wbits = ise_bits(gw * gh, wkind, wb)
+        self.nweights = gw * gh * (2 if dual else 1)
+        self.wbits = ise_bits(self.nweights, wkind, wb)
         self.header = 17 if nparts == 1 else 29
         self.nvals = nparts * 2 * ((cem >> 2) + 1)
-        self.clevels = implied_color_range(self.nvals, 128 - self.header - self.wbits)
-        block_mode_field(gw, gh, wlevels)  # raises if grid unsupported
+        self.clevels = implied_color_range(
+            self.nvals, 128 - self.header - self.wbits - (2 if dual else 0)
+        )
+        block_mode_field(gw, gh, wlevels, dual)  # raises if grid unsupported
 
     def valid(self):
         return (
             24 <= self.wbits <= 96
-            and self.gw * self.gh <= 64
+            and self.nweights <= 64
             and self.gw <= self.bw
             and self.gh <= self.bh
             and self.nvals <= 18
             and self.clevels >= 8
+            and not (self.dual and self.nparts > 3)
         )
 
     def __repr__(self):
         return (
             f"Layout({self.nparts}p cem{self.cem} grid{self.gw}x{self.gh} "
-            f"w{self.wlevels} c{self.clevels})"
+            f"w{self.wlevels} c{self.clevels}{' dp' if self.dual else ''})"
         )
 
 
-def _try_layout(bw, bh, nparts, cem, gw, gh, wlevels):
+def _try_layout(bw, bh, nparts, cem, gw, gh, wlevels, dual=False):
     try:
-        lay = Layout(bw, bh, nparts, cem, gw, gh, wlevels)
+        lay = Layout(bw, bh, nparts, cem, gw, gh, wlevels, dual)
     except ValueError:
         return None
     return lay if lay.valid() else None
@@ -172,13 +180,13 @@ def layout_menu(bw: int, bh: int):
     gs = grids()
     full = max(gs, key=lambda g: (g[0] * g[1], min(g)))
 
-    def best_for(nparts, cem, min_clevels, prefer_wlevels):
+    def best_for(nparts, cem, min_clevels, prefer_wlevels, dual=False):
         """Pick the layout with the largest weight budget whose implied
         color range stays >= min_clevels, preferring finer weight ranges."""
         cands = []
         for gw, gh in gs:
             for wl in (32, 24, 20, 16, 12, 10, 8, 6, 5, 4, 3, 2):
-                lay = _try_layout(bw, bh, nparts, cem, gw, gh, wl)
+                lay = _try_layout(bw, bh, nparts, cem, gw, gh, wl, dual)
                 if lay and lay.clevels >= min_clevels:
                     cands.append(lay)
         if not cands:
@@ -206,6 +214,10 @@ def layout_menu(bw: int, bh: int):
     ]
     menu[(8, 2)] = [lay for lay in (best_for(2, 8, 20, 6),) if lay]
     menu[(12, 2)] = [lay for lay in (best_for(2, 12, 12, 4),) if lay]
+    # Dual-plane single partition: one plane for the CCS channel, one for
+    # the rest (spec C.2.10; the astcenc analog is 1-plane-of-2 trials).
+    menu[(12, "dp")] = [lay for lay in (best_for(1, 12, 16, 6, dual=True),) if lay]
+    menu[(8, "dp")] = [lay for lay in (best_for(1, 8, 24, 8, dual=True),) if lay]
     # Deduplicate identical layouts.
     for k, lays in menu.items():
         seen, out = set(), []
@@ -465,17 +477,172 @@ def _fit_layout(colors, lay: Layout, mask, iters):
     return best
 
 
+def _fit_dual_layout(colors, lay: Layout, ccs: int, iters):
+    """Fit a single-partition dual-plane layout (spec C.2.10): plane 0
+    weights drive every channel except ``ccs``, plane 1 drives ``ccs``.
+
+    colors [N,T,4] 0..255.  Returns (q0, q1, gq, err) with gq [N, 2G]
+    plane-interleaved (texel-major) as the decoder consumes it.
+    """
+    a_mat_np, pinv_np = _prepared_np(lay.bw, lay.bh, lay.gw, lay.gh)
+    a_mat = jnp.asarray(a_mat_np)
+    pinv = jnp.asarray(pinv_np)
+    use_alpha = lay.cem == 12
+    nch = 4 if use_alpha else 3
+    target = colors[..., :nch]
+    rest = [c for c in range(nch) if c != ccs]
+
+    cq_lut, cd_lut = _color_qlut(lay.clevels)
+    wq_lut, wd_lut = _weight_qlut(lay.wlevels)
+    cq_lut = jnp.asarray(cq_lut)
+    cd_lut = jnp.asarray(cd_lut, jnp.int32)
+    wq_lut = jnp.asarray(wq_lut)
+    unq_w_tab = jnp.asarray(weight_unquant(lay.wlevels), jnp.int32)
+
+    # --- seeds: PCA over the rest-channels for plane 0; min/max for ccs
+    restc = target[..., rest]                      # [N,T,len(rest)]
+    mean = restc.mean(1, keepdims=True)
+    cent = restc - mean
+    cov = jnp.einsum("ntc,ntd->ncd", cent, cent)
+    v = jnp.ones((cov.shape[0], len(rest)), jnp.float32)
+    for _ in range(3):
+        nv = jnp.einsum("ncd,nd->nc", cov, v)
+        nn = jnp.linalg.norm(nv, axis=-1, keepdims=True)
+        v = jnp.where(nn > 1e-10, nv / (nn + 1e-20), v)
+    proj = jnp.einsum("ntc,nc->nt", cent, v)
+    lo_r = mean[:, 0, :] + v * proj.min(-1, keepdims=True)
+    hi_r = mean[:, 0, :] + v * proj.max(-1, keepdims=True)
+    av = target[..., ccs]
+    lo_a = av.min(-1, keepdims=True)
+    hi_a = av.max(-1, keepdims=True)
+
+    def assemble(r, a):
+        cols = []
+        ri = 0
+        for c in range(nch):
+            if c == ccs:
+                cols.append(a[:, 0])
+            else:
+                cols.append(r[:, ri])
+                ri += 1
+        return jnp.stack(cols, axis=-1)
+
+    e0 = assemble(lo_r, lo_a)
+    e1 = assemble(hi_r, hi_a)
+
+    def orient(e0, e1):
+        s0 = e0[..., :3].sum(-1)
+        s1 = e1[..., :3].sum(-1)
+        swap = (s0 > s1)[..., None]
+        return jnp.where(swap, e1, e0), jnp.where(swap, e0, e1)
+
+    def quant_colors(e):
+        b = jnp.clip(jnp.round(e), 0, 255).astype(jnp.int32)
+        return jnp.take(cq_lut, b), jnp.take(cd_lut, b)
+
+    def fix_order(q0, q1, d0, d1):
+        s0 = d0[..., :3].sum(-1)
+        s1 = d1[..., :3].sum(-1)
+        swap = (s0 > s1)[..., None]
+        return (
+            jnp.where(swap, q1, q0), jnp.where(swap, q0, q1),
+            jnp.where(swap, d1, d0), jnp.where(swap, d0, d1),
+        )
+
+    def texel_w64(gq_plane):
+        u = jnp.take(unq_w_tab, gq_plane)
+        return (jnp.einsum("tg,ng->nt", a_mat.astype(jnp.int32), u) + 8) >> 4
+
+    def ideal_ts(d0, d1):
+        d0f = d0.astype(jnp.float32)
+        d1f = d1.astype(jnp.float32)
+        dr = d1f[:, None, rest] - d0f[:, None, rest]
+        denom = (dr * dr).sum(-1) + 1e-6
+        t0 = ((target[..., rest] - d0f[:, None, rest]) * dr).sum(-1) / denom
+        da = d1f[:, ccs] - d0f[:, ccs]
+        t1 = (av - d0f[:, None, ccs]) / jnp.where(
+            jnp.abs(da) > 1e-6, da, 1.0
+        )[:, None]
+        return jnp.clip(t0, 0.0, 1.0), jnp.clip(t1, 0.0, 1.0)
+
+    def quant_grid(tw):
+        g = jnp.einsum("gt,nt->ng", pinv, tw)
+        w64 = jnp.clip(
+            jnp.round(jnp.clip(g, 0.0, 1.0) * 64.0), 0, 64
+        ).astype(jnp.int32)
+        return jnp.take(wq_lut, w64)
+
+    def eval_exact(d0, d1, gq0, gq1):
+        w0 = texel_w64(gq0).astype(jnp.float32)
+        w1 = texel_w64(gq1).astype(jnp.float32)
+        d0f = d0.astype(jnp.float32)[:, None, :]
+        d1f = d1.astype(jnp.float32)[:, None, :]
+        if not use_alpha:
+            d0f = jnp.concatenate(
+                [d0f, jnp.full_like(d0f[..., :1], 255.0)], -1
+            )
+            d1f = jnp.concatenate(
+                [d1f, jnp.full_like(d1f[..., :1], 255.0)], -1
+            )
+        nout = d0f.shape[-1]
+        w = jnp.stack(
+            [w1 if c == ccs else w0 for c in range(nout)], axis=-1
+        )
+        c16 = jnp.floor(
+            (d0f * 257.0 * (64.0 - w) + d1f * 257.0 * w + 32.0) / 64.0
+        )
+        dec = jnp.floor(c16 / 256.0)
+        return ((dec - colors[..., :nout]) ** 2).sum((1, 2))
+
+    e0, e1 = orient(e0, e1)
+    best = None
+    for it in range(max(1, iters)):
+        q0, d0 = quant_colors(e0)
+        q1, d1 = quant_colors(e1)
+        q0, q1, d0, d1 = fix_order(q0, q1, d0, d1)
+        t0, t1 = ideal_ts(d0, d1)
+        gq0 = quant_grid(t0)
+        gq1 = quant_grid(t1)
+        err = eval_exact(d0, d1, gq0, gq1)
+        gq = jnp.stack([gq0, gq1], axis=-1).reshape(gq0.shape[0], -1)
+        cand = (q0, q1, gq, err)
+        if best is None:
+            best = cand
+        else:
+            take = err < best[3]
+            best = tuple(
+                jnp.where(take[(...,) + (None,) * (b.ndim - 1)], c, b)
+                for c, b in zip(cand, best)
+            )
+        if it + 1 < iters:
+            # LS refine per plane: weights w0 for rest channels, w1 for ccs
+            w0 = texel_w64(gq0).astype(jnp.float32) / 64.0
+            w1 = texel_w64(gq1).astype(jnp.float32) / 64.0
+            onesm = jnp.ones((colors.shape[0], 1, colors.shape[1]), jnp.float32)
+            e0r, e1r = _masked_ls(target[..., rest], w0, onesm)
+            e0a, e1a = _masked_ls(target[..., ccs : ccs + 1], w1, onesm)
+            e0 = assemble(
+                jnp.clip(e0r[:, 0], 0.0, 255.0), jnp.clip(e0a[:, 0], 0.0, 255.0)
+            )
+            e1 = assemble(
+                jnp.clip(e1r[:, 0], 0.0, 255.0), jnp.clip(e1a[:, 0], 0.0, 255.0)
+            )
+            e0, e1 = orient(e0, e1)
+    return best
+
+
 # ---------------------------------------------------------------------------
 # Packing
 # ---------------------------------------------------------------------------
 
 
-def _pack_block(lay: Layout, q0, q1, gq, seed=None):
+def _pack_block(lay: Layout, q0, q1, gq, seed=None, ccs: int = 0):
     """q0/q1 [N,P,C] quantized color values, gq [N,G] quantized weight
-    values, seed [N] partition seed (when nparts == 2)."""
+    values ([N,2G] plane-interleaved when lay.dual), seed [N] partition
+    seed (when nparts == 2), ccs the dual-plane color component selector."""
     m = gq.shape[0]
     words = [jnp.zeros((m,), jnp.uint32) for _ in range(4)]
-    mode = block_mode_field(lay.gw, lay.gh, lay.wlevels)
+    mode = block_mode_field(lay.gw, lay.gh, lay.wlevels, lay.dual)
     hdr = mode | ((lay.nparts - 1) << 11)
     if lay.nparts == 1:
         hdr_arr = jnp.full((m,), hdr | (lay.cem << 13), jnp.uint32)
@@ -497,6 +664,14 @@ def _pack_block(lay: Layout, q0, q1, gq, seed=None):
     colors_ise = jnp.stack(cols, axis=1)
     _pack_ise_jax(colors_ise, lay.clevels, False, lay.header, words)
     _pack_ise_jax(gq, lay.wlevels, True, 0, words, reverse=True)
+    if lay.dual:
+        # CCS: 2 bits directly below the (reversed) weight data; placed
+        # bit-by-bit in case the pair straddles a 32-bit word boundary.
+        pos = 128 - lay.wbits - 2
+        for k in range(2):
+            if (ccs >> k) & 1:
+                w, bo = divmod(pos + k, 32)
+                words[w] = words[w] | (jnp.uint32(1) << jnp.uint32(bo))
     return jnp.stack(words, axis=-1)
 
 
@@ -555,13 +730,16 @@ def _mask_for_seeds(seeds, bw, bh):
 # Top-level encode
 # ---------------------------------------------------------------------------
 
-# quality -> (iters, 2-part seeds refined, use fine single-partition ladder)
+# quality -> (iters, 2-part seeds refined, single-partition ladder depth,
+# dual-plane CCS candidates; astcenc's "1 plane of 2" trials appear at the
+# THOROUGH/EXHAUSTIVE presets, AstcConverter.cpp:174-195)
 _PLAN = {
-    0: dict(iters=1, seeds2=0, cem8_layouts=1, cem12_layouts=1),
-    1: dict(iters=1, seeds2=1, cem8_layouts=1, cem12_layouts=1),
-    2: dict(iters=2, seeds2=1, cem8_layouts=2, cem12_layouts=1),
-    3: dict(iters=3, seeds2=2, cem8_layouts=3, cem12_layouts=2),
-    4: dict(iters=4, seeds2=4, cem8_layouts=3, cem12_layouts=2),
+    0: dict(iters=1, seeds2=0, cem8_layouts=1, cem12_layouts=1, dp_ccs=()),
+    1: dict(iters=1, seeds2=1, cem8_layouts=1, cem12_layouts=1, dp_ccs=()),
+    2: dict(iters=2, seeds2=1, cem8_layouts=2, cem12_layouts=1, dp_ccs=()),
+    3: dict(iters=3, seeds2=2, cem8_layouts=3, cem12_layouts=2, dp_ccs=(3,)),
+    4: dict(iters=4, seeds2=4, cem8_layouts=3, cem12_layouts=2,
+            dp_ccs=(0, 1, 2, 3)),
 }
 
 
@@ -622,6 +800,12 @@ def _encode_astc_jnp(
     for lay in menu[(12, 1)][: plan["cem12_layouts"]]:
         q0, q1, gq, err = _fit_layout(colors, lay, ones_mask, iters)
         consider(_pack_block(lay, q0, q1, gq), err)
+
+    for ccs in plan["dp_ccs"]:
+        lay = menu[(12, "dp")][0] if menu[(12, "dp")] else None
+        if lay is not None:
+            q0, q1, gq, err = _fit_dual_layout(colors, lay, ccs, iters)
+            consider(_pack_block(lay, q0[:, None], q1[:, None], gq, ccs=ccs), err)
 
     if plan["seeds2"] and menu[(8, 2)]:
         lay2 = menu[(8, 2)][0]

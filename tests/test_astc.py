@@ -64,6 +64,29 @@ class TestAstc4x4:
         assert np.abs(dec[..., 3] / 255.0 - 0.5).max() < 0.02
 
     @pytest.mark.slow
+    def test_dual_plane_alpha(self):
+        """Quality >= 3 tries dual-plane (CCS=3): on content whose alpha
+        varies independently of RGB it must clearly beat the single-plane
+        q2 encode, and the emitted D-bit blocks must decode correctly
+        (PSNR here is computed through the spec decoder)."""
+        rng = np.random.default_rng(3)
+        n = 64
+        rgbdir = rng.normal(size=(n, 1, 3)).astype(np.float32)
+        t0 = rng.random((n, 16, 1), np.float32)
+        t1 = rng.random((n, 16, 1), np.float32)
+        base = rng.random((n, 1, 3), np.float32)
+        blocks = np.zeros((n, 16, 4), np.float32)
+        blocks[..., :3] = np.clip(base + 0.3 * rgbdir * t0, 0, 1)
+        blocks[..., 3] = np.clip(0.2 + 0.8 * t1[..., 0], 0, 1)
+        p = []
+        for q in (2, 3):
+            dec = decode_astc(
+                _bytes(astc.encode_astc(blocks, 4, 4, quality=q)), 4, 4
+            )
+            p.append(_psnr(dec / 255.0, blocks))
+        assert p[1] > p[0] + 2.0, p  # dual-plane gain (measured ~6 dB)
+
+    @pytest.mark.slow
     def test_quality_monotone(self):
         rng = np.random.default_rng(3)
         blocks = rng.random((32, 16, 4), np.float32)
