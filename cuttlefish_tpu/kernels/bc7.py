@@ -854,16 +854,16 @@ def encode_bc7(
 ) -> jnp.ndarray:
     """Encode [N,16,4] float RGBA blocks (0..1) to BC7 [N,4] uint32 words.
 
-    Dispatch: on TPU at quality 0-2 the Pallas kernel
-    (kernels/bc7_pallas.py) runs the whole mode sweep VMEM-resident
-    (~12x the jnp path's throughput); quality 3-4 and CPU use the jnp
-    path.  ``CUTTLEFISH_PALLAS=0`` disables the Pallas path, ``=1``
-    forces it (interpreted on CPU — for tests).
+    Dispatch: on TPU the Pallas kernels (kernels/bc7_pallas.py) run the
+    whole mode sweep VMEM-resident at every quality level (0-2: modes
+    6/1/5/4; 3-4: + modes 0/2/3/7, top-k partition refinement,
+    rotations); CPU uses the jnp path.  ``CUTTLEFISH_PALLAS=0`` disables
+    the Pallas path, ``=1`` forces it (interpreted on CPU — for tests).
     """
     import os
 
     use = os.environ.get("CUTTLEFISH_PALLAS", "auto")
-    if use != "0" and int(quality) <= 2:
+    if use != "0":
         from cuttlefish_tpu.kernels.bc7_pallas import encode_bc7_pallas
 
         if jax.default_backend() == "tpu":

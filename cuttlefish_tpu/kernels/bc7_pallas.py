@@ -511,7 +511,12 @@ def _fit_alpha(a, levels: int, qbits: int, iters: int):
     return q0, q1, idx, err
 
 
-def _mode5(px, iters: int, chw):
+def _mode5(px, iters: int, chw, rot: int = 0):
+    if rot:
+        perm = [0, 1, 2, 3]
+        perm[rot - 1], perm[3] = 3, rot - 1
+        px = [px[p] for p in perm]
+        chw = tuple(chw[p] for p in perm)
     cw = (chw[0], chw[1], chw[2])
     ones = jnp.ones_like(px[0])
     hi, lo, _, _ = _pca_seed(px, ones, chn=3)
@@ -533,7 +538,7 @@ def _mode5(px, iters: int, chw):
 
     pk = _Packer(a0.shape)
     pk.put(jnp.full_like(a0, 32), 6)
-    pk.put(jnp.zeros_like(a0), 2)  # rotation 0
+    pk.put(jnp.full_like(a0, rot), 2)
     for c in range(3):
         pk.put(v0[c], 7)
         pk.put(v1[c], 7)
@@ -548,7 +553,12 @@ def _mode5(px, iters: int, chw):
     return pk.words, err
 
 
-def _mode4(px, iters: int, chw):
+def _mode4(px, iters: int, chw, rot: int = 0):
+    if rot:
+        perm = [0, 1, 2, 3]
+        perm[rot - 1], perm[3] = 3, rot - 1
+        px = [px[p] for p in perm]
+        chw = tuple(chw[p] for p in perm)
     cw = (chw[0], chw[1], chw[2])
     ones = jnp.ones_like(px[0])
     hi, lo, _, _ = _pca_seed(px, ones, chn=3)
@@ -575,7 +585,7 @@ def _mode4(px, iters: int, chw):
 
         pk = _Packer(a0.shape)
         pk.put(jnp.full_like(a0, 16), 5)
-        pk.put(jnp.zeros_like(a0), 2)  # rotation 0
+        pk.put(jnp.full_like(a0, rot), 2)
         pk.put(jnp.full_like(a0, idx_mode), 1)
         for c in range(3):
             pk.put(v0[c], 5)
@@ -598,6 +608,324 @@ def _mode4(px, iters: int, chw):
             take = err < best_err
             best_words = [
                 jnp.where(take, w, b) for w, b in zip(pk.words, best_words)
+            ]
+            best_err = jnp.minimum(err, best_err)
+    return best_words, best_err
+
+
+
+
+def _anchor_fix(idx, sel, anchor, levels):
+    """Clear the anchor texel's index MSB by inversion within a subset.
+
+    idx [16,TN]; sel [16,TN] bool subset membership; anchor [1,TN] int.
+    Returns (swap [1,TN] bool, idx)."""
+    iota16 = jax.lax.broadcasted_iota(jnp.int32, idx.shape, 0)
+    is_a = iota16 == anchor
+    aval = jnp.sum(jnp.where(is_a & sel, idx, 0), axis=0, keepdims=True)
+    swap = aval >= (levels // 2)
+    idx = jnp.where(swap & sel, (levels - 1) - idx, idx)
+    return swap, idx
+
+
+def _screen_2subset(px, cw, part2, chn):
+    """Within-subset residual score over the 64 2-subset partitions.
+
+    Returns score [64,TN] (lower = better)."""
+    ones = jnp.ones_like(px[0])
+    _, _, axis, mean = _pca_seed(px[:3], ones, chn=3)
+    cent = [px[c] - mean[c] for c in range(3)]
+    proj = sum(cent[c] * axis[c] for c in range(3))
+    w2 = sum(cw[c] * px[c] * px[c] for c in range(chn))
+
+    def mm(m, x):
+        return jax.lax.dot_general(
+            m, x, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    ns = jnp.sum(part2, axis=1, keepdims=True)
+    s1 = [mm(part2, px[c]) for c in range(chn)]
+    tot = mm(part2, w2)
+    pssum = mm(part2, proj)
+    ps2 = mm(part2, proj * proj)
+    tot_all = _rt(w2)
+    s1_all = [_rt(px[c]) for c in range(chn)]
+    ps_all = _rt(proj)
+    ps2_all = _rt(proj * proj)
+
+    def sub_err(tot_s, s1_s, pss, ps2_s, ns_s):
+        mean_term = sum(cw[c] * s1_s[c] * s1_s[c] for c in range(chn)) / ns_s
+        along = ps2_s - pss * pss / ns_s
+        return tot_s - mean_term - jnp.maximum(along, 0.0)
+
+    return sub_err(tot, s1, pssum, ps2, ns + 1e-6) + sub_err(
+        tot_all - tot,
+        [s1_all[c] - s1[c] for c in range(chn)],
+        ps_all - pssum,
+        ps2_all - ps2,
+        (16.0 - ns) + 1e-6,
+    ), axis
+
+
+def _topk_parts(score, k):
+    """Iteratively extract the k lowest-score partition ids [1,TN] each."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, score.shape, 0)
+    out = []
+    for _ in range(k):
+        smin = jnp.min(score, axis=0, keepdims=True)
+        part = jnp.min(
+            jnp.where(score == smin, iota, score.shape[0]),
+            axis=0, keepdims=True,
+        )
+        out.append(part)
+        score = jnp.where(iota == part, jnp.inf, score)
+    return out
+
+
+def _mode_2subset(px, iters, chw, part2, part2t, anchors, mode, topk):
+    """Modes 1/3/7 with top-k partition refinement.
+
+    mode 1: RGB 6.6 shared pbit, 3-bit idx; mode 3: RGB 7.7 pbit each,
+    2-bit idx; mode 7: RGBA 5.5 pbit each, 2-bit idx.
+    """
+    chn = 4 if mode == 7 else 3
+    cw = chw if mode == 7 else (chw[0], chw[1], chw[2], 0.0)
+    score, axis = _screen_2subset(px, cw, part2, chn)
+    parts = _topk_parts(score, topk)
+    iota64 = jax.lax.broadcasted_iota(jnp.int32, score.shape, 0)
+
+    if mode == 1:
+        levels, bits = 8, 6
+    elif mode == 3:
+        levels, bits = 4, 7
+    else:
+        levels, bits = 4, 5
+
+    def quant(e0, e1):
+        if mode == 1:
+            v0, v1, p, d0, d1 = _quant_pbit_shared(e0, e1, bits, cw[:3])
+            return (v0, v1, p, p, d0, d1)
+        v0, p0, d0 = _quant_pbit_each(e0, bits, cw[:chn])
+        v1, p1, d1 = _quant_pbit_each(e1, bits, cw[:chn])
+        return (v0, v1, p0, p1, d0, d1)
+
+    def seed_of(m):
+        cnt = _rt(m) + 1e-6
+        mean_s = [_rt(px[c] * m) / cnt for c in range(chn)]
+        ts = sum((px[c] - mean_s[c]) * axis[c] for c in range(3))
+        tmax = jnp.max(jnp.where(m > 0, ts, -1e30), axis=0, keepdims=True)
+        tmin = jnp.min(jnp.where(m > 0, ts, 1e30), axis=0, keepdims=True)
+        hi = [mean_s[c] + (axis[c] if c < 3 else 0.0) * tmax for c in range(chn)]
+        lo = [mean_s[c] + (axis[c] if c < 3 else 0.0) * tmin for c in range(chn)]
+        return hi, lo
+
+    def mm(m, x):
+        return jax.lax.dot_general(
+            m, x, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    best_words = None
+    best_err = None
+    pxc = px[:chn]
+    for part in parts:
+        onehot = (iota64 == part).astype(jnp.float32)
+        m1 = mm(part2t, onehot)
+        anchor1 = jnp.sum(anchors * onehot, axis=0, keepdims=True).astype(
+            jnp.int32
+        )
+        st0, idx0, err0 = _fit(
+            pxc, 1.0 - m1, levels, quant, iters, cw[:chn], seed_of(1.0 - m1)
+        )
+        st1, idx1, err1 = _fit(pxc, m1, levels, quant, iters, cw[:chn],
+                               seed_of(m1))
+        err = err0 + err1
+        if mode != 7:
+            err = err + _rt(chw[3] * (px[3] - 255.0) ** 2)
+
+        sel1 = m1 > 0
+        idx = jnp.where(sel1, idx1, idx0)
+        (v00, v01, p00, p01, _, _) = st0
+        (v10, v11, p10, p11, _, _) = st1
+
+        zero = jnp.zeros_like(anchor1)
+        swap0, idx = _anchor_fix(idx, ~sel1, zero, levels)
+        swap1, idx = _anchor_fix(idx, sel1, anchor1, levels)
+        v00, v01 = _sel(swap0, v01, v00), _sel(swap0, v00, v01)
+        p00, p01 = _sel(swap0, p01, p00), _sel(swap0, p00, p01)
+        v10, v11 = _sel(swap1, v11, v10), _sel(swap1, v10, v11)
+        p10, p11 = _sel(swap1, p11, p10), _sel(swap1, p10, p11)
+
+        pk = _Packer(part.shape)
+        if mode == 1:
+            pk.put(jnp.full_like(part, 2), 2)
+        elif mode == 3:
+            pk.put(jnp.full_like(part, 8), 4)
+        else:
+            pk.put(jnp.full_like(part, 128), 8)
+        pk.put(part, 6)
+        for c in range(chn):
+            pk.put(v00[c], bits)
+            pk.put(v01[c], bits)
+            pk.put(v10[c], bits)
+            pk.put(v11[c], bits)
+        if mode == 1:
+            pk.put(p00, 1)
+            pk.put(p10, 1)
+        else:
+            pk.put(p00, 1)
+            pk.put(p01, 1)
+            pk.put(p10, 1)
+            pk.put(p11, 1)
+        nbits = 3 if mode == 1 else 2
+        iota16 = jax.lax.broadcasted_iota(jnp.int32, idx.shape, 0)
+        wbits = (
+            nbits
+            - (iota16 == 0).astype(jnp.int32)
+            - (iota16 == anchor1).astype(jnp.int32)
+        )
+        pos = jnp.full_like(part, pk.pos)
+        for i in range(16):
+            pk.put_dynamic(idx[i : i + 1, :], pos, nbits)
+            pos = pos + wbits[i : i + 1, :]
+        if best_words is None:
+            best_words, best_err = pk.words, err
+        else:
+            take = err < best_err
+            best_words = [
+                jnp.where(take, a, b) for a, b in zip(pk.words, best_words)
+            ]
+            best_err = jnp.minimum(err, best_err)
+    return best_words, best_err
+
+
+def _mode_3subset(px, iters, chw, p3m, p3mt, anch2, anch3, mode, topk):
+    """Modes 0/2: 3 subsets.  p3m: list of 3 [64,16] per-subset masks;
+    p3mt: their transposes; anch2/anch3: [64,1] anchor tables.
+
+    mode 0: 16 partitions, RGB 4.4 pbit each, 3-bit idx
+    mode 2: 64 partitions, RGB 5.5 no pbits, 2-bit idx
+    """
+    cw = (chw[0], chw[1], chw[2], 0.0)
+    limit = 16 if mode == 0 else 64
+    ones = jnp.ones_like(px[0])
+    _, _, axis, mean = _pca_seed(px, ones, chn=3)
+    cent = [px[c] - mean[c] for c in range(3)]
+    proj = sum(cent[c] * axis[c] for c in range(3))
+    w2 = sum(cw[c] * px[c] * px[c] for c in range(3))
+
+    def mm(m, x):
+        return jax.lax.dot_general(
+            m, x, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    score = None
+    for ms in p3m:
+        ns = jnp.sum(ms, axis=1, keepdims=True) + 1e-6
+        s1 = [mm(ms, px[c]) for c in range(3)]
+        tot = mm(ms, w2)
+        pssum = mm(ms, proj)
+        ps2 = mm(ms, proj * proj)
+        mean_term = sum(cw[c] * s1[c] * s1[c] for c in range(3)) / ns
+        along = ps2 - pssum * pssum / ns
+        sc = tot - mean_term - jnp.maximum(along, 0.0)
+        score = sc if score is None else score + sc
+    if limit < score.shape[0]:
+        iota = jax.lax.broadcasted_iota(jnp.int32, score.shape, 0)
+        score = jnp.where(iota >= limit, jnp.inf, score)
+    parts = _topk_parts(score, topk)
+    iota64 = jax.lax.broadcasted_iota(jnp.int32, score.shape, 0)
+
+    if mode == 0:
+        levels, bits = 8, 4
+    else:
+        levels, bits = 4, 5
+
+    def quant(e0, e1):
+        if mode == 0:
+            v0, p0, d0 = _quant_pbit_each(e0, bits, cw[:3])
+            v1, p1, d1 = _quant_pbit_each(e1, bits, cw[:3])
+            return (v0, v1, p0, p1, d0, d1)
+        v0, d0 = _quant_plain(e0, bits)
+        v1, d1 = _quant_plain(e1, bits)
+        zero = jnp.zeros_like(v0[0])
+        return (v0, v1, zero, zero, d0, d1)
+
+    def seed_of(m):
+        cnt = _rt(m) + 1e-6
+        mean_s = [_rt(px[c] * m) / cnt for c in range(3)]
+        ts = sum((px[c] - mean_s[c]) * axis[c] for c in range(3))
+        tmax = jnp.max(jnp.where(m > 0, ts, -1e30), axis=0, keepdims=True)
+        tmin = jnp.min(jnp.where(m > 0, ts, 1e30), axis=0, keepdims=True)
+        hi = [mean_s[c] + axis[c] * tmax for c in range(3)]
+        lo = [mean_s[c] + axis[c] * tmin for c in range(3)]
+        return hi, lo
+
+    px3 = px[:3]
+    best_words = None
+    best_err = None
+    for part in parts:
+        onehot = (iota64 == part).astype(jnp.float32)
+        subm = [mm(p3mt[s], onehot) for s in range(3)]  # [16,TN] each
+        a2 = jnp.sum(anch2 * onehot, axis=0, keepdims=True).astype(jnp.int32)
+        a3 = jnp.sum(anch3 * onehot, axis=0, keepdims=True).astype(jnp.int32)
+        anchors = [jnp.zeros_like(a2), a2, a3]
+        err = _rt(chw[3] * (px[3] - 255.0) ** 2)
+        states = []
+        idxs = []
+        for sidx in range(3):
+            st, si, se = _fit(
+                px3, subm[sidx], levels, quant, iters, cw[:3],
+                seed_of(subm[sidx]),
+            )
+            states.append(st)
+            idxs.append(si)
+            err = err + se
+        idx = jnp.where(subm[1] > 0, idxs[1], idxs[0])
+        idx = jnp.where(subm[2] > 0, idxs[2], idx)
+
+        vs = []
+        ps = []
+        for sidx in range(3):
+            v0, v1, p0, p1, _, _ = states[sidx]
+            swap, idx = _anchor_fix(
+                idx, subm[sidx] > 0, anchors[sidx], levels
+            )
+            vs.append((_sel(swap, v1, v0), _sel(swap, v0, v1)))
+            ps.append((_sel(swap, p1, p0), _sel(swap, p0, p1)))
+
+        pk = _Packer(part.shape)
+        if mode == 0:
+            pk.put(jnp.full_like(part, 1), 1)
+            pk.put(part, 4)
+        else:
+            pk.put(jnp.full_like(part, 4), 3)
+            pk.put(part, 6)
+        for c in range(3):
+            for sidx in range(3):
+                pk.put(vs[sidx][0][c], bits)
+                pk.put(vs[sidx][1][c], bits)
+        if mode == 0:
+            for sidx in range(3):
+                pk.put(ps[sidx][0], 1)
+                pk.put(ps[sidx][1], 1)
+        nbits = 3 if mode == 0 else 2
+        iota16 = jax.lax.broadcasted_iota(jnp.int32, idx.shape, 0)
+        wbits = (
+            nbits
+            - (iota16 == 0).astype(jnp.int32)
+            - (iota16 == a2).astype(jnp.int32)
+            - (iota16 == a3).astype(jnp.int32)
+        )
+        pos = jnp.full_like(part, pk.pos)
+        for i in range(16):
+            pk.put_dynamic(idx[i : i + 1, :], pos, nbits)
+            pos = pos + wbits[i : i + 1, :]
+        if best_words is None:
+            best_words, best_err = pk.words, err
+        else:
+            take = err < best_err
+            best_words = [
+                jnp.where(take, a, b) for a, b in zip(pk.words, best_words)
             ]
             best_err = jnp.minimum(err, best_err)
     return best_words, best_err
@@ -632,6 +960,59 @@ def _kernel(x_ref, part2_ref, part2t_ref, anchors_ref, out_ref, *, quality,
         out_ref[w : w + 1, :] = words[w]
 
 
+# quality -> (iters, topk per mode) for the high-quality kernel, mirroring
+# kernels/bc7.py _QUALITY_PLAN rows 3-4.
+_HQ_PLAN = {
+    3: {"iters": 3, "m1": 2, "m3": 2, "m7": 0, "m0": 1, "m2": 0,
+        "rot": (0,)},
+    4: {"iters": 4, "m1": 4, "m3": 4, "m7": 2, "m0": 2, "m2": 2,
+        "rot": (0, 1, 2, 3)},
+}
+
+
+def _kernel_hq(
+    x_ref, part2_ref, part2t_ref, anchors_ref,
+    p3m0_ref, p3m1_ref, p3m2_ref, p3t0_ref, p3t1_ref, p3t2_ref,
+    anch2_ref, anch3_ref, out_ref, *, quality, chw,
+):
+    px = [x_ref[c] for c in range(4)]
+    plan = _HQ_PLAN[quality]
+    iters = plan["iters"]
+    part2 = part2_ref[:]
+    part2t = part2t_ref[:]
+    anchors = anchors_ref[:]
+    p3m = [p3m0_ref[:], p3m1_ref[:], p3m2_ref[:]]
+    p3mt = [p3t0_ref[:], p3t1_ref[:], p3t2_ref[:]]
+
+    words, err = _mode6(px, iters, chw)
+    for rot in plan["rot"]:
+        for enc in (_mode5, _mode4):
+            w2, e2 = enc(px, iters, chw, rot)
+            take = e2 < err
+            words = [jnp.where(take, a, b) for a, b in zip(w2, words)]
+            err = jnp.minimum(e2, err)
+    for mode, key in ((1, "m1"), (3, "m3"), (7, "m7")):
+        if plan[key]:
+            w2, e2 = _mode_2subset(
+                px, iters, chw, part2, part2t, anchors, mode, plan[key]
+            )
+            take = e2 < err
+            words = [jnp.where(take, a, b) for a, b in zip(w2, words)]
+            err = jnp.minimum(e2, err)
+    for mode, key in ((0, "m0"), (2, "m2")):
+        if plan[key]:
+            w2, e2 = _mode_3subset(
+                px, iters, chw, p3m, p3mt, anch2_ref[:], anch3_ref[:],
+                mode, plan[key],
+            )
+            take = e2 < err
+            words = [jnp.where(take, a, b) for a, b in zip(w2, words)]
+            err = jnp.minimum(e2, err)
+
+    for w in range(4):
+        out_ref[w : w + 1, :] = words[w]
+
+
 @functools.partial(
     jax.jit, static_argnames=("quality", "perceptual", "interpret")
 )
@@ -643,10 +1024,11 @@ def encode_bc7_pallas(
 ) -> jnp.ndarray:
     """Encode [N,16,4] float RGBA blocks (0..1) -> BC7 [N,4] uint32 words.
 
-    Pallas path for quality 0-2; same algorithm and integer decode model as
-    kernels/bc7.py.
+    Quality 0-2 runs the lean kernel; 3-4 the high-quality kernel with
+    modes 0/2/3/7, top-k partition refinement and rotations; same integer
+    decode model as kernels/bc7.py throughout.
     """
-    quality = max(0, min(2, int(quality)))
+    quality = max(0, min(4, int(quality)))
     if perceptual:
         chw = (0.55, 1.1, 0.35, 1.0)
     else:
@@ -664,21 +1046,52 @@ def encode_bc7_pallas(
     anchors = jnp.asarray(T.ANCHOR2[:, None], jnp.float32)  # [64,1]
 
     grid = npad // tn
+    const = lambda i: (0, 0)
+    if quality <= 2:
+        words = pl.pallas_call(
+            functools.partial(_kernel, quality=quality, chw=chw),
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec(
+                    (4, 16, tn), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec((64, 16), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((16, 64), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((64, 1), const, memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (4, tn), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((4, npad), jnp.uint32),
+            interpret=interpret,
+        )(x, part2, part2t, anchors)
+        return jnp.transpose(words)[:n]
+
+    p3 = T.PARTITION3  # [64,16] values 0..2
+    p3m = [jnp.asarray((p3 == sidx).astype(np.float32)) for sidx in range(3)]
+    anch2 = jnp.asarray(T.ANCHOR3_2[:, None], jnp.float32)
+    anch3 = jnp.asarray(T.ANCHOR3_3[:, None], jnp.float32)
     words = pl.pallas_call(
-        functools.partial(_kernel, quality=quality, chw=chw),
+        functools.partial(_kernel_hq, quality=quality, chw=chw),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(
                 (4, 16, tn), lambda i: (0, 0, i), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((64, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((64, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
+            pl.BlockSpec((64, 16), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, 64), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 1), const, memory_space=pltpu.VMEM),
+        ]
+        + [pl.BlockSpec((64, 16), const, memory_space=pltpu.VMEM)] * 3
+        + [pl.BlockSpec((16, 64), const, memory_space=pltpu.VMEM)] * 3
+        + [pl.BlockSpec((64, 1), const, memory_space=pltpu.VMEM)] * 2,
         out_specs=pl.BlockSpec(
             (4, tn), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((4, npad), jnp.uint32),
         interpret=interpret,
-    )(x, part2, part2t, anchors)
+    )(
+        x, part2, part2t, anchors,
+        *p3m, *[jnp.transpose(m) for m in p3m], anch2, anch3,
+    )
     return jnp.transpose(words)[:n]
