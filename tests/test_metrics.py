@@ -44,6 +44,10 @@ def test_score_texture(fmt, type_, floor):
 
 
 def test_pvrtc_decode_surface():
+    from cuttlefish_tpu import formats
+
+    if not formats.HAS_PVRTC:
+        pytest.skip("PVRTC gated off (CUTTLEFISH_TPU_NO_PVRTC)")
     tex, src = _texture(_F.PVRTC1_RGB_4BPP, _T.UNorm, size=32)
     dec = metrics.decode_surface(
         tex.data(mip_level=0), _F.PVRTC1_RGB_4BPP, _T.UNorm, 32, 32
