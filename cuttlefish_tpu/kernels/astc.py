@@ -748,27 +748,25 @@ def encode_astc(
 ):
     """Encode [N, bw*bh, 4] float RGBA (0..1) to ASTC [N,4] uint32 words.
 
-    Dispatch: on TPU the 4x4 quality-0..2 path runs the Pallas kernel
-    (kernels/astc_pallas.py, VMEM-resident layout sweep); other block
-    sizes, higher quality, and CPU use the jnp path.
-    CUTTLEFISH_PALLAS=0 disables, =1 forces the interpreted kernel."""
+    Dispatch: on TPU quality 0-2 runs the Pallas kernel for every block
+    size (kernels/astc_pallas.py, VMEM-resident layout sweep; decimated
+    weight grids as in-kernel MXU matmuls); higher quality and CPU use
+    the jnp path.  CUTTLEFISH_PALLAS=0 disables, =1 forces the
+    interpreted kernel."""
     import os
 
     use = os.environ.get("CUTTLEFISH_PALLAS", "auto")
-    if (
-        use != "0"
-        and block_w == 4
-        and block_h == 4
-        and int(quality) <= 2
-    ):
+    if use != "0" and int(quality) <= 2:
         if jax.default_backend() == "tpu":
-            from cuttlefish_tpu.kernels.astc_pallas import encode_astc4x4_pallas
+            from cuttlefish_tpu.kernels.astc_pallas import encode_astc_pallas
 
-            return encode_astc4x4_pallas(blocks, int(quality))
+            return encode_astc_pallas(blocks, block_w, block_h, int(quality))
         if use == "1":
-            from cuttlefish_tpu.kernels.astc_pallas import encode_astc4x4_pallas
+            from cuttlefish_tpu.kernels.astc_pallas import encode_astc_pallas
 
-            return encode_astc4x4_pallas(blocks, int(quality), interpret=True)
+            return encode_astc_pallas(
+                blocks, block_w, block_h, int(quality), interpret=True
+            )
     return _encode_astc_jnp(blocks, block_w, block_h, quality)
 
 

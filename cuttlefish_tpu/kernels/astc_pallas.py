@@ -1,19 +1,22 @@
-"""ASTC 4x4 LDR block encoder as a Pallas TPU kernel (quality 0-2).
+"""ASTC LDR block encoder as a Pallas TPU kernel (all 14 2D block sizes,
+quality 0-2).
 
 Same blocks-on-lanes layout as bc7_pallas.py: texels on sublanes
-([16,TN] tiles), channels unrolled, the whole layout sweep VMEM-resident.
-The algorithm mirrors kernels/astc.py's `encode_astc` for the 4x4 block
-size (where the weight grid equals the texel grid, so spec C.2.18 infill
-is the identity): void extent + the 1-partition CEM8/CEM12 layout menu in
-kernel A, and the 1024-seed partition screening + 2-partition CEM8 fit in
-kernel B (smaller lane tile — the [1024,TN] screening moments must stay
-in VMEM).  Replaces the astcenc role of the reference
-(`/root/reference/lib/src/AstcConverter.cpp`) on the TPU hot path.
+([T,TN] tiles, T = bw*bh), channels unrolled, the whole layout sweep
+VMEM-resident.  The algorithm mirrors kernels/astc.py's `encode_astc`:
+void extent + the 1-partition CEM8/CEM12 layout menu in kernel A, and
+the 1024-seed partition screening + 2-partition CEM8 fit in kernel B
+(smaller lane tile — the [1024,TN] screening moments must stay in VMEM).
+Decimated weight grids run the spec C.2.18 bilinear infill and its
+pseudo-inverse as in-kernel MXU matmuls ([T,G]x[G,TN]; the 16ths-valued
+operands are integer-exact in f32).  Replaces the astcenc role of the
+reference (`/root/reference/lib/src/AstcConverter.cpp`) on the TPU hot
+path.
 
-Table lookups (trit/quint quantization ladders, trit pack blocks) never
-gather: per-value lookups ride the MXU as one-hot matmuls against the
-Mesa-validated tables from astc_ise.py, and per-texel weight quantization
-unrolls over the <= 16 ladder levels as vector selects.
+Table lookups (trit/quint quantization ladders, trit/quint pack blocks)
+never gather: per-value lookups ride the MXU as one-hot matmuls against
+the Mesa-validated tables from astc_ise.py, and per-grid-point weight
+quantization unrolls over the <= 16 ladder levels as vector selects.
 """
 
 from __future__ import annotations
@@ -110,10 +113,11 @@ def _trit_block_idx(digits):
 
 
 def _pack_ise_pallas(words, values, levels, for_weights, start, reverse,
-                     pack_tbl):
+                     pack_tbls):
     """values: list of n [1,TN] int32 quantized values.  Mirrors
     kernels/astc.py:_pack_ise_jax, with the trit/quint pack-block gather
-    as a one-hot matmul against `pack_tbl` [1,243|125] (a kernel input)."""
+    as a one-hot matmul against the matching table of `pack_tbls`
+    (trit [1,243], quint [1,125] — kernel inputs)."""
     kind, b = range_info(levels, for_weights)
     n = len(values)
     m = [v & ((1 << b) - 1) if b else jnp.zeros_like(v) for v in values]
@@ -135,7 +139,9 @@ def _pack_ise_pallas(words, values, levels, for_weights, start, reverse,
                 for k, dk in enumerate(digits):
                     acc = acc + dk * (5 ** (per - 1 - k))
                 idx = acc
-            (pk,) = _lut_rows(idx, pack_tbl)
+            (pk,) = _lut_rows(
+                idx, pack_tbls[0] if kind == "t" else pack_tbls[1]
+            )
             packed.append(pk)
 
     layout = ise_sequence_layout(n, kind, b)
@@ -231,7 +237,7 @@ def _ls(px, w, mask, chn):
 
 def _eval_exact(px, d0t, d1t, w64, nch):
     """Exact decoder model: per-channel d0t/d1t [*,TN] int (alpha=255 row
-    appended by the caller for CEM8), weights w64 [16,TN] int 0..64.
+    appended by the caller for CEM8), weights w64 [T,TN] int 0..64.
     Returns per-block error [1,TN] over 4 channels."""
     err = jnp.zeros_like(px[0][0:1, :])
     for c in range(4):
@@ -245,9 +251,30 @@ def _eval_exact(px, d0t, d1t, w64, nch):
     return err
 
 
-def _fit_1part(px, lay: Layout, iters: int, clut):
-    """1-partition fit on the 4x4 identity grid.  Returns
-    (q0, q1, gq16, err): q* channel lists [1,TN], gq16 [16,TN]."""
+def _grid_quant(t, lay, grid):
+    """Per-texel ideal weights t [T,TN] in [0,1] -> (gq [G,TN] quantized
+    grid values, w64t [T,TN] decoded texel weights).  grid is None for an
+    identity (full) weight grid, else (a_ref_val [T,G] f32 of C.2.18
+    16ths, pinv_ref_val [G,T] f32)."""
+    if grid is None:
+        w64i = jnp.clip(jnp.round(t * 64.0), 0, 64).astype(jnp.int32)
+        gq, unq = _wquant_levels(w64i, lay.wlevels)
+        return gq, unq
+    a_mat, pinv = grid
+    g = _mm(pinv, t)  # [G,TN]
+    w64g = jnp.clip(
+        jnp.round(jnp.clip(g, 0.0, 1.0) * 64.0), 0, 64
+    ).astype(jnp.int32)
+    gq, unqg = _wquant_levels(w64g, lay.wlevels)
+    # C.2.18 infill: integer-valued f32 matmul is exact (< 2^24).
+    s = _mm(a_mat, unqg.astype(jnp.float32))
+    w64t = jnp.floor((s + 8.0) / 16.0).astype(jnp.int32)
+    return gq, w64t
+
+
+def _fit_1part(px, lay: Layout, iters: int, clut, grid=None):
+    """1-partition fit.  Returns (q0, q1, gq, err): q* channel lists
+    [1,TN], gq [G,TN] quantized grid weight values."""
     nch = 4 if lay.cem == 12 else 3
     ones = jnp.ones_like(px[0])
     e0, e1 = _pca_seed(px, ones, nch)
@@ -266,32 +293,28 @@ def _fit_1part(px, lay: Layout, iters: int, clut):
         denom = sum(f * f for f in df) + 1e-6
         proj = sum((px[c] - d0[c].astype(jnp.float32)) * df[c] for c in range(nch))
         t = jnp.clip(proj / denom, 0.0, 1.0)
-        w64i = jnp.clip(jnp.round(t * 64.0), 0, 64).astype(jnp.int32)
-        gq, unq = _wquant_levels(w64i, lay.wlevels)
+        gq, unq = _grid_quant(t, lay, grid)
         err = _eval_exact(px, d0, d1, unq, nch)
-        cand = (q0, q1, gq, err)
+        cand = (q0, q1, gq, unq, err)
         if best is None:
             best = cand
         else:
-            take = err < best[3]
+            take = err < best[4]
             best = (
                 _sel(take, cand[0], best[0]),
                 _sel(take, cand[1], best[1]),
                 jnp.where(take, cand[2], best[2]),
-                jnp.where(take, err, best[3]),
+                jnp.where(take, cand[3], best[3]),
+                jnp.where(take, err, best[4]),
             )
         if it + 1 < max(1, iters):
-            w = best[2]
-            unq_tab = weight_unquant(lay.wlevels)
-            u = jnp.zeros_like(w)
-            for q in range(lay.wlevels):
-                u = jnp.where(w == q, int(unq_tab[q]), u)
+            u = best[3]  # decoded texel weights of the best candidate
             e0, e1 = _ls(px[:nch], u.astype(jnp.float32) / 64.0, ones, nch)
             e0, e1 = _orient(e0, e1)
-    return best
+    return best[0], best[1], best[2], best[4]
 
 
-def _pack_1part(lay: Layout, q0, q1, gq, shape, trit_tbl):
+def _pack_1part(lay: Layout, q0, q1, gq, shape, pack_tbls):
     """Mirror of kernels/astc.py:_pack_block for nparts=1."""
     words = [jnp.zeros(shape, _U32) for _ in range(4)]
     mode = block_mode_field(lay.gw, lay.gh, lay.wlevels)
@@ -303,15 +326,15 @@ def _pack_1part(lay: Layout, q0, q1, gq, shape, trit_tbl):
         cols.append(q0[c])
         cols.append(q1[c])
     _pack_ise_pallas(words, cols, lay.clevels, False, lay.header, False,
-                     trit_tbl)
-    gq_vals = [gq[i : i + 1, :] for i in range(16)]
-    _pack_ise_pallas(words, gq_vals, lay.wlevels, True, 0, True, trit_tbl)
+                     pack_tbls)
+    gq_vals = [gq[i : i + 1, :] for i in range(lay.gw * lay.gh)]
+    _pack_ise_pallas(words, gq_vals, lay.wlevels, True, 0, True, pack_tbls)
     return words
 
 
-def _void_extent(px):
+def _void_extent(px, t_count):
     shape = px[0][0:1, :].shape
-    mean = [_rt(px[c]) / 16.0 for c in range(4)]
+    mean = [_rt(px[c]) / float(t_count) for c in range(4)]
     v16 = [
         jnp.clip(jnp.round(m * 257.0), 0, 65535).astype(jnp.int32)
         for m in mean
@@ -332,27 +355,52 @@ def _void_extent(px):
 # ---------------------------------------------------------------------------
 
 
-def _layouts_a(quality):
+def _layouts_a(bw, bh, quality):
     plan = _PLAN[quality]
-    menu = layout_menu(4, 4)
+    menu = layout_menu(bw, bh)
     return (
         menu[(8, 1)][: plan["cem8_layouts"]]
         + menu[(12, 1)][: plan["cem12_layouts"]]
     )
 
 
-def _kernel_a(x_ref, trit_ref, *rest, quality, clut_levels):
+@functools.lru_cache(maxsize=256)
+def _prepared_grid(bw, bh, gw, gh):
+    """(a [T,G] f32 of C.2.18 16ths, pinv [G,T] f32), or None if the grid
+    is the full texel grid (infill is the identity)."""
+    if gw == bw and gh == bh:
+        return None
+    from cuttlefish_tpu.kernels.astc import infill_weights
+
+    a = infill_weights(bw, bh, gw, gh).astype(np.float64)
+    pinv = np.linalg.pinv(a / 16.0).astype(np.float32)
+    return a.astype(np.float32), pinv
+
+
+def _kernel_a(x_ref, trit_ref, quint_ref, *rest, quality, clut_levels, bw,
+              bh, grid_layidx):
+    """grid_layidx: tuple of layout indices (into _layouts_a order) that
+    carry decimated grids; for each, two refs (a, pinv) follow the
+    cluts in `rest`."""
     clut_refs = rest[: len(clut_levels)]
-    out_ref, err_ref = rest[len(clut_levels)], rest[len(clut_levels) + 1]
+    grid_refs = rest[len(clut_levels) : len(clut_levels) + 2 * len(grid_layidx)]
+    out_ref, err_ref = rest[-2], rest[-1]
     cluts = {lv: r[:] for lv, r in zip(clut_levels, clut_refs)}
-    trit_tbl = trit_ref[:]
+    grids = {
+        li: (grid_refs[2 * k][:], grid_refs[2 * k + 1][:])
+        for k, li in enumerate(grid_layidx)
+    }
+    pack_tbls = (trit_ref[:], quint_ref[:])
+    t_count = bw * bh
     px = [x_ref[c] for c in range(4)]
     iters = _PLAN[quality]["iters"]
 
-    words, err = _void_extent(px)
-    for lay in _layouts_a(quality):
-        q0, q1, gq, lerr = _fit_1part(px, lay, iters, cluts.get(lay.clevels))
-        lwords = _pack_1part(lay, q0, q1, gq, lerr.shape, trit_tbl)
+    words, err = _void_extent(px, t_count)
+    for li, lay in enumerate(_layouts_a(bw, bh, quality)):
+        q0, q1, gq, lerr = _fit_1part(
+            px, lay, iters, cluts.get(lay.clevels), grids.get(li)
+        )
+        lwords = _pack_1part(lay, q0, q1, gq, lerr.shape, pack_tbls)
         take = lerr < err
         words = [jnp.where(take, a, b) for a, b in zip(lwords, words)]
         err = jnp.where(take, lerr, err)
@@ -367,29 +415,32 @@ def _kernel_a(x_ref, trit_ref, *rest, quality, clut_levels):
 # ---------------------------------------------------------------------------
 
 
-def _kernel_b(x_ref, pt_ref, ptt_ref, trit_ref, clut_ref, out_ref, err_ref,
-              *, quality):
-    trit_tbl = trit_ref[:]
+def _kernel_b(x_ref, pt_ref, ptt_ref, trit_ref, quint_ref, clut_ref, *rest,
+              quality, bw, bh, has_grid):
+    grid = (rest[0][:], rest[1][:]) if has_grid else None
+    out_ref, err_ref = rest[-2], rest[-1]
+    pack_tbls = (trit_ref[:], quint_ref[:])
     clut = clut_ref[:]
     px = [x_ref[c] for c in range(4)]
     plan = _PLAN[quality]
     iters = plan["iters"]
-    lay = layout_menu(4, 4)[(8, 2)][0]
+    lay = layout_menu(bw, bh)[(8, 2)][0]
     nch = 3
+    t_count = float(bw * bh)
 
     # --- screening: within-cluster SSE proxy over all 1024 seeds (MXU).
-    pt = pt_ref[:]  # [1024,16] membership of subset 1
+    pt = pt_ref[:]  # [1024,T] membership of subset 1
     ns = jnp.sum(pt, axis=1, keepdims=True)  # [1024,1]
     s1 = [_mm(pt, px[c]) for c in range(4)]  # [1024,TN]
     sq_all = _rt(sum(px[c] * px[c] for c in range(4)))  # [1,TN]
     s_all = [_rt(px[c]) for c in range(4)]
     n1 = ns + 1e-6
-    n0 = (16.0 - ns) + 1e-6
+    n0 = (t_count - ns) + 1e-6
     explained = sum(s1[c] * s1[c] for c in range(4)) / n1 + sum(
         (s_all[c] - s1[c]) * (s_all[c] - s1[c]) for c in range(4)
     ) / n0
     sse = sq_all - explained
-    degenerate = (ns < 1.0) | (ns > 15.0)
+    degenerate = (ns < 1.0) | (ns > t_count - 1.0)
     sse = jnp.where(degenerate, jnp.inf, sse)
     iota = jax.lax.broadcasted_iota(jnp.int32, sse.shape, 0)
     smin = jnp.min(sse, axis=0, keepdims=True)
@@ -427,17 +478,16 @@ def _kernel_b(x_ref, pt_ref, ptt_ref, trit_ref, clut_ref, out_ref, err_ref,
         denom = sum(f * f for f in df) + 1e-6
         proj = sum((px[c] - d0t[c]) * df[c] for c in range(nch))
         t = jnp.clip(proj / denom, 0.0, 1.0)
-        w64i = jnp.clip(jnp.round(t * 64.0), 0, 64).astype(jnp.int32)
-        gq, unq = _wquant_levels(w64i, lay.wlevels)
+        gq, unq = _grid_quant(t, lay, grid)
         # exact eval (integer endpoints per texel)
         d0i = [d.astype(jnp.int32) for d in d0t]
         d1i = [d.astype(jnp.int32) for d in d1t]
         err = _eval_exact(px, d0i, d1i, unq, nch)
-        cand = (qs, gq, err)
+        cand = (qs, gq, unq, err)
         if best is None:
             best = cand
         else:
-            take = err < best[2]
+            take = err < best[3]
             newqs = [
                 (
                     _sel(take, cand[0][p][0], best[0][p][0]),
@@ -448,19 +498,16 @@ def _kernel_b(x_ref, pt_ref, ptt_ref, trit_ref, clut_ref, out_ref, err_ref,
             best = (
                 newqs,
                 jnp.where(take, cand[1], best[1]),
-                jnp.where(take, err, best[2]),
+                jnp.where(take, cand[2], best[2]),
+                jnp.where(take, err, best[3]),
             )
         if it + 1 < max(1, iters):
-            unq_tab = weight_unquant(lay.wlevels)
-            u = jnp.zeros_like(best[1])
-            for q in range(lay.wlevels):
-                u = jnp.where(best[1] == q, int(unq_tab[q]), u)
-            w = u.astype(jnp.float32) / 64.0
+            w = best[2].astype(jnp.float32) / 64.0
             seeds = [
                 _orient(*_ls(px[:nch], w, m, nch)) for m in masks
             ]
 
-    qs, gq, err = best
+    qs, gq, _, err = best
     # --- pack (mirror _pack_block nparts=2 path)
     words = [jnp.zeros(err.shape, _U32) for _ in range(4)]
     mode = block_mode_field(lay.gw, lay.gh, lay.wlevels)
@@ -474,9 +521,9 @@ def _kernel_b(x_ref, pt_ref, ptt_ref, trit_ref, clut_ref, out_ref, err_ref,
             cols.append(qs[p][0][c])
             cols.append(qs[p][1][c])
     _pack_ise_pallas(words, cols, lay.clevels, False, lay.header, False,
-                     trit_tbl)
-    gq_vals = [gq[i : i + 1, :] for i in range(16)]
-    _pack_ise_pallas(words, gq_vals, lay.wlevels, True, 0, True, trit_tbl)
+                     pack_tbls)
+    gq_vals = [gq[i : i + 1, :] for i in range(lay.gw * lay.gh)]
+    _pack_ise_pallas(words, gq_vals, lay.wlevels, True, 0, True, pack_tbls)
 
     for w in range(4):
         out_ref[w : w + 1, :] = words[w]
@@ -488,11 +535,22 @@ def _kernel_b(x_ref, pt_ref, ptt_ref, trit_ref, clut_ref, out_ref, err_ref,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("quality", "interpret"))
-def encode_astc4x4_pallas(
-    blocks: jnp.ndarray, quality: int = 2, interpret: bool = False
+@functools.partial(
+    jax.jit, static_argnames=("block_w", "block_h", "quality", "interpret")
+)
+def encode_astc_pallas(
+    blocks: jnp.ndarray,
+    block_w: int = 4,
+    block_h: int = 4,
+    quality: int = 2,
+    interpret: bool = False,
 ) -> jnp.ndarray:
-    """Encode [N,16,4] float RGBA (0..1) -> ASTC 4x4 [N,4] uint32 words."""
+    """Encode [N,bw*bh,4] float RGBA (0..1) -> ASTC [N,4] uint32 words.
+
+    All 14 2D block sizes: non-full weight grids run the spec C.2.18
+    infill and its pseudo-inverse as in-kernel MXU matmuls."""
+    bw, bh = int(block_w), int(block_h)
+    t_count = bw * bh
     quality = max(0, min(2, int(quality)))
     plan = _PLAN[quality]
     n = blocks.shape[0]
@@ -501,36 +559,59 @@ def encode_astc4x4_pallas(
         npad = -(-n // tn) * tn
         x = jnp.clip(blocks.astype(jnp.float32), 0.0, 1.0) * 255.0
         x = jnp.pad(x, ((0, npad - n), (0, 0), (0, 0)))
-        return jnp.transpose(x, (2, 1, 0)), npad  # [4,16,Np]
+        return jnp.transpose(x, (2, 1, 0)), npad  # [4,T,Np]
 
     trit_tbl = jnp.asarray(
         trit_pack_table().reshape(1, -1).astype(np.float32)
     )  # [1,243]
+    quint_tbl = jnp.asarray(
+        quint_pack_table().reshape(1, -1).astype(np.float32)
+    )  # [1,125]
+    lays_a = _layouts_a(bw, bh, quality)
     clut_levels = tuple(
-        sorted({l.clevels for l in _layouts_a(quality) if l.clevels != 256})
+        sorted({l.clevels for l in lays_a if l.clevels != 256})
     )
     cluts = [
         jnp.asarray(np.stack(_color_qlut(lv)).astype(np.float32))
         for lv in clut_levels
     ]  # each [2,256]
+    grid_layidx = tuple(
+        li for li, l in enumerate(lays_a)
+        if _prepared_grid(bw, bh, l.gw, l.gh) is not None
+    )
+    grid_arrs = []
+    grid_specs = []
+    const = lambda i: (0, 0)
+    for li in grid_layidx:
+        a, pinv = _prepared_grid(bw, bh, lays_a[li].gw, lays_a[li].gh)
+        grid_arrs += [jnp.asarray(a), jnp.asarray(pinv)]
+        grid_specs += [
+            pl.BlockSpec(a.shape, const, memory_space=pltpu.VMEM),
+            pl.BlockSpec(pinv.shape, const, memory_space=pltpu.VMEM),
+        ]
 
-    tn_a = TN_A if n >= TN_A else -(-n // 128) * 128
+    full_tn = TN_A if t_count <= 16 else (256 if t_count <= 64 else 128)
+    tn_a = full_tn if n >= full_tn else -(-n // 128) * 128
     xa, npad_a = pad_to(tn_a)
     words_a, err_a = pl.pallas_call(
         functools.partial(
-            _kernel_a, quality=quality, clut_levels=clut_levels
+            _kernel_a, quality=quality, clut_levels=clut_levels,
+            bw=bw, bh=bh, grid_layidx=grid_layidx,
         ),
         grid=(npad_a // tn_a,),
         in_specs=[
             pl.BlockSpec(
-                (4, 16, tn_a), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+                (4, t_count, tn_a), lambda i: (0, 0, i),
+                memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((1, 243), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 243), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 125), const, memory_space=pltpu.VMEM),
         ]
         + [
-            pl.BlockSpec((2, 256), lambda i: (0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((2, 256), const, memory_space=pltpu.VMEM)
             for _ in clut_levels
-        ],
+        ]
+        + grid_specs,
         out_specs=[
             pl.BlockSpec((4, tn_a), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tn_a), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -540,41 +621,52 @@ def encode_astc4x4_pallas(
             jax.ShapeDtypeStruct((1, npad_a), jnp.float32),
         ],
         interpret=interpret,
-    )(xa, trit_tbl, *cluts)
+    )(xa, trit_tbl, quint_tbl, *cluts, *grid_arrs)
     words = jnp.transpose(words_a)[:n]
     err = err_a[0, :n]
 
-    if plan["seeds2"]:
-        tn_b = TN_B if n >= TN_B else -(-n // 128) * 128
+    if plan["seeds2"] and layout_menu(bw, bh)[(8, 2)]:
+        full_tn_b = TN_B if t_count <= 64 else 128
+        tn_b = full_tn_b if n >= full_tn_b else -(-n // 128) * 128
         xb, npad_b = pad_to(tn_b)
         pt = jnp.asarray(
-            (partition_table(4, 4, 2) == 1).astype(np.float32)
-        )  # [1024,16]
-        lay2 = layout_menu(4, 4)[(8, 2)][0]
+            (partition_table(bw, bh, 2) == 1).astype(np.float32)
+        )  # [1024,T]
+        lay2 = layout_menu(bw, bh)[(8, 2)][0]
         clut2 = jnp.asarray(
             np.stack(_color_qlut(lay2.clevels)).astype(np.float32)
         )
+        grid2 = _prepared_grid(bw, bh, lay2.gw, lay2.gh)
+        grid2_arrs = []
+        grid2_specs = []
+        if grid2 is not None:
+            grid2_arrs = [jnp.asarray(grid2[0]), jnp.asarray(grid2[1])]
+            grid2_specs = [
+                pl.BlockSpec(grid2[0].shape, const, memory_space=pltpu.VMEM),
+                pl.BlockSpec(grid2[1].shape, const, memory_space=pltpu.VMEM),
+            ]
         words_b, err_b = pl.pallas_call(
-            functools.partial(_kernel_b, quality=quality),
+            functools.partial(
+                _kernel_b, quality=quality, bw=bw, bh=bh,
+                has_grid=grid2 is not None,
+            ),
             grid=(npad_b // tn_b,),
             in_specs=[
                 pl.BlockSpec(
-                    (4, 16, tn_b), lambda i: (0, 0, i),
+                    (4, t_count, tn_b), lambda i: (0, 0, i),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1024, 16), lambda i: (0, 0), memory_space=pltpu.VMEM
+                    (1024, t_count), const, memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec(
-                    (16, 1024), lambda i: (0, 0), memory_space=pltpu.VMEM
+                    (t_count, 1024), const, memory_space=pltpu.VMEM
                 ),
-                pl.BlockSpec(
-                    (1, 243), lambda i: (0, 0), memory_space=pltpu.VMEM
-                ),
-                pl.BlockSpec(
-                    (2, 256), lambda i: (0, 0), memory_space=pltpu.VMEM
-                ),
-            ],
+                pl.BlockSpec((1, 243), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 125), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, 256), const, memory_space=pltpu.VMEM),
+            ]
+            + grid2_specs,
             out_specs=[
                 pl.BlockSpec(
                     (4, tn_b), lambda i: (0, i), memory_space=pltpu.VMEM
@@ -588,9 +680,16 @@ def encode_astc4x4_pallas(
                 jax.ShapeDtypeStruct((1, npad_b), jnp.float32),
             ],
             interpret=interpret,
-        )(xb, pt, jnp.transpose(pt), trit_tbl, clut2)
+        )(xb, pt, jnp.transpose(pt), trit_tbl, quint_tbl, clut2, *grid2_arrs)
         wb = jnp.transpose(words_b)[:n]
         eb = err_b[0, :n]
         take = eb < err
         words = jnp.where(take[:, None], wb, words)
     return words
+
+
+def encode_astc4x4_pallas(
+    blocks: jnp.ndarray, quality: int = 2, interpret: bool = False
+) -> jnp.ndarray:
+    """Encode [N,16,4] float RGBA (0..1) -> ASTC 4x4 [N,4] uint32 words."""
+    return encode_astc_pallas(blocks, 4, 4, quality, interpret)

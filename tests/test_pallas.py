@@ -119,6 +119,38 @@ def test_astc4x4_pallas_bit_equal(blocks):
     assert 10 * np.log10(255.0**2 / mse) > 12.0
 
 
+@pytest.mark.parametrize("bw,bh", [(5, 4), (6, 6), (8, 8)])
+def test_astc_other_sizes_pallas_quality(bw, bh):
+    """Generalized ASTC Pallas kernel (decimated weight grids as in-kernel
+    infill matmuls): decode-valid and PSNR >= jnp - 0.05 dB.  5x4 pins the
+    quint color-ISE pack-table path (c80); 6x6/8x8 pin the grid infill."""
+    from cuttlefish_tpu.decode.astc import decode_astc
+    from cuttlefish_tpu.kernels.astc import _encode_astc_jnp
+    from cuttlefish_tpu.kernels.astc_pallas import encode_astc_pallas
+
+    rng = np.random.default_rng(bw * 10 + bh)
+    t = bw * bh
+    b = np.clip(
+        rng.random((32, 1, 4), np.float32)
+        + rng.normal(0, 0.1, (32, t, 4)).astype(np.float32),
+        0, 1,
+    )
+    ref = np.clip(np.round(b * 255), 0, 255)
+
+    def psnr(w):
+        raw = np.frombuffer(
+            np.ascontiguousarray(np.asarray(w)).astype("<u4").tobytes(),
+            np.uint8,
+        )
+        dec = decode_astc(raw, bw, bh)
+        mse = ((dec.astype(np.float64) - ref) ** 2).mean()
+        return 10 * np.log10(255**2 / (mse + 1e-12))
+
+    pp = psnr(encode_astc_pallas(b, bw, bh, 2, interpret=True))
+    pj = psnr(_encode_astc_jnp(b, bw, bh, 2))
+    assert pp >= pj - 0.05, (pp, pj)
+
+
 def test_etc_family_pallas_bit_parity(blocks, monkeypatch):
     """ETC1/ETC2/EAC Pallas kernels (interpret mode) match the jnp path
     bit-for-bit."""
