@@ -748,15 +748,15 @@ def encode_astc(
 ):
     """Encode [N, bw*bh, 4] float RGBA (0..1) to ASTC [N,4] uint32 words.
 
-    Dispatch: on TPU quality 0-2 runs the Pallas kernel for every block
-    size (kernels/astc_pallas.py, VMEM-resident layout sweep; decimated
-    weight grids as in-kernel MXU matmuls); higher quality and CPU use
-    the jnp path.  CUTTLEFISH_PALLAS=0 disables, =1 forces the
-    interpreted kernel."""
+    Dispatch: on TPU the Pallas kernel runs every block size and quality
+    (kernels/astc_pallas.py, VMEM-resident layout sweep; decimated
+    weight grids as in-kernel MXU matmuls; q3/q4 add dual-plane fits and
+    top-k partition seeds); CPU uses the jnp path.  CUTTLEFISH_PALLAS=0
+    disables, =1 forces the interpreted kernel."""
     import os
 
     use = os.environ.get("CUTTLEFISH_PALLAS", "auto")
-    if use != "0" and int(quality) <= 2:
+    if use != "0":
         if jax.default_backend() == "tpu":
             from cuttlefish_tpu.kernels.astc_pallas import encode_astc_pallas
 

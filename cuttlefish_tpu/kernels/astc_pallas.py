@@ -1,5 +1,6 @@
 """ASTC LDR block encoder as a Pallas TPU kernel (all 14 2D block sizes,
-quality 0-2).
+all 5 quality levels: q3/q4 add dual-plane fits, a second 2-partition
+layout, and top-k partition seeds, mirroring kernels/astc.py's _PLAN).
 
 Same blocks-on-lanes layout as bc7_pallas.py: texels on sublanes
 ([T,TN] tiles, T = bw*bh), channels unrolled, the whole layout sweep
@@ -314,10 +315,11 @@ def _fit_1part(px, lay: Layout, iters: int, clut, grid=None):
     return best[0], best[1], best[2], best[4]
 
 
-def _pack_1part(lay: Layout, q0, q1, gq, shape, pack_tbls):
-    """Mirror of kernels/astc.py:_pack_block for nparts=1."""
+def _pack_1part(lay: Layout, q0, q1, gq, shape, pack_tbls, ccs: int = 0):
+    """Mirror of kernels/astc.py:_pack_block for nparts=1 (gq is [2G,TN]
+    plane-interleaved when lay.dual, with `ccs` the component selector)."""
     words = [jnp.zeros(shape, _U32) for _ in range(4)]
-    mode = block_mode_field(lay.gw, lay.gh, lay.wlevels)
+    mode = block_mode_field(lay.gw, lay.gh, lay.wlevels, lay.dual)
     hdr = mode | ((lay.nparts - 1) << 11) | (lay.cem << 13)
     words[0] = words[0] | _U32(hdr)
     nch = len(q0)
@@ -327,9 +329,109 @@ def _pack_1part(lay: Layout, q0, q1, gq, shape, pack_tbls):
         cols.append(q1[c])
     _pack_ise_pallas(words, cols, lay.clevels, False, lay.header, False,
                      pack_tbls)
-    gq_vals = [gq[i : i + 1, :] for i in range(lay.gw * lay.gh)]
+    nw = lay.gw * lay.gh * (2 if lay.dual else 1)
+    gq_vals = [gq[i : i + 1, :] for i in range(nw)]
     _pack_ise_pallas(words, gq_vals, lay.wlevels, True, 0, True, pack_tbls)
+    if lay.dual:
+        pos = 128 - lay.wbits - 2
+        for k in range(2):
+            if (ccs >> k) & 1:
+                w, bo = divmod(pos + k, 32)
+                words[w] = words[w] | (_U32(1) << _U32(bo))
     return words
+
+
+def _fit_dual(px, lay: Layout, ccs: int, iters: int, clut, grid=None):
+    """Single-partition dual-plane fit (spec C.2.10): plane 0 weights
+    drive channels != ccs, plane 1 drives ccs.  Mirrors
+    kernels/astc.py:_fit_dual_layout in [T,TN] layout.  Returns
+    (q0, q1, gq [2G,TN] plane-interleaved, err)."""
+    nch = 4 if lay.cem == 12 else 3
+    rest = [c for c in range(nch) if c != ccs]
+    ones = jnp.ones_like(px[0])
+
+    # seeds: PCA over the rest channels, min/max for the ccs channel
+    e0r, e1r = _pca_seed([px[c] for c in rest], ones, len(rest))
+    lo_a = jnp.min(px[ccs], axis=0, keepdims=True)
+    hi_a = jnp.max(px[ccs], axis=0, keepdims=True)
+
+    def assemble(r, a):
+        out = []
+        ri = 0
+        for c in range(nch):
+            if c == ccs:
+                out.append(a)
+            else:
+                out.append(r[ri])
+                ri += 1
+        return out
+
+    e0 = assemble(e0r, lo_a)
+    e1 = assemble(e1r, hi_a)
+    e0, e1 = _orient(e0, e1)
+
+    best = None
+    for it in range(max(1, iters)):
+        q0, d0 = _quant_colors(e0, lay.clevels, clut)
+        q1, d1 = _quant_colors(e1, lay.clevels, clut)
+        swap = sum(d0[:3]) > sum(d1[:3])
+        q0, q1 = _sel(swap, q1, q0), _sel(swap, q0, q1)
+        d0, d1 = _sel(swap, d1, d0), _sel(swap, d0, d1)
+        # ideal weights per plane
+        dfr = [(d1[c] - d0[c]).astype(jnp.float32) for c in rest]
+        denom = sum(f * f for f in dfr) + 1e-6
+        proj = sum(
+            (px[c] - d0[c].astype(jnp.float32)) * f
+            for c, f in zip(rest, dfr)
+        )
+        t0 = jnp.clip(proj / denom, 0.0, 1.0)
+        da = (d1[ccs] - d0[ccs]).astype(jnp.float32)
+        dasafe = jnp.where(jnp.abs(da) > 1e-6, da, 1.0)
+        t1 = jnp.clip(
+            (px[ccs] - d0[ccs].astype(jnp.float32)) / dasafe, 0.0, 1.0
+        )
+        gq0, unq0 = _grid_quant(t0, lay, grid)
+        gq1, unq1 = _grid_quant(t1, lay, grid)
+        # eval: per-channel plane select
+        err = jnp.zeros_like(px[0][0:1, :])
+        for c in range(4):
+            dd0 = d0[c] if c < nch else jnp.full_like(unq0, 255)
+            dd1 = d1[c] if c < nch else jnp.full_like(unq0, 255)
+            w64 = unq1 if c == ccs else unq0
+            c16 = (dd0 * 257 * (64 - w64) + dd1 * 257 * w64 + 32) >> 6
+            dec = (c16 >> 8).astype(jnp.float32)
+            err = err + _rt((dec - px[c]) ** 2)
+        g = lay.gw * lay.gh
+        gq = jnp.concatenate(
+            [
+                x
+                for i in range(g)
+                for x in (gq0[i : i + 1, :], gq1[i : i + 1, :])
+            ],
+            axis=0,
+        )  # [2G,TN] plane-interleaved (grid-point-major)
+        cand = (q0, q1, gq, unq0, unq1, err)
+        if best is None:
+            best = cand
+        else:
+            take = err < best[5]
+            best = (
+                _sel(take, cand[0], best[0]),
+                _sel(take, cand[1], best[1]),
+                jnp.where(take, cand[2], best[2]),
+                jnp.where(take, cand[3], best[3]),
+                jnp.where(take, cand[4], best[4]),
+                jnp.where(take, err, best[5]),
+            )
+        if it + 1 < max(1, iters):
+            w0 = best[3].astype(jnp.float32) / 64.0
+            w1 = best[4].astype(jnp.float32) / 64.0
+            e0r2, e1r2 = _ls([px[c] for c in rest], w0, ones, len(rest))
+            e0a2, e1a2 = _ls([px[ccs]], w1, ones, 1)
+            e0 = assemble(e0r2, e0a2[0])
+            e1 = assemble(e1r2, e1a2[0])
+            e0, e1 = _orient(e0, e1)
+    return best[0], best[1], best[2], best[5]
 
 
 def _void_extent(px, t_count):
@@ -355,13 +457,22 @@ def _void_extent(px, t_count):
 # ---------------------------------------------------------------------------
 
 
-def _layouts_a(bw, bh, quality):
+def _tasks_a(bw, bh, quality):
+    """Kernel-A work list: [(layout, ccs)] — 1-partition layouts (ccs is
+    None) followed by one dual-plane fit per plan dp_ccs candidate.
+    Mirrors the jnp sweep order in kernels/astc.py:_encode_astc_jnp."""
     plan = _PLAN[quality]
     menu = layout_menu(bw, bh)
-    return (
-        menu[(8, 1)][: plan["cem8_layouts"]]
+    tasks = [
+        (lay, None)
+        for lay in menu[(8, 1)][: plan["cem8_layouts"]]
         + menu[(12, 1)][: plan["cem12_layouts"]]
-    )
+    ]
+    if plan["dp_ccs"] and menu[(12, "dp")]:
+        lay = menu[(12, "dp")][0]
+        for ccs in plan["dp_ccs"]:
+            tasks.append((lay, ccs))
+    return tasks
 
 
 @functools.lru_cache(maxsize=256)
@@ -378,17 +489,16 @@ def _prepared_grid(bw, bh, gw, gh):
 
 
 def _kernel_a(x_ref, trit_ref, quint_ref, *rest, quality, clut_levels, bw,
-              bh, grid_layidx):
-    """grid_layidx: tuple of layout indices (into _layouts_a order) that
-    carry decimated grids; for each, two refs (a, pinv) follow the
-    cluts in `rest`."""
+              bh, grid_keys):
+    """grid_keys: tuple of (gw, gh) grid shapes that carry decimated
+    grids; for each, two refs (a, pinv) follow the cluts in `rest`."""
     clut_refs = rest[: len(clut_levels)]
-    grid_refs = rest[len(clut_levels) : len(clut_levels) + 2 * len(grid_layidx)]
+    grid_refs = rest[len(clut_levels) : len(clut_levels) + 2 * len(grid_keys)]
     out_ref, err_ref = rest[-2], rest[-1]
     cluts = {lv: r[:] for lv, r in zip(clut_levels, clut_refs)}
     grids = {
-        li: (grid_refs[2 * k][:], grid_refs[2 * k + 1][:])
-        for k, li in enumerate(grid_layidx)
+        gk: (grid_refs[2 * k][:], grid_refs[2 * k + 1][:])
+        for k, gk in enumerate(grid_keys)
     }
     pack_tbls = (trit_ref[:], quint_ref[:])
     t_count = bw * bh
@@ -396,11 +506,17 @@ def _kernel_a(x_ref, trit_ref, quint_ref, *rest, quality, clut_levels, bw,
     iters = _PLAN[quality]["iters"]
 
     words, err = _void_extent(px, t_count)
-    for li, lay in enumerate(_layouts_a(bw, bh, quality)):
-        q0, q1, gq, lerr = _fit_1part(
-            px, lay, iters, cluts.get(lay.clevels), grids.get(li)
-        )
-        lwords = _pack_1part(lay, q0, q1, gq, lerr.shape, pack_tbls)
+    for lay, ccs in _tasks_a(bw, bh, quality):
+        clut = cluts.get(lay.clevels)
+        grid = grids.get((lay.gw, lay.gh))
+        if ccs is None:
+            q0, q1, gq, lerr = _fit_1part(px, lay, iters, clut, grid)
+            lwords = _pack_1part(lay, q0, q1, gq, lerr.shape, pack_tbls)
+        else:
+            q0, q1, gq, lerr = _fit_dual(px, lay, ccs, iters, clut, grid)
+            lwords = _pack_1part(
+                lay, q0, q1, gq, lerr.shape, pack_tbls, ccs
+            )
         take = lerr < err
         words = [jnp.where(take, a, b) for a, b in zip(lwords, words)]
         err = jnp.where(take, lerr, err)
@@ -415,40 +531,20 @@ def _kernel_a(x_ref, trit_ref, quint_ref, *rest, quality, clut_levels, bw,
 # ---------------------------------------------------------------------------
 
 
-def _kernel_b(x_ref, pt_ref, ptt_ref, trit_ref, quint_ref, clut_ref, *rest,
-              quality, bw, bh, has_grid):
-    grid = (rest[0][:], rest[1][:]) if has_grid else None
-    out_ref, err_ref = rest[-2], rest[-1]
-    pack_tbls = (trit_ref[:], quint_ref[:])
-    clut = clut_ref[:]
-    px = [x_ref[c] for c in range(4)]
-    plan = _PLAN[quality]
-    iters = plan["iters"]
-    lay = layout_menu(bw, bh)[(8, 2)][0]
-    nch = 3
-    t_count = float(bw * bh)
+def _layouts_b(bw, bh, quality):
+    menu = layout_menu(bw, bh)
+    lays = []
+    if menu[(8, 2)]:
+        lays.append(menu[(8, 2)][0])
+    if quality >= 3 and menu[(12, 2)]:
+        lays.append(menu[(12, 2)][0])
+    return lays
 
-    # --- screening: within-cluster SSE proxy over all 1024 seeds (MXU).
-    pt = pt_ref[:]  # [1024,T] membership of subset 1
-    ns = jnp.sum(pt, axis=1, keepdims=True)  # [1024,1]
-    s1 = [_mm(pt, px[c]) for c in range(4)]  # [1024,TN]
-    sq_all = _rt(sum(px[c] * px[c] for c in range(4)))  # [1,TN]
-    s_all = [_rt(px[c]) for c in range(4)]
-    n1 = ns + 1e-6
-    n0 = (t_count - ns) + 1e-6
-    explained = sum(s1[c] * s1[c] for c in range(4)) / n1 + sum(
-        (s_all[c] - s1[c]) * (s_all[c] - s1[c]) for c in range(4)
-    ) / n0
-    sse = sq_all - explained
-    degenerate = (ns < 1.0) | (ns > t_count - 1.0)
-    sse = jnp.where(degenerate, jnp.inf, sse)
-    iota = jax.lax.broadcasted_iota(jnp.int32, sse.shape, 0)
-    smin = jnp.min(sse, axis=0, keepdims=True)
-    seed = jnp.min(jnp.where(sse == smin, iota, 1024), axis=0, keepdims=True)
-    onehot = (iota == seed).astype(jnp.float32)  # [1024,TN]
-    m1 = _mm(ptt_ref[:], onehot)  # [16,TN]
 
-    # --- per-partition fits (masked), shared weight grid.
+def _fit_2part(px, m1, lay, iters, clut, grid):
+    """Two-partition fit with the subset-1 mask m1 [T,TN].  Returns
+    (qs [(q0,q1)]x2, gq [G,TN], err)."""
+    nch = 4 if lay.cem == 12 else 3
     masks = (1.0 - m1, m1)
     seeds = [_orient(*_pca_seed(px, m, nch)) for m in masks]
 
@@ -479,7 +575,6 @@ def _kernel_b(x_ref, pt_ref, ptt_ref, trit_ref, quint_ref, clut_ref, *rest,
         proj = sum((px[c] - d0t[c]) * df[c] for c in range(nch))
         t = jnp.clip(proj / denom, 0.0, 1.0)
         gq, unq = _grid_quant(t, lay, grid)
-        # exact eval (integer endpoints per texel)
         d0i = [d.astype(jnp.int32) for d in d0t]
         d1i = [d.astype(jnp.int32) for d in d1t]
         err = _eval_exact(px, d0i, d1i, unq, nch)
@@ -508,13 +603,18 @@ def _kernel_b(x_ref, pt_ref, ptt_ref, trit_ref, quint_ref, clut_ref, *rest,
             ]
 
     qs, gq, _, err = best
-    # --- pack (mirror _pack_block nparts=2 path)
-    words = [jnp.zeros(err.shape, _U32) for _ in range(4)]
+    return qs, gq, err
+
+
+def _pack_2part(lay, qs, gq, seed, shape, pack_tbls):
+    """Mirror of kernels/astc.py:_pack_block for nparts=2."""
+    nch = 4 if lay.cem == 12 else 3
+    words = [jnp.zeros(shape, _U32) for _ in range(4)]
     mode = block_mode_field(lay.gw, lay.gh, lay.wlevels)
     hdr = mode | ((lay.nparts - 1) << 11)
     words[0] = words[0] | _U32(hdr)
     words[0] = words[0] | (seed.astype(_U32) << _U32(13))
-    words[0] = words[0] | _U32(lay.cem << 2) << _U32(23 - 32 + 32)
+    words[0] = words[0] | _U32(lay.cem << 2) << _U32(23)
     cols = []
     for p in range(2):
         for c in range(nch):
@@ -524,6 +624,66 @@ def _kernel_b(x_ref, pt_ref, ptt_ref, trit_ref, quint_ref, clut_ref, *rest,
                      pack_tbls)
     gq_vals = [gq[i : i + 1, :] for i in range(lay.gw * lay.gh)]
     _pack_ise_pallas(words, gq_vals, lay.wlevels, True, 0, True, pack_tbls)
+    return words
+
+
+def _kernel_b(x_ref, pt_ref, ptt_ref, trit_ref, quint_ref, *rest,
+              quality, bw, bh, clut_levels, grid_layidx):
+    clut_refs = rest[: len(clut_levels)]
+    grid_refs = rest[len(clut_levels) : len(clut_levels) + 2 * len(grid_layidx)]
+    out_ref, err_ref = rest[-2], rest[-1]
+    cluts = {lv: r[:] for lv, r in zip(clut_levels, clut_refs)}
+    grids = {
+        li: (grid_refs[2 * k][:], grid_refs[2 * k + 1][:])
+        for k, li in enumerate(grid_layidx)
+    }
+    pack_tbls = (trit_ref[:], quint_ref[:])
+    px = [x_ref[c] for c in range(4)]
+    plan = _PLAN[quality]
+    iters = plan["iters"]
+    topk = max(1, plan["seeds2"])
+    lays = _layouts_b(bw, bh, quality)
+    t_count = float(bw * bh)
+
+    # --- screening: within-cluster SSE proxy over all 1024 seeds (MXU).
+    pt = pt_ref[:]  # [1024,T] membership of subset 1
+    ns = jnp.sum(pt, axis=1, keepdims=True)  # [1024,1]
+    s1 = [_mm(pt, px[c]) for c in range(4)]  # [1024,TN]
+    sq_all = _rt(sum(px[c] * px[c] for c in range(4)))  # [1,TN]
+    s_all = [_rt(px[c]) for c in range(4)]
+    n1 = ns + 1e-6
+    n0 = (t_count - ns) + 1e-6
+    explained = sum(s1[c] * s1[c] for c in range(4)) / n1 + sum(
+        (s_all[c] - s1[c]) * (s_all[c] - s1[c]) for c in range(4)
+    ) / n0
+    sse = sq_all - explained
+    degenerate = (ns < 1.0) | (ns > t_count - 1.0)
+    sse = jnp.where(degenerate, jnp.inf, sse)
+    iota = jax.lax.broadcasted_iota(jnp.int32, sse.shape, 0)
+
+    words = None
+    err = None
+    for k in range(topk):
+        smin = jnp.min(sse, axis=0, keepdims=True)
+        seed = jnp.min(
+            jnp.where(sse == smin, iota, 1024), axis=0, keepdims=True
+        )
+        sse = jnp.where(iota == seed, jnp.inf, sse)
+        onehot = (iota == seed).astype(jnp.float32)  # [1024,TN]
+        m1 = _mm(ptt_ref[:], onehot)  # [T,TN]
+        for li, lay in enumerate(lays):
+            qs, gq, lerr = _fit_2part(
+                px, m1, lay, iters, cluts.get(lay.clevels), grids.get(li)
+            )
+            lwords = _pack_2part(lay, qs, gq, seed, lerr.shape, pack_tbls)
+            if words is None:
+                words, err = lwords, lerr
+            else:
+                take = lerr < err
+                words = [
+                    jnp.where(take, a, b) for a, b in zip(lwords, words)
+                ]
+                err = jnp.minimum(lerr, err)
 
     for w in range(4):
         out_ref[w : w + 1, :] = words[w]
@@ -551,7 +711,7 @@ def encode_astc_pallas(
     infill and its pseudo-inverse as in-kernel MXU matmuls."""
     bw, bh = int(block_w), int(block_h)
     t_count = bw * bh
-    quality = max(0, min(2, int(quality)))
+    quality = max(0, min(4, int(quality)))
     plan = _PLAN[quality]
     n = blocks.shape[0]
 
@@ -567,23 +727,28 @@ def encode_astc_pallas(
     quint_tbl = jnp.asarray(
         quint_pack_table().reshape(1, -1).astype(np.float32)
     )  # [1,125]
-    lays_a = _layouts_a(bw, bh, quality)
+    tasks_a = _tasks_a(bw, bh, quality)
     clut_levels = tuple(
-        sorted({l.clevels for l in lays_a if l.clevels != 256})
+        sorted({lay.clevels for lay, _ in tasks_a if lay.clevels != 256})
     )
     cluts = [
         jnp.asarray(np.stack(_color_qlut(lv)).astype(np.float32))
         for lv in clut_levels
     ]  # each [2,256]
-    grid_layidx = tuple(
-        li for li, l in enumerate(lays_a)
-        if _prepared_grid(bw, bh, l.gw, l.gh) is not None
+    grid_keys = tuple(
+        sorted(
+            {
+                (lay.gw, lay.gh)
+                for lay, _ in tasks_a
+                if _prepared_grid(bw, bh, lay.gw, lay.gh) is not None
+            }
+        )
     )
     grid_arrs = []
     grid_specs = []
     const = lambda i: (0, 0)
-    for li in grid_layidx:
-        a, pinv = _prepared_grid(bw, bh, lays_a[li].gw, lays_a[li].gh)
+    for gw, gh in grid_keys:
+        a, pinv = _prepared_grid(bw, bh, gw, gh)
         grid_arrs += [jnp.asarray(a), jnp.asarray(pinv)]
         grid_specs += [
             pl.BlockSpec(a.shape, const, memory_space=pltpu.VMEM),
@@ -591,12 +756,14 @@ def encode_astc_pallas(
         ]
 
     full_tn = TN_A if t_count <= 16 else (256 if t_count <= 64 else 128)
+    if quality >= 3:
+        full_tn = min(full_tn, 256)
     tn_a = full_tn if n >= full_tn else -(-n // 128) * 128
     xa, npad_a = pad_to(tn_a)
     words_a, err_a = pl.pallas_call(
         functools.partial(
             _kernel_a, quality=quality, clut_levels=clut_levels,
-            bw=bw, bh=bh, grid_layidx=grid_layidx,
+            bw=bw, bh=bh, grid_keys=grid_keys,
         ),
         grid=(npad_a // tn_a,),
         in_specs=[
@@ -625,30 +792,40 @@ def encode_astc_pallas(
     words = jnp.transpose(words_a)[:n]
     err = err_a[0, :n]
 
-    if plan["seeds2"] and layout_menu(bw, bh)[(8, 2)]:
+    lays_b = _layouts_b(bw, bh, quality)
+    if plan["seeds2"] and lays_b:
         full_tn_b = TN_B if t_count <= 64 else 128
         tn_b = full_tn_b if n >= full_tn_b else -(-n // 128) * 128
         xb, npad_b = pad_to(tn_b)
         pt = jnp.asarray(
             (partition_table(bw, bh, 2) == 1).astype(np.float32)
         )  # [1024,T]
-        lay2 = layout_menu(bw, bh)[(8, 2)][0]
-        clut2 = jnp.asarray(
-            np.stack(_color_qlut(lay2.clevels)).astype(np.float32)
+        clut_levels_b = tuple(
+            sorted({l.clevels for l in lays_b if l.clevels != 256})
         )
-        grid2 = _prepared_grid(bw, bh, lay2.gw, lay2.gh)
-        grid2_arrs = []
-        grid2_specs = []
-        if grid2 is not None:
-            grid2_arrs = [jnp.asarray(grid2[0]), jnp.asarray(grid2[1])]
-            grid2_specs = [
-                pl.BlockSpec(grid2[0].shape, const, memory_space=pltpu.VMEM),
-                pl.BlockSpec(grid2[1].shape, const, memory_space=pltpu.VMEM),
+        cluts_b = [
+            jnp.asarray(np.stack(_color_qlut(lv)).astype(np.float32))
+            for lv in clut_levels_b
+        ]
+        grid_layidx_b = tuple(
+            li for li, l in enumerate(lays_b)
+            if _prepared_grid(bw, bh, l.gw, l.gh) is not None
+        )
+        gridb_arrs = []
+        gridb_specs = []
+        for li in grid_layidx_b:
+            a, pinv = _prepared_grid(
+                bw, bh, lays_b[li].gw, lays_b[li].gh
+            )
+            gridb_arrs += [jnp.asarray(a), jnp.asarray(pinv)]
+            gridb_specs += [
+                pl.BlockSpec(a.shape, const, memory_space=pltpu.VMEM),
+                pl.BlockSpec(pinv.shape, const, memory_space=pltpu.VMEM),
             ]
         words_b, err_b = pl.pallas_call(
             functools.partial(
                 _kernel_b, quality=quality, bw=bw, bh=bh,
-                has_grid=grid2 is not None,
+                clut_levels=clut_levels_b, grid_layidx=grid_layidx_b,
             ),
             grid=(npad_b // tn_b,),
             in_specs=[
@@ -664,9 +841,12 @@ def encode_astc_pallas(
                 ),
                 pl.BlockSpec((1, 243), const, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 125), const, memory_space=pltpu.VMEM),
-                pl.BlockSpec((2, 256), const, memory_space=pltpu.VMEM),
             ]
-            + grid2_specs,
+            + [
+                pl.BlockSpec((2, 256), const, memory_space=pltpu.VMEM)
+                for _ in clut_levels_b
+            ]
+            + gridb_specs,
             out_specs=[
                 pl.BlockSpec(
                     (4, tn_b), lambda i: (0, i), memory_space=pltpu.VMEM
@@ -680,7 +860,10 @@ def encode_astc_pallas(
                 jax.ShapeDtypeStruct((1, npad_b), jnp.float32),
             ],
             interpret=interpret,
-        )(xb, pt, jnp.transpose(pt), trit_tbl, quint_tbl, clut2, *grid2_arrs)
+        )(
+            xb, pt, jnp.transpose(pt), trit_tbl, quint_tbl,
+            *cluts_b, *gridb_arrs,
+        )
         wb = jnp.transpose(words_b)[:n]
         eb = err_b[0, :n]
         take = eb < err

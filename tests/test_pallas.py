@@ -119,6 +119,37 @@ def test_astc4x4_pallas_bit_equal(blocks):
     assert 10 * np.log10(255.0**2 / mse) > 12.0
 
 
+def test_astc_pallas_q3_dual_plane_parity():
+    """Quality 3 (dual-plane fits + 12,2 layout + top-2 seeds): every
+    block's decoded error matches the jnp path exactly (mismatched bits
+    may appear only on exact error ties)."""
+    from cuttlefish_tpu.decode.astc import decode_astc
+    from cuttlefish_tpu.kernels.astc import _encode_astc_jnp
+    from cuttlefish_tpu.kernels.astc_pallas import encode_astc_pallas
+
+    rng = np.random.default_rng(11)
+    b = np.clip(
+        rng.random((24, 1, 4), np.float32)
+        + rng.normal(0, 0.15, (24, 16, 4)).astype(np.float32),
+        0, 1,
+    )
+    # independent-alpha content so the dual-plane (ccs=3) fit wins blocks
+    b[:12, :, 3] = rng.random((12, 16), np.float32)
+    ref = np.clip(np.round(b * 255), 0, 255)
+
+    def per_block_mse(w):
+        raw = np.frombuffer(
+            np.ascontiguousarray(np.asarray(w)).astype("<u4").tobytes(),
+            np.uint8,
+        )
+        dec = decode_astc(raw, 4, 4).astype(np.float64)
+        return ((dec - ref) ** 2).mean(axis=(1, 2))
+
+    mp = per_block_mse(encode_astc_pallas(b, 4, 4, 3, interpret=True))
+    mj = per_block_mse(_encode_astc_jnp(b, 4, 4, 3))
+    assert np.all(mp <= mj + 1e-9), (mp - mj).max()
+
+
 @pytest.mark.parametrize("bw,bh", [(5, 4), (6, 6), (8, 8)])
 def test_astc_other_sizes_pallas_quality(bw, bh):
     """Generalized ASTC Pallas kernel (decimated weight grids as in-kernel
