@@ -177,11 +177,14 @@ def measure_full_matrix() -> dict:
     out["bc6h_q4_kernel"] = {"mtexels_per_s": round(1024 * 1024 / dt / 1e6, 2)}
     log(f"bc6h_q4_kernel: {out['bc6h_q4_kernel']}")
     # Config 5: ASTC 4x4 + 8x8 kernels (sRGB/cube orchestration is host-side).
-    dt = _time_chained(
-        lambda b: kastc.encode_astc(b, 4, 4, quality=2), blocks, 4, chain=4
-    )
-    out["astc4x4_q2_kernel"] = {"mtexels_per_s": round(1024 * 1024 / dt / 1e6, 2)}
-    log(f"astc4x4_q2_kernel: {out['astc4x4_q2_kernel']}")
+    for q in (2, 3, 4):
+        dt = _time_chained(
+            lambda b, q=q: kastc.encode_astc(b, 4, 4, quality=q), blocks, 4,
+            chain=4,
+        )
+        key = f"astc4x4_q{q}_kernel"
+        out[key] = {"mtexels_per_s": round(1024 * 1024 / dt / 1e6, 2)}
+        log(f"{key}: {out[key]}")
     return out
 
 
