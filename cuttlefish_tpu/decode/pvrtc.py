@@ -20,14 +20,19 @@ def _expand4(v):
     return v * 17
 
 
-def _unpack_a(cw: np.ndarray) -> np.ndarray:
+def _unpack_a(cw: np.ndarray, pvrtc2: bool = False) -> np.ndarray:
     """Color A (the mod-0 endpoint): bits 0..15 (bit 0 = mode flag)
     -> [N,4] float 0..1, matching PVRTDecompress' getColourA.
 
-    Opaque (bit 15): 5.5.4; translucent: A3 R4 G4 B3.
+    Opaque: 5.5.4; translucent: A3 R4 G4 B3.  PVRTC1 keeps color A's
+    opaque flag at bit 15; PVRTC2 re-purposes bit 15 as the
+    hard-transition flag and reads the block-global opacity flag at
+    bit 31 instead.
     """
     field = cw & 0xFFFF
-    opaque = ((field >> 15) & 1).astype(bool)
+    opaque = (
+        ((cw >> 31) & 1) if pvrtc2 else ((field >> 15) & 1)
+    ).astype(bool)
     ro = _expand5((field >> 10) & 0x1F)
     go = _expand5((field >> 5) & 0x1F)
     b4o = (field >> 1) & 0xF
@@ -68,7 +73,8 @@ def _unpack_b(cw: np.ndarray) -> np.ndarray:
 
 
 def _decode_pvrtc(
-    data: np.ndarray, width: int, height: int, bpp2: bool, wrap: bool
+    data: np.ndarray, width: int, height: int, bpp2: bool, wrap: bool,
+    pvrtc2: bool = False,
 ) -> np.ndarray:
     """Raster-order block words -> (H, W, 4) float32 decoded surface."""
     import jax.numpy as jnp
@@ -78,7 +84,7 @@ def _decode_pvrtc(
     words = np.asarray(data, np.uint8).reshape(-1, 8).view("<u4")
     mod = words[:, 0].astype(np.uint64)
     cw = words[:, 1].astype(np.uint32)
-    a = _unpack_a(cw).reshape(nby, nbx, 4)
+    a = _unpack_a(cw, pvrtc2=pvrtc2).reshape(nby, nbx, 4)
     b = _unpack_b(cw).reshape(nby, nbx, 4)
     a_img = np.asarray(upscale_bilinear(jnp.asarray(a), bw, bh, wrap=wrap))
     b_img = np.asarray(upscale_bilinear(jnp.asarray(b), bw, bh, wrap=wrap))
@@ -116,6 +122,8 @@ def decode_pvrtc1(
 def decode_pvrtc2(
     data: np.ndarray, width: int, height: int, bpp2: bool = False
 ) -> np.ndarray:
-    """PVRTC2 interpolated subset: clamped borders instead of wraparound
-    (see kernels/pvrtc.py encode_pvrtc2 for the layout caveats)."""
-    return _decode_pvrtc(data, width, height, bpp2, wrap=False)
+    """PVRTC2 interpolated subset: clamped borders, block-global
+    opacity flag at bit 31 (bit 15 is the hard-transition flag — only
+    interpolated blocks are emitted; see kernels/pvrtc.py
+    encode_pvrtc2)."""
+    return _decode_pvrtc(data, width, height, bpp2, wrap=False, pvrtc2=True)

@@ -75,7 +75,7 @@ def _e3to4(q):
     return _e4(q4)
 
 
-def _quant_a(c):
+def _quant_a(c, opaque=None, flag_bit=True):
     """Color A field (LOW 16 bits of the color word, the mod-0 endpoint):
     opaque 1.5.5.4 or translucent 0.3.4.4.3 — blue gives one bit to the
     modulation-mode flag at bit 0.
@@ -83,12 +83,18 @@ def _quant_a(c):
     c [...,4] float RGBA 0..1 -> (packed 16-bit int, decoded RGBA float).
     Endpoints with alpha >= 15/16 use the opaque mode; others store 3-bit
     alpha (decoded as the 0..14/15 ladder).
+
+    PVRTC2 passes the block-global opacity selector as `opaque` and
+    `flag_bit=False`: there bit 15 is the hard-transition flag (left
+    clear — this encoder emits only interpolated blocks) and the opacity
+    flag lives once at bit 31 of the color word.
     """
-    opaque = c[..., 3] >= 15.0 / 16.0
+    if opaque is None:
+        opaque = c[..., 3] >= 15.0 / 16.0
     r5 = jnp.clip(jnp.round(c[..., 0] * 31.0), 0, 31).astype(jnp.int32)
     g5 = jnp.clip(jnp.round(c[..., 1] * 31.0), 0, 31).astype(jnp.int32)
     b4 = jnp.clip(jnp.round(c[..., 2] * 15.0), 0, 15).astype(jnp.int32)
-    pack_o = 0x8000 | (r5 << 10) | (g5 << 5) | (b4 << 1)
+    pack_o = (0x8000 if flag_bit else 0) | (r5 << 10) | (g5 << 5) | (b4 << 1)
     b5 = (b4 << 1) | (b4 >> 3)
     dec_o = jnp.stack(
         [_e5(r5), _e5(g5), _e5(b5), jnp.ones_like(c[..., 3])], -1)
@@ -106,10 +112,15 @@ def _quant_a(c):
     return packed, dec
 
 
-def _quant_b(c):
+def _quant_b(c, opaque=None):
     """Color B field (HIGH 16 bits of the color word, the mod-8 endpoint):
-    opaque 1.5.5.5 or translucent 0.3.4.4.4."""
-    opaque = c[..., 3] >= 15.0 / 16.0
+    opaque 1.5.5.5 or translucent 0.3.4.4.4.
+
+    The flag bit (bit 31 of the color word) doubles as PVRTC2's global
+    opacity flag — identical packing, so PVRTC2 only overrides which
+    blocks count as opaque (`opaque=` the block-global selector)."""
+    if opaque is None:
+        opaque = c[..., 3] >= 15.0 / 16.0
     # Opaque: 5.5.5.
     qo = jnp.clip(jnp.round(c[..., :3] * 31.0), 0, 31).astype(jnp.int32)
     pack_o = 0x8000 | (qo[..., 0] << 10) | (qo[..., 1] << 5) | qo[..., 2]
@@ -195,12 +206,15 @@ def _block_endpoints(surface: jnp.ndarray, bw: int, bh: int):
     return lo.reshape(nby, nbx, nch), hi.reshape(nby, nbx, nch)
 
 
-@functools.partial(jax.jit, static_argnames=("bpp2", "quality", "wrap"))
+@functools.partial(
+    jax.jit, static_argnames=("bpp2", "quality", "wrap", "pvrtc2")
+)
 def _encode_pvrtc(
     surface: jnp.ndarray,
     bpp2: bool = False,
     quality: int = 2,
     wrap: bool = True,
+    pvrtc2: bool = False,
 ) -> jnp.ndarray:
     """Encode an RGB(A) surface (H, W, 4) float 0..1 -> [nblocks, 2] uint32
     words in raster order (caller applies the Morton permutation).
@@ -223,9 +237,22 @@ def _encode_pvrtc(
 
     mod_w = jnp.asarray(_MOD_W_4BPP if not bpp2 else np.array([0, 8], np.float32))
 
+    def quant_pair(lo_g, hi_g):
+        """PVRTC1: per-color opaque modes.  PVRTC2: one opacity flag for
+        the whole block (both endpoints opaque or both translucent)."""
+        if pvrtc2:
+            opq = (lo_g[..., 3] >= 15.0 / 16.0) & (
+                hi_g[..., 3] >= 15.0 / 16.0
+            )
+            pa, dec_a = _quant_a(lo_g, opaque=opq, flag_bit=False)
+            pb, dec_b = _quant_b(hi_g, opaque=opq)
+        else:
+            pa, dec_a = _quant_a(lo_g)
+            pb, dec_b = _quant_b(hi_g)
+        return pa, dec_a, pb, dec_b
+
     def modulate(lo_g, hi_g):
-        _, dec_a = _quant_a(lo_g)
-        _, dec_b = _quant_b(hi_g)
+        _, dec_a, _, dec_b = quant_pair(lo_g, hi_g)
         a_img = upscale_bilinear(dec_a, bw, bh, wrap=wrap)
         b_img = upscale_bilinear(dec_b, bw, bh, wrap=wrap)
         d = b_img - a_img
@@ -266,8 +293,7 @@ def _encode_pvrtc(
         mi, a_img, b_img = modulate(new_lo, new_hi)
         lo, hi = new_lo, new_hi
 
-    pa, _ = _quant_a(lo)
-    pb, _ = _quant_b(hi)
+    pa, _, pb, _ = quant_pair(lo, hi)
 
     bits = 1 if bpp2 else 2
     punch_flag = jnp.zeros((nby, nbx), jnp.uint32)
@@ -334,15 +360,21 @@ def encode_pvrtc2(
     """PVRTC2 2/4bpp (reference: `PvrtcConverter.cpp:90-93` via PVRTexLib).
 
     PVRTC2's public description (Imagination, "PVRTC2: taking texture
-    compression to a new dimension") keeps PVRTC1's two low-frequency
-    color signals + per-texel modulation but replaces the toroidal
-    wraparound with clamped border interpolation and adds hard-transition
-    / local-palette block modes.  This encoder emits the interpolated
-    subset — PVRTC1 color fields, clamped borders, punch-through
-    modulation for 4bpp — and never sets the hard-transition flag.  No
-    conformant PVRTC2 decoder exists in this environment, so the bit
-    layout is validated by the in-repo spec decoder only
-    (decode/pvrtc.py); the subset choice keeps every emitted field one
-    the PVRTC1-validated machinery produces.
+    compression to a new dimension"; basisu's pvrtc2 block layout) keeps
+    PVRTC1's two low-frequency color signals + per-texel modulation but
+    replaces the toroidal wraparound with clamped border interpolation
+    and re-purposes two flag bits: bit 15 of the color word (PVRTC1's
+    color-A opaque flag) becomes the hard-transition flag, and bit 31
+    becomes one block-global opacity flag covering BOTH endpoints
+    (opaque A=554/B=555, translucent A=3443/B=3444 — same component
+    widths as PVRTC1).  This encoder emits the interpolated subset —
+    clamped borders, global opacity flag, punch-through modulation for
+    4bpp — and never sets the hard-transition flag (hard/local-palette
+    are optional encoder modes, not required for a conformant stream).
+    No independent PVRTC2 decoder exists in this environment, so the
+    layout is validated by the in-repo spec decoder (decode/pvrtc.py)
+    plus flag-position tests.
     """
-    return _encode_pvrtc(surface, bpp2=bpp2, quality=quality, wrap=False)
+    return _encode_pvrtc(
+        surface, bpp2=bpp2, quality=quality, wrap=False, pvrtc2=True
+    )

@@ -123,6 +123,42 @@ class TestPipeline:
         dec = decode_pvrtc2(words[inv].reshape(-1), 32, 32, bpp2=bpp2)
         assert _psnr(dec[..., :3], surface[..., :3]) > (24 if bpp2 else 28)
 
+    def test_pvrtc2_flag_bits(self):
+        """PVRTC2 color-word flags (basisu pvrtc2 layout): bit 31 is the
+        block-global opacity flag (set iff both endpoints are opaque),
+        bit 15 is the hard-transition flag (never emitted).  PVRTC1's
+        per-color opaque flags must NOT appear here — a conformant
+        decoder would read color A's flag as a hard transition."""
+        from cuttlefish_tpu.kernels.pvrtc import encode_pvrtc2
+
+        rng = np.random.default_rng(3)
+        opaque = _smooth_surface(32, 32, rng)
+        opaque[..., 3] = 1.0
+        w = np.asarray(encode_pvrtc2(opaque, bpp2=False, quality=2))
+        cw = w[:, 1].astype(np.uint64)
+        assert np.all((cw >> 31) & 1 == 1)  # global opacity flag set
+        assert np.all((cw >> 15) & 1 == 0)  # hard flag clear
+
+        trans = opaque.copy()
+        trans[..., 3] = 0.5
+        w = np.asarray(encode_pvrtc2(trans, bpp2=False, quality=2))
+        cw = w[:, 1].astype(np.uint64)
+        assert np.all((cw >> 31) & 1 == 0)  # translucent blocks
+        assert np.all((cw >> 15) & 1 == 0)
+
+    def test_pvrtc2_translucent_roundtrip(self):
+        """Mixed-alpha content survives the global-opacity color modes."""
+        rng = np.random.default_rng(9)
+        surf = _smooth_surface(32, 32, rng)
+        surf[..., 3] = np.linspace(0.2, 1.0, 32)[None, :]
+        from cuttlefish_tpu.kernels.pvrtc import encode_pvrtc2
+
+        w = np.asarray(encode_pvrtc2(surf, bpp2=False, quality=2))
+        dec = decode_pvrtc2(
+            np.ascontiguousarray(w.astype("<u4")).view(np.uint8), 32, 32
+        )
+        assert _psnr(dec, surf) > 24
+
     def test_pvrtc2_border_no_wrap(self):
         """A bright left edge must not bleed into the right edge (the
         PVRTC1 wraparound artifact PVRTC2 exists to fix)."""
