@@ -135,3 +135,46 @@ class TestLoaderIntegration:
         img = Image(p)
         assert img.valid and img.format is ImageFormat.RGBA8
         assert np.array_equal(img.array, arr)
+
+
+class TestQualityVsCpuReference:
+    """North-star quality check (BASELINE.md): the TPU-path encoder must
+    score >= the independent reference-class CPU encoder (bc7enc "basic"
+    algorithm family: mode 6 + mode 1, full partition screening, LS
+    refinement) at the same quality setting on the same content."""
+
+    @pytest.mark.parametrize(
+        "quality",
+        [2, pytest.param(4, marks=pytest.mark.slow)],
+    )
+    def test_bc7_psnr_not_below_cpu_reference(self, quality):
+        from cuttlefish_tpu.decode import decode_bc7
+        from cuttlefish_tpu.kernels.bc7 import encode_bc7
+
+        rng = np.random.default_rng(42)
+        n = 256
+        # Two-color-lerp blocks + noise: representative texture content.
+        c0 = rng.random((n, 1, 4), np.float32)
+        c1 = rng.random((n, 1, 4), np.float32)
+        t = rng.random((n, 16, 1), np.float32)
+        blocks = np.clip(
+            c0 + (c1 - c0) * t
+            + rng.normal(0, 0.02, (n, 16, 4)).astype(np.float32),
+            0, 1,
+        ).astype(np.float32)
+        ref = np.clip(np.round(blocks * 255), 0, 255)
+
+        def psnr(words):
+            raw = np.frombuffer(
+                np.ascontiguousarray(
+                    np.asarray(words).astype("<u4")
+                ).tobytes(),
+                np.uint8,
+            )
+            dec = decode_bc7(raw).astype(np.float64)
+            mse = ((dec - ref) ** 2).mean()
+            return 10 * np.log10(255.0**2 / mse)
+
+        p_tpu = psnr(encode_bc7(blocks, quality=quality))
+        p_cpu = psnr(native.bc7_encode_cpu(blocks, quality))
+        assert p_tpu >= p_cpu - 1e-6, (p_tpu, p_cpu)
