@@ -71,7 +71,12 @@ _QUALITIES = {
     "high": Quality.High, "highest": Quality.Highest,
 }
 
-_FILE_FORMATS = {"dds": FileType.DDS, "ktx": FileType.KTX, "pvr": FileType.PVR}
+_FILE_FORMATS = {
+    "dds": FileType.DDS,
+    "ktx": FileType.KTX,
+    "ktx2": FileType.KTX2,
+    "pvr": FileType.PVR,
+}
 
 _SWIZZLE = {
     "r": Channel.Red, "g": Channel.Green, "b": Channel.Blue,
@@ -128,7 +133,8 @@ Output:
       --alpha mode               none, standard, pre-multiplied, encoded
   -Q, --quality q                lowest, low, normal, high, highest
   -o, --output file              output texture path
-      --file-format dds|ktx|pvr  container (deduced from extension if absent)
+      --file-format dds|ktx|ktx2|pvr
+                                 container (deduced from extension if absent)
       --create-dir               create the output directory if needed
 """
 

@@ -170,6 +170,9 @@ class FileType(enum.Enum):
     DDS = 1
     KTX = 2
     PVR = 3
+    # Extension beyond the reference (which writes KTX1 only): KTX 2.0,
+    # the container modern Vulkan/glTF pipelines expect.
+    KTX2 = 4
 
 
 class SaveResult(enum.Enum):
@@ -358,12 +361,14 @@ def is_format_valid(
     if file_type is None:
         return True
     # Container-specific validity lives with the writers.
-    from cuttlefish_tpu.containers import dds, ktx, pvr
+    from cuttlefish_tpu.containers import dds, ktx, ktx2, pvr
 
     if file_type is FileType.DDS:
         return dds.is_valid_for_dds(fmt, type_)
     if file_type is FileType.KTX:
         return ktx.is_valid_for_ktx(fmt, type_)
+    if file_type is FileType.KTX2:
+        return ktx2.is_valid_for_ktx2(fmt, type_)
     if file_type is FileType.PVR:
         return pvr.is_valid_for_pvr(fmt, type_)
     return False
@@ -417,6 +422,8 @@ def file_type_for_name(file_name: str) -> FileType:
     lower = file_name.lower()
     if lower.endswith(".dds"):
         return FileType.DDS
+    if lower.endswith(".ktx2"):
+        return FileType.KTX2
     if lower.endswith(".ktx"):
         return FileType.KTX
     if lower.endswith(".pvr"):

@@ -479,12 +479,14 @@ class Texture:
         return result, stream.getvalue()
 
     def _save_stream(self, stream, file_type: FileType) -> SaveResult:
-        from cuttlefish_tpu.containers import dds, ktx, pvr
+        from cuttlefish_tpu.containers import dds, ktx, ktx2, pvr
 
         if file_type is FileType.DDS:
             return dds.save_dds(self, stream)
         if file_type is FileType.KTX:
             return ktx.save_ktx(self, stream)
+        if file_type is FileType.KTX2:
+            return ktx2.save_ktx2(self, stream)
         if file_type is FileType.PVR:
             return pvr.save_pvr(self, stream)
         return SaveResult.UnknownFormat

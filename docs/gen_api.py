@@ -39,6 +39,7 @@ MODULES = [
     "cuttlefish_tpu.parallel",
     "cuttlefish_tpu.containers.dds",
     "cuttlefish_tpu.containers.ktx",
+    "cuttlefish_tpu.containers.ktx2",
     "cuttlefish_tpu.containers.pvr",
     "cuttlefish_tpu.kernels.bc",
     "cuttlefish_tpu.kernels.bc6h",

@@ -26,7 +26,7 @@ def matrix() -> str:
             continue
         conts = "/".join(
             ft.name
-            for ft in (FileType.DDS, FileType.KTX, FileType.PVR)
+            for ft in (FileType.DDS, FileType.KTX, FileType.KTX2, FileType.PVR)
             if F.is_format_valid(fmt, types[0], ft)
         )
         tn = " ".join(t.name for t in types)
