@@ -232,7 +232,10 @@ def save_dds(texture, stream) -> SaveResult:
                 for level in range(mip_count):
                     volumes = texture.depth(level) if dim is Dimension.Dim3D else 1
                     for volume in range(volumes):
-                        index = volume + element
+                        # depth index is the volume slice for 3D textures and
+                        # the array element for arrays (never both; DDS has
+                        # no volume arrays, SaveDds.cpp:657-680).
+                        index = volume if dim is Dimension.Dim3D else element
                         data = texture.data(CubeFace(face), level, index)
                         if not data:
                             return SaveResult.Invalid

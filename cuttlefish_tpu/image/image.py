@@ -185,9 +185,12 @@ class Image:
     def set_pixel(self, x: int, y: int, color) -> bool:
         if self._data is None:
             return False
-        rgba = self.rgbad()
-        rgba[y, x] = np.asarray(color, np.float64)
-        self._data = from_rgbad(rgba, self._format, grayscale_convert=True)
+        if not (0 <= x < self.width and 0 <= y < self.height):
+            return False
+        # Convert just this pixel (a 1x1 surface), not the whole image.
+        rgba = np.asarray(color, np.float64).reshape(1, 1, 4)
+        px = from_rgbad(rgba, self._format, grayscale_convert=True)
+        self._data[y : y + 1, x : x + 1] = px
         return True
 
     def clone(self) -> "Image":

@@ -236,6 +236,40 @@ def test_save_file_auto_type(tmp_path):
         assert f.read(4) == b"\xabKTX"
 
 
+def test_save_dds_array_element_order():
+    """2D-array DDS data is element-major with each element's own bytes
+    (regression: the writer must not conflate array element with volume
+    slice; SaveDds.cpp:657-680)."""
+    t = Texture(Dimension.Dim2D, 4, 4, depth=3)
+    shades = [0.1, 0.5, 0.9]
+    for d, v in enumerate(shades):
+        t.set_image(solid(4, 4, (v, v, v, 1.0)), depth=d)
+    assert t.convert(F.R8G8B8A8, T.UNorm)
+    res, data = t.save_to_bytes(FileType.DDS)
+    assert res is SaveResult.Success
+    body = data[148:]
+    assert len(body) == 3 * 64
+    for d, v in enumerate(shades):
+        expect = round(v * 255)
+        element = body[d * 64 : (d + 1) * 64]
+        assert element == t.data(depth=d)
+        assert all(b == expect for b in element[:3])
+
+
+def test_save_dds_3d_volume_order():
+    t = Texture(Dimension.Dim3D, 4, 4, depth=2)
+    shades = [0.2, 0.8]
+    for z, v in enumerate(shades):
+        t.set_image(solid(4, 4, (v, v, v, 1.0)), depth=z)
+    assert t.convert(F.R8G8B8A8, T.UNorm)
+    res, data = t.save_to_bytes(FileType.DDS)
+    assert res is SaveResult.Success
+    body = data[148:]
+    assert len(body) == 2 * 64
+    for z, v in enumerate(shades):
+        assert body[z * 64] == round(v * 255)
+
+
 def test_adjust_image_value_range_snorm():
     arr = np.full((2, 2, 4), 128, np.uint8)
     img = Image.from_array(arr, ImageFormat.RGBA8)
