@@ -81,7 +81,13 @@ def _time_chained(encode_fn, blocks, nwords: int, chain: int = CHAIN) -> float:
         return time.perf_counter() - t0
 
     t1 = min(run(1) for _ in range(3))
-    tk = min(run(chain) for _ in range(3))
+    # Adaptive: grow the chain until the added device time clears tunnel
+    # jitter (a few ms), else ultrafast kernels read as noise.
+    while True:
+        tk = min(run(chain) for _ in range(3))
+        if tk - t1 > 8e-3 or chain >= 256:
+            break
+        chain *= 4
     return max(tk - t1, 1e-9) / (chain - 1)
 
 
@@ -128,13 +134,15 @@ def measure_full_matrix() -> dict:
     def log(msg):
         print(msg, file=sys.stderr, flush=True)
 
-    def e2e(name, size, fmt, type_, quality, filetype, mips):
+    def e2e(name, size, fmt, type_, quality, filetype, mips, layers=0):
         surf = _test_surface(size)
 
         def once():
             t0 = time.perf_counter()
-            tex = ct.Texture(ct.Dimension.Dim2D, size, size)
-            tex.set_image(ct.Image.from_array(surf, ct.ImageFormat.RGBAF))
+            tex = ct.Texture(ct.Dimension.Dim2D, size, size, depth=layers)
+            img = ct.Image.from_array(surf, ct.ImageFormat.RGBAF)
+            for d in range(max(layers, 1)):
+                tex.set_image(img, depth=d)
             if mips:
                 tex.generate_mipmaps()
             assert tex.convert(fmt, type_, quality=quality)
@@ -144,7 +152,7 @@ def measure_full_matrix() -> dict:
 
         cold, _ = once()  # compile + cache warm
         dt, data = min(once() for _ in range(3))
-        texels = size * size * (4 // 3 if mips else 1)
+        texels = size * size * max(layers, 1) * (4 // 3 if mips else 1)
         out[name] = {
             "mtexels_per_s": round(texels / dt / 1e6, 2),
             "seconds": round(dt, 3),
@@ -159,9 +167,49 @@ def measure_full_matrix() -> dict:
     # Config 2: BC3 with mips -> KTX (BC4/BC5 similar cost class).
     e2e("bc3_mips_ktx", 512, ct.TextureFormat.BC3, ct.TextureType.UNorm,
         ct.Quality.Normal, ct.FileType.KTX, mips=True)
-    # Config 3: ETC2 RGB8 -> KTX.
-    e2e("etc2_ktx", 512, ct.TextureFormat.ETC2_R8G8B8, ct.TextureType.UNorm,
-        ct.Quality.Normal, ct.FileType.KTX, mips=False)
+    # Config 3: ETC2 RGB8, 4-layer 2D texture array -> KTX.
+    e2e("etc2_array_ktx", 512, ct.TextureFormat.ETC2_R8G8B8,
+        ct.TextureType.UNorm, ct.Quality.Normal, ct.FileType.KTX,
+        mips=False, layers=4)
+
+    # Config 5 (e2e half): ASTC 4x4 cube map, sRGB, normal-map generation,
+    # full mip chain -> KTX (BASELINE.json config 5; kernel rows below
+    # isolate device throughput at 4x4 q2-4).
+    def astc_cube():
+        size = 256
+        surf = _test_surface(size)
+
+        def once():
+            t0 = time.perf_counter()
+            tex = ct.Texture(
+                ct.Dimension.Cube, size, size,
+                color_space=ct.ColorSpace.sRGB,
+            )
+            for face in ct.CubeFace:
+                img = ct.Image.from_array(surf, ct.ImageFormat.RGBAF)
+                nm = img.create_normal_map(height=2.0)
+                tex.set_image(nm, face=face)
+            tex.generate_mipmaps()
+            assert tex.convert(
+                ct.TextureFormat.ASTC_4x4, ct.TextureType.UNorm,
+                quality=ct.Quality.Normal,
+            )
+            res, data = tex.save_to_bytes(ct.FileType.KTX)
+            assert res is ct.SaveResult.Success
+            return time.perf_counter() - t0, data
+
+        cold, _ = once()
+        dt, data = min(once() for _ in range(3))
+        texels = size * size * 6 * 4 // 3
+        out["astc_cube_srgb_nm_ktx"] = {
+            "mtexels_per_s": round(texels / dt / 1e6, 2),
+            "seconds": round(dt, 3),
+            "cold_seconds": round(cold, 3),
+            "bytes": len(data),
+        }
+        log(f"astc_cube_srgb_nm_ktx: {out['astc_cube_srgb_nm_ktx']}")
+
+    astc_cube()
     # Config 4: BC6H + BC7 at Highest -> raw kernel throughput.
     surf = _test_surface(1024)
     blocks, _, _ = extract_blocks(surf, 4, 4)

@@ -87,6 +87,25 @@ class TestAstc4x4:
         assert p[1] > p[0] + 2.0, p  # dual-plane gain (measured ~6 dB)
 
     @pytest.mark.slow
+    def test_astc_not_below_bc7(self):
+        """North-star quality parity (VERDICT round-1 item 1): ASTC 4x4 at
+        High quality must not lose to BC7 at Normal quality — both are
+        8 bpp and astcenc beats bc7e on LDR content.  Measured on the
+        TPU Pallas path: BC7 q2 44.1 dB, ASTC q3 45.3 dB (BASELINE.md)."""
+        from cuttlefish_tpu.decode.bc7 import decode_bc7
+        from cuttlefish_tpu.kernels import bc7 as kbc7
+
+        rng = np.random.default_rng(0)
+        blocks = _smooth(96, 16, rng)
+        bc7_dec = decode_bc7(_bytes(kbc7.encode_bc7(blocks, quality=2)))
+        bc7_db = _psnr(bc7_dec[..., :3] / 255.0, blocks[..., :3])
+        astc_dec = decode_astc(
+            _bytes(astc.encode_astc(blocks, 4, 4, quality=3)), 4, 4
+        )
+        astc_db = _psnr(astc_dec[..., :3] / 255.0, blocks[..., :3])
+        assert astc_db >= bc7_db - 0.2, (astc_db, bc7_db)
+
+    @pytest.mark.slow
     def test_quality_monotone(self):
         rng = np.random.default_rng(3)
         blocks = rng.random((32, 16, 4), np.float32)
