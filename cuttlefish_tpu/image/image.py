@@ -252,9 +252,18 @@ class Image:
             img.change_color_space(self._color_space)
             return img
 
-        rgba = self.rgbad()
-        resized = resize_2d(rgba, width, height, filter.value)
-        out._data = from_rgbad(resized, self._format, grayscale_convert=False)
+        # RGBAF is already the resample input layout — skip the float64
+        # getPixel round-trip (the hot path: every mip level of every
+        # texture goes through here).
+        if self._format is ImageFormat.RGBAF:
+            out._data = np.ascontiguousarray(
+                resize_2d(self._data, width, height, filter.value),
+                dtype=np.float32,
+            )
+        else:
+            rgba = self.rgbad()
+            resized = resize_2d(rgba, width, height, filter.value)
+            out._data = from_rgbad(resized, self._format, grayscale_convert=False)
         out._format = self._format
         out._color_space = self._color_space
         return out
@@ -314,12 +323,17 @@ class Image:
             return False
         if color_space is self._color_space:
             return True
-        rgba = self.rgbad()
-        if color_space is ColorSpace.Linear:
-            rgba[..., :3] = srgb_to_linear(rgba[..., :3])
+        fn = srgb_to_linear if color_space is ColorSpace.Linear else linear_to_srgb
+        if self._format is ImageFormat.RGBAF:
+            # Hot path (every sRGB texture's set_image/mip chain): transform
+            # the float32 storage directly, no float64 round-trip.
+            data = self._data.copy()
+            data[..., :3] = fn(data[..., :3])
+            self._data = data
         else:
-            rgba[..., :3] = linear_to_srgb(rgba[..., :3])
-        self._data = from_rgbad(rgba, self._format, grayscale_convert=False)
+            rgba = self.rgbad()
+            rgba[..., :3] = fn(rgba[..., :3])
+            self._data = from_rgbad(rgba, self._format, grayscale_convert=False)
         self._color_space = color_space
         return True
 

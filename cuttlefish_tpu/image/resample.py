@@ -86,17 +86,31 @@ def resample_weights(
 def resize_2d(
     data: np.ndarray, out_w: int, out_h: int, filter_name: str
 ) -> np.ndarray:
-    """Resize (H, W[, C]) float array separably. Returns float64."""
+    """Resize (H, W[, C]) float array separably.
+
+    Computes in float32 when the input is float32/float16 (the RGBAF mip
+    pipeline — matches the reference's all-float math and halves GEMM
+    cost); float64 otherwise (Double/Int formats).
+    """
     in_h, in_w = data.shape[:2]
-    result = np.asarray(data, np.float64)
+    dtype = np.float32 if data.dtype in (np.float32, np.float16) else np.float64
+    result = np.ascontiguousarray(data, dtype)
+    chans = result.shape[2:]
+    c = int(np.prod(chans)) if chans else 1
     if in_h != out_h:
-        wy = resample_weights(in_h, out_h, filter_name)
-        result = np.tensordot(wy, result, axes=(1, 0))
-    if in_w != out_w:
-        wx = resample_weights(in_w, out_w, filter_name)
-        result = np.moveaxis(
-            np.tensordot(wx, np.moveaxis(result, 1, 0), axes=(1, 0)), 0, 1
+        wy = resample_weights(in_h, out_h, filter_name).astype(dtype)
+        # One flat 2-D GEMM (rows x (W*C)); tensordot's moveaxis copies
+        # cost more than the matmul itself on mip-sized images.
+        result = (wy @ result.reshape(in_h, in_w * c)).reshape(
+            (out_h, in_w) + chans
         )
+    if in_w != out_w:
+        wx = resample_weights(in_w, out_w, filter_name).astype(dtype)
+        flat = np.ascontiguousarray(result.transpose(1, 0, *range(2, result.ndim)))
+        flat = (wx @ flat.reshape(in_w, out_h * c)).reshape(
+            (out_w, out_h) + chans
+        )
+        result = np.ascontiguousarray(flat.transpose(1, 0, *range(2, flat.ndim)))
     return result
 
 
