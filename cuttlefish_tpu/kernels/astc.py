@@ -212,6 +212,12 @@ def layout_menu(bw: int, bh: int):
             best_for(1, 12, 96, 12),
         ) if lay
     ]
+    # CEM 0 (luminance direct): 2 color values leave nearly the whole
+    # budget for the weight grid — the win case is grayscale content,
+    # where RGB-replicated decode makes 8-bit luma + a fine grid beat
+    # every CEM 8 layout.  CEM 4 adds direct alpha (L0,L1,A0,A1).
+    menu[(0, 1)] = [lay for lay in (best_for(1, 0, 256, 32),) if lay]
+    menu[(4, 1)] = [lay for lay in (best_for(1, 4, 64, 16),) if lay]
     menu[(8, 2)] = [lay for lay in (best_for(2, 8, 20, 6),) if lay]
     menu[(12, 2)] = [lay for lay in (best_for(2, 12, 12, 4),) if lay]
     # Dual-plane single partition: one plane for the CCS channel, one for
@@ -367,9 +373,18 @@ def _fit_layout(colors, lay: Layout, mask, iters):
     a_mat_np, pinv_np = _prepared_np(lay.bw, lay.bh, lay.gw, lay.gh)
     a_mat = jnp.asarray(a_mat_np)
     pinv = jnp.asarray(pinv_np)
-    use_alpha = lay.cem == 12
-    nch = 4 if use_alpha else 3
-    target = colors[..., :nch]
+    # Fit-space channels: CEM 8 = RGB, CEM 12 = RGBA, CEM 0 = luminance,
+    # CEM 4 = luminance+alpha (decode replicates L to RGB, spec C.2.14).
+    luma = lay.cem in (0, 4)
+    if luma:
+        gray = (colors[..., 0] + colors[..., 1] + colors[..., 2]) / 3.0
+        if lay.cem == 4:
+            target = jnp.stack([gray, colors[..., 3]], -1)
+        else:
+            target = gray[..., None]
+    else:
+        target = colors[..., : (4 if lay.cem == 12 else 3)]
+    nch = target.shape[-1]
     n, t, _ = target.shape
     p = lay.nparts
 
@@ -396,6 +411,9 @@ def _fit_layout(colors, lay: Layout, mask, iters):
     e1 = mean + v * proj.max(-1)[..., None]
 
     def orient(e0, e1):
+        # CEM 0/4 decode has no endpoint-order rule (no blue contract).
+        if luma:
+            return e0, e1
         s0 = e0[..., :3].sum(-1)
         s1 = e1[..., :3].sum(-1)
         swap = (s0 > s1)[..., None]
@@ -409,6 +427,8 @@ def _fit_layout(colors, lay: Layout, mask, iters):
 
     def fix_order(q0, q1, d0, d1):
         """Quantization can flip the sums; swap quantized pairs back."""
+        if luma:
+            return q0, q1, d0, d1
         s0 = d0[..., :3].sum(-1)
         s1 = d1[..., :3].sum(-1)
         swap = (s0 > s1)[..., None]
@@ -423,19 +443,28 @@ def _fit_layout(colors, lay: Layout, mask, iters):
         u = jnp.take(unq_w_tab, gq_vals)
         return (jnp.einsum("tg,ng->nt", a_mat.astype(jnp.int32), u) + 8) >> 4
 
+    def expand4(dt):
+        """Fit-space decoded endpoints [N,T,nch] -> 4-channel RGBA."""
+        if lay.cem == 12:
+            return dt
+        if lay.cem == 8:
+            return jnp.concatenate(
+                [dt, jnp.full_like(dt[..., :1], 255.0)], -1
+            )
+        lum = dt[..., 0:1]
+        alpha = dt[..., 1:2] if lay.cem == 4 else jnp.full_like(lum, 255.0)
+        return jnp.concatenate([lum, lum, lum, alpha], -1)
+
     def eval_exact(d0, d1, gq_vals):
         # d* [N,P,C] ints; per-texel endpoint select via mask
-        d0t = jnp.einsum("npt,npc->ntc", mask, d0.astype(jnp.float32))
-        d1t = jnp.einsum("npt,npc->ntc", mask, d1.astype(jnp.float32))
-        if not use_alpha:
-            d0t = jnp.concatenate([d0t, jnp.full_like(d0t[..., :1], 255.0)], -1)
-            d1t = jnp.concatenate([d1t, jnp.full_like(d1t[..., :1], 255.0)], -1)
+        d0t = expand4(jnp.einsum("npt,npc->ntc", mask, d0.astype(jnp.float32)))
+        d1t = expand4(jnp.einsum("npt,npc->ntc", mask, d1.astype(jnp.float32)))
         w64 = texel_w64_vals(gq_vals).astype(jnp.float32)[..., None]
         e0_16 = d0t * 257.0  # (x<<8)|x == x*257
         e1_16 = d1t * 257.0
         c16 = jnp.floor((e0_16 * (64.0 - w64) + e1_16 * w64 + 32.0) / 64.0)
         dec = jnp.floor(c16 / 256.0)
-        err = ((dec - colors[..., : dec.shape[-1]]) ** 2).sum((1, 2))
+        err = ((dec - colors) ** 2).sum((1, 2))
         return err
 
     def ideal_t(d0, d1):
@@ -734,12 +763,16 @@ def _mask_for_seeds(seeds, bw, bh):
 # dual-plane CCS candidates; astcenc's "1 plane of 2" trials appear at the
 # THOROUGH/EXHAUSTIVE presets, AstcConverter.cpp:174-195)
 _PLAN = {
-    0: dict(iters=1, seeds2=0, cem8_layouts=1, cem12_layouts=1, dp_ccs=()),
-    1: dict(iters=1, seeds2=1, cem8_layouts=1, cem12_layouts=1, dp_ccs=()),
-    2: dict(iters=2, seeds2=1, cem8_layouts=2, cem12_layouts=1, dp_ccs=()),
-    3: dict(iters=3, seeds2=2, cem8_layouts=3, cem12_layouts=2, dp_ccs=(3,)),
+    0: dict(iters=1, seeds2=0, cem8_layouts=1, cem12_layouts=1,
+            cem0_layouts=1, cem4_layouts=1, dp_ccs=()),
+    1: dict(iters=1, seeds2=1, cem8_layouts=1, cem12_layouts=1,
+            cem0_layouts=1, cem4_layouts=1, dp_ccs=()),
+    2: dict(iters=2, seeds2=1, cem8_layouts=2, cem12_layouts=1,
+            cem0_layouts=1, cem4_layouts=1, dp_ccs=()),
+    3: dict(iters=3, seeds2=2, cem8_layouts=3, cem12_layouts=2,
+            cem0_layouts=1, cem4_layouts=1, dp_ccs=(3,)),
     4: dict(iters=4, seeds2=4, cem8_layouts=3, cem12_layouts=2,
-            dp_ccs=(0, 1, 2, 3)),
+            cem0_layouts=1, cem4_layouts=1, dp_ccs=(0, 1, 2, 3)),
 }
 
 
@@ -798,6 +831,12 @@ def _encode_astc_jnp(
     for lay in menu[(12, 1)][: plan["cem12_layouts"]]:
         q0, q1, gq, err = _fit_layout(colors, lay, ones_mask, iters)
         consider(_pack_block(lay, q0, q1, gq), err)
+
+    for key, cnt in (((0, 1), plan["cem0_layouts"]),
+                     ((4, 1), plan["cem4_layouts"])):
+        for lay in menu[key][:cnt]:
+            q0, q1, gq, err = _fit_layout(colors, lay, ones_mask, iters)
+            consider(_pack_block(lay, q0, q1, gq), err)
 
     for ccs in plan["dp_ccs"]:
         lay = menu[(12, "dp")][0] if menu[(12, "dp")] else None

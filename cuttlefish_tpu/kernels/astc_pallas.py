@@ -275,27 +275,51 @@ def _grid_quant(t, lay, grid):
 
 def _fit_1part(px, lay: Layout, iters: int, clut, grid=None):
     """1-partition fit.  Returns (q0, q1, gq, err): q* channel lists
-    [1,TN], gq [G,TN] quantized grid weight values."""
-    nch = 4 if lay.cem == 12 else 3
+    [1,TN], gq [G,TN] quantized grid weight values.
+
+    Fit-space channels by CEM (mirrors kernels/astc.py:_fit_layout):
+    8 = RGB, 12 = RGBA, 0 = luminance, 4 = luminance+alpha — CEM 0/4
+    decode replicates L to RGB (spec C.2.14) and has no endpoint-order
+    rule, so the orient/fix_order swaps are skipped."""
+    luma = lay.cem in (0, 4)
+    if luma:
+        gray = (px[0] + px[1] + px[2]) / 3.0
+        pxf = [gray, px[3]] if lay.cem == 4 else [gray]
+    else:
+        pxf = px[: (4 if lay.cem == 12 else 3)]
+    nch = len(pxf)
+
+    def expand4(d):
+        """Fit-space decoded endpoint list -> (4-ch list, eval nch)."""
+        if lay.cem == 0:
+            return [d[0], d[0], d[0]], 3  # _eval_exact appends alpha=255
+        if lay.cem == 4:
+            return [d[0], d[0], d[0], d[1]], 4
+        return d, nch
+
     ones = jnp.ones_like(px[0])
-    e0, e1 = _pca_seed(px, ones, nch)
-    e0, e1 = _orient(e0, e1)
+    e0, e1 = _pca_seed(pxf, ones, nch)
+    if not luma:
+        e0, e1 = _orient(e0, e1)
 
     best = None
     for it in range(max(1, iters)):
         q0, d0 = _quant_colors(e0, lay.clevels, clut)
         q1, d1 = _quant_colors(e1, lay.clevels, clut)
-        # fix_order on decoded sums.
-        swap = sum(d0[:3]) > sum(d1[:3])
-        q0, q1 = _sel(swap, q1, q0), _sel(swap, q0, q1)
-        d0, d1 = _sel(swap, d1, d0), _sel(swap, d0, d1)
+        if not luma:
+            # fix_order on decoded sums.
+            swap = sum(d0[:3]) > sum(d1[:3])
+            q0, q1 = _sel(swap, q1, q0), _sel(swap, q0, q1)
+            d0, d1 = _sel(swap, d1, d0), _sel(swap, d0, d1)
         # ideal per-texel weight.
         df = [(d1[c] - d0[c]).astype(jnp.float32) for c in range(nch)]
         denom = sum(f * f for f in df) + 1e-6
-        proj = sum((px[c] - d0[c].astype(jnp.float32)) * df[c] for c in range(nch))
+        proj = sum((pxf[c] - d0[c].astype(jnp.float32)) * df[c] for c in range(nch))
         t = jnp.clip(proj / denom, 0.0, 1.0)
         gq, unq = _grid_quant(t, lay, grid)
-        err = _eval_exact(px, d0, d1, unq, nch)
+        d0x, nche = expand4(d0)
+        d1x, _ = expand4(d1)
+        err = _eval_exact(px, d0x, d1x, unq, nche)
         cand = (q0, q1, gq, unq, err)
         if best is None:
             best = cand
@@ -310,8 +334,9 @@ def _fit_1part(px, lay: Layout, iters: int, clut, grid=None):
             )
         if it + 1 < max(1, iters):
             u = best[3]  # decoded texel weights of the best candidate
-            e0, e1 = _ls(px[:nch], u.astype(jnp.float32) / 64.0, ones, nch)
-            e0, e1 = _orient(e0, e1)
+            e0, e1 = _ls(pxf, u.astype(jnp.float32) / 64.0, ones, nch)
+            if not luma:
+                e0, e1 = _orient(e0, e1)
     return best[0], best[1], best[2], best[4]
 
 
@@ -467,6 +492,8 @@ def _tasks_a(bw, bh, quality):
         (lay, None)
         for lay in menu[(8, 1)][: plan["cem8_layouts"]]
         + menu[(12, 1)][: plan["cem12_layouts"]]
+        + menu[(0, 1)][: plan["cem0_layouts"]]
+        + menu[(4, 1)][: plan["cem4_layouts"]]
     ]
     if plan["dp_ccs"] and menu[(12, "dp")]:
         lay = menu[(12, "dp")][0]

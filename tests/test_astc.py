@@ -86,6 +86,46 @@ class TestAstc4x4:
             p.append(_psnr(dec / 255.0, blocks))
         assert p[1] > p[0] + 2.0, p  # dual-plane gain (measured ~6 dB)
 
+    def test_gray_content_uses_cem0(self):
+        """Grayscale blocks pick the luminance CEM (0): 2 color values
+        free the budget for a fine weight grid (+3.7 dB vs CEM 8 on this
+        content, measured)."""
+        rng = np.random.default_rng(0)
+        g0 = rng.random((48, 1, 1), np.float32)
+        g1 = rng.random((48, 1, 1), np.float32)
+        t = rng.random((48, 16, 1), np.float32)
+        g = g0 * t + g1 * (1 - t)
+        blocks = np.concatenate(
+            [g, g, g, np.ones_like(g)], -1
+        ).astype(np.float32)
+        w = np.asarray(astc.encode_astc(blocks, 4, 4, quality=2))
+        npart = (w[:, 0] >> 11) & 3
+        cem = (w[:, 0] >> 13) & 0xF
+        assert ((npart == 0) & (cem == 0)).sum() > 24  # majority luminance
+        dec = decode_astc(_bytes(w), 4, 4)
+        # decoded RGB identical per texel (L replication) on CEM0 blocks
+        sel = (npart == 0) & (cem == 0)
+        d = dec[np.asarray(sel)]
+        assert (d[..., 0] == d[..., 1]).all() and (d[..., 1] == d[..., 2]).all()
+        assert (d[..., 3] == 255).all()
+        assert _psnr(dec[..., :3] / 255.0, blocks[..., :3]) > 45.5
+
+    def test_gray_alpha_uses_cem4(self):
+        rng = np.random.default_rng(1)
+        g0 = rng.random((48, 1, 1), np.float32)
+        g1 = rng.random((48, 1, 1), np.float32)
+        t = rng.random((48, 16, 1), np.float32)
+        g = g0 * t + g1 * (1 - t)
+        # alpha follows the same ramp (weight-compatible) scaled/offset
+        a = np.clip(0.2 + 0.6 * t, 0, 1)
+        blocks = np.concatenate([g, g, g, a], -1).astype(np.float32)
+        w = np.asarray(astc.encode_astc(blocks, 4, 4, quality=2))
+        npart = (w[:, 0] >> 11) & 3
+        cem = (w[:, 0] >> 13) & 0xF
+        assert ((npart == 0) & (cem == 4)).sum() > 24
+        dec = decode_astc(_bytes(w), 4, 4)
+        assert _psnr(dec / 255.0, blocks) > 42
+
     @pytest.mark.slow
     def test_astc_not_below_bc7(self):
         """North-star quality parity (VERDICT round-1 item 1): ASTC 4x4 at

@@ -281,6 +281,29 @@ def test_astc_vs_gl(bw, bh):
     assert np.array_equal(gl, ours)
 
 
+def test_astc_cem0_cem4_vs_gl():
+    """Luminance (CEM 0) and luminance+alpha (CEM 4) bitstreams decode
+    identically on Mesa's independent ASTC decoder."""
+    if not gl_has_extension("GL_KHR_texture_compression_astc_ldr"):
+        pytest.skip("no ASTC LDR in GL")
+    rng = np.random.default_rng(7)
+    g0 = rng.random((N // 2, 1, 1), np.float32)
+    g1 = rng.random((N // 2, 1, 1), np.float32)
+    t = rng.random((N // 2, 16, 1), np.float32)
+    g = g0 * t + g1 * (1 - t)
+    gray = np.concatenate([g, g, g, np.ones_like(g)], -1)
+    la = np.concatenate([g, g, g, np.clip(0.2 + 0.6 * t, 0, 1)], -1)
+    blocks = np.concatenate([gray, la]).astype(np.float32)
+    data = _bytes(kastc.encode_astc(jnp.asarray(blocks), 4, 4, quality=2))
+    words0 = np.frombuffer(data, np.uint8).reshape(-1, 16)
+    w0 = words0[:, :4].copy().view(np.uint32)[:, 0]
+    cems = ((w0 >> 13) & 0xF)[((w0 >> 11) & 3) == 0]
+    assert (cems == 0).any() and (cems == 4).any()  # both modes emitted
+    ours = decode.decode_astc(np.frombuffer(data, np.uint8), 4, 4)
+    gl = _gl_blocks(data, "COMPRESSED_RGBA_ASTC_4x4", bw=4, bh=4)
+    assert np.array_equal(gl, ours)
+
+
 # ---------------------------------------------------------------------------
 # ASTC table re-derivation probes (the ground truth behind astc_ise tables)
 # ---------------------------------------------------------------------------
