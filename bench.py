@@ -167,6 +167,37 @@ def measure_full_matrix() -> dict:
     # Config 2: BC3 with mips -> KTX (BC4/BC5 similar cost class).
     e2e("bc3_mips_ktx", 512, ct.TextureFormat.BC3, ct.TextureType.UNorm,
         ct.Quality.Normal, ct.FileType.KTX, mips=True)
+
+    # Config 2, fused: device-resident mip chain + encode in ONE dispatch
+    # (Texture.convert_with_mips) — the TPU-first pipeline.
+    def fused_bc3():
+        size = 512
+        s = _test_surface(size)
+
+        def once():
+            t0 = time.perf_counter()
+            tex = ct.Texture(ct.Dimension.Dim2D, size, size)
+            tex.set_image(ct.Image.from_array(s, ct.ImageFormat.RGBAF))
+            assert tex.convert_with_mips(
+                ct.TextureFormat.BC3, ct.TextureType.UNorm,
+                quality=ct.Quality.Normal,
+            )
+            res, data = tex.save_to_bytes(ct.FileType.KTX)
+            assert res is ct.SaveResult.Success
+            return time.perf_counter() - t0, data
+
+        cold, _ = once()
+        dt, data = min(once() for _ in range(3))
+        texels = size * size * 4 // 3
+        out["bc3_mips_fused_ktx"] = {
+            "mtexels_per_s": round(texels / dt / 1e6, 2),
+            "seconds": round(dt, 3),
+            "cold_seconds": round(cold, 3),
+            "bytes": len(data),
+        }
+        log(f"bc3_mips_fused_ktx: {out['bc3_mips_fused_ktx']}")
+
+    fused_bc3()
     # Config 3: ETC2 RGB8, 4-layer 2D texture array -> KTX.
     e2e("etc2_array_ktx", 512, ct.TextureFormat.ETC2_R8G8B8,
         ct.TextureType.UNorm, ct.Quality.Normal, ct.FileType.KTX,

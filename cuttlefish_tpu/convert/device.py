@@ -96,6 +96,141 @@ class BlockConverter(Converter):
         return out
 
 
+_PYRAMID_FNS: dict = {}
+
+
+def _mip_dims(h: int, w: int, levels: int) -> list[tuple[int, int]]:
+    return [(max(h >> k, 1), max(w >> k, 1)) for k in range(levels)]
+
+
+class _FusedPyramid:
+    """One jit-compiled program: device-resident mip chain -> block tiling
+    -> encode, for every level of every surface in a single dispatch.
+
+    The TPU-first alternative to host-side `generate_mipmaps` + per-level
+    uploads: level 0 is transferred once, the resample weight matrices
+    (resample.py, same filters) ride along as compile-time constants and
+    run on the MXU, sRGB levels round-trip through linear on device, and
+    the concatenated block batch feeds the encoder kernel directly.
+    Output bytes are equivalent-quality but not bit-identical to the host
+    path (the host path quantizes blocks to the u8 wire format; this path
+    keeps float32 end to end).
+    """
+
+    def __init__(self, converter, h, w, nsurf, levels, filter_name, srgb,
+                 params):
+        import jax
+        import jax.numpy as jnp
+
+        from cuttlefish_tpu.color import (
+            linear_to_srgb_rgba,
+            srgb_to_linear_rgba,
+        )
+        from cuttlefish_tpu.image.resample import resample_weights
+
+        bw, bh = converter.block_w, converter.block_h
+        dims = _mip_dims(h, w, levels)
+        self.dims = dims
+        self.counts = [
+            nsurf * (-(-hh // bh)) * (-(-ww // bw)) for hh, ww in dims
+        ]
+        self.per_surface = [(-(-hh // bh)) * (-(-ww // bw)) for hh, ww in dims]
+        self.ntot = sum(self.counts)
+        padded = _bucket(self.ntot)
+
+        weights = []
+        for k in range(1, levels):
+            (h0, w0), (h1, w1) = dims[k - 1], dims[k]
+            wy = resample_weights(h0, h1, filter_name).astype(np.float32)
+            wx = resample_weights(w0, w1, filter_name).astype(np.float32)
+            weights.append((wy, wx))
+
+        def tile(cur, hh, ww):
+            pad_h = -(-hh // bh) * bh - hh
+            pad_w = -(-ww // bw) * bw - ww
+            if pad_h or pad_w:
+                cur = jnp.pad(
+                    cur, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)), mode="edge"
+                )
+            s = cur.shape[0]
+            nby, nbx = cur.shape[1] // bh, cur.shape[2] // bw
+            return (
+                cur.reshape(s, nby, bh, nbx, bw, 4)
+                .transpose(0, 1, 3, 2, 4, 5)
+                .reshape(s * nby * nbx, bh * bw, 4)
+            )
+
+        def fn(x):  # [S, H, W, 4] float32, texture color space
+            parts = []
+            cur = x
+            for k, (hh, ww) in enumerate(dims):
+                if k:
+                    wy, wx = weights[k - 1]
+                    src = srgb_to_linear_rgba(cur, jnp) if srgb else cur
+                    t1 = jnp.einsum("oi,siwc->sowc", wy, src)
+                    t2 = jnp.einsum("pj,sojc->sopc", wx, t1)
+                    t2 = jnp.clip(t2, 0.0, None)
+                    cur = linear_to_srgb_rgba(t2, jnp) if srgb else t2
+                parts.append(tile(cur, hh, ww))
+            blocks = (
+                jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+            )
+            if padded != self.ntot:
+                blocks = jnp.concatenate(
+                    [
+                        blocks,
+                        jnp.broadcast_to(
+                            blocks[-1:], (padded - self.ntot,) + blocks.shape[1:]
+                        ),
+                    ],
+                    axis=0,
+                )
+            return converter.encode_blocks(blocks, params)
+
+        self.fn = jax.jit(fn)
+
+
+def _encode_pyramid(
+    self,
+    surfaces0: list,
+    levels: int,
+    filter_name: str,
+    srgb: bool,
+    params: EncodeParams,
+) -> list[list[np.ndarray]]:
+    """surfaces0: level-0 [H,W,4] float32 surfaces in (depth, face)
+    order.  Returns bytes[level][surface] (mip-major, matching
+    Texture.convert's traversal)."""
+    s = len(surfaces0)
+    h, w = surfaces0[0].shape[:2]
+    key = (
+        type(self).__qualname__,
+        tuple(sorted((k, repr(v)) for k, v in self.__dict__.items())),
+        h, w, s, levels, filter_name, srgb,
+        params.quality, params.alpha_type,
+        repr(params.color_mask), params.color_space,
+    )
+    fused = _PYRAMID_FNS.get(key)
+    if fused is None:
+        fused = _FusedPyramid(self, h, w, s, levels, filter_name, srgb, params)
+        _PYRAMID_FNS[key] = fused
+    x = np.stack([np.asarray(sf, np.float32) for sf in surfaces0])
+    words = _fetch_global(fused.fn(x))[: fused.ntot].astype(np.uint32)
+    out: list[list[np.ndarray]] = []
+    start = 0
+    for _lvl in range(levels):
+        per = fused.per_surface[_lvl]
+        level_out = []
+        for _si in range(s):
+            level_out.append(interleave_block_bytes(words[start : start + per]))
+            start += per
+        out.append(level_out)
+    return out
+
+
+BlockConverter.encode_pyramid = _encode_pyramid
+
+
 def _wire(blocks: np.ndarray, dtype: str) -> np.ndarray:
     """Host-side wire encoding for the tunnel (see BlockConverter doc)."""
     if dtype == "u8":

@@ -434,6 +434,108 @@ class Texture:
         self._textures = textures
         return True
 
+    def convert_with_mips(
+        self,
+        fmt: TextureFormat,
+        type_: TextureType = TextureType.UNorm,
+        quality: Quality = Quality.Normal,
+        alpha_type: Alpha = Alpha.Standard,
+        color_mask: ColorMask | None = None,
+        mip_levels: int = 0xFFFFFFFF,
+        filter: ResizeFilter = ResizeFilter.CatmullRom,
+    ) -> bool:
+        """TPU-first fused pipeline (extension beyond the reference API):
+        generate the mip chain ON DEVICE and encode every level of every
+        surface in one dispatch.
+
+        Only level-0 images need to be set; level 0 transfers once, the
+        resample weight matrices run as MXU matmuls, sRGB levels
+        round-trip through linear on device, and the concatenated block
+        batch feeds the encode kernel directly.  Quality-equivalent to
+        ``generate_mipmaps() + convert()`` (float32 end to end; bytes not
+        guaranteed bit-identical to the host-mips path).  Block-compressed
+        formats, 2D/array/cube, standard mip chain only (3D Z-filtering
+        and custom mips use the host path).
+        """
+        from cuttlefish_tpu.convert import EncodeParams, create_converter
+        from cuttlefish_tpu.convert.device import BlockConverter
+        from cuttlefish_tpu.formats import block_width as _bwf
+
+        if not self._valid or self._dimension is Dimension.Dim3D:
+            return False
+        if not is_format_valid(fmt, type_) or _bwf(fmt) <= 1:
+            return False
+        if self._color_space is ColorSpace.sRGB and not has_native_srgb(fmt, type_):
+            return False
+        depths = max(self._depth, 1) if self._depth else 1
+        for d in range(depths):
+            for f in range(self._faces):
+                if self._images[0][d][f] is None:
+                    return False
+
+        converter = create_converter(fmt, type_)
+        if not isinstance(converter, BlockConverter):
+            return False
+        levels = min(
+            max(int(mip_levels), 1),
+            max_mipmap_levels(self._dimension, self._width, self._height, self._depth),
+        )
+        params = EncodeParams(
+            quality=quality,
+            alpha_type=alpha_type,
+            color_mask=color_mask or ColorMask(),
+            color_space=self._color_space,
+        )
+        surfaces0 = [
+            self._images[0][d][f].rgbaf()
+            for d in range(depths)
+            for f in range(self._faces)
+        ]
+
+        from cuttlefish_tpu import profiling
+
+        t0 = time.perf_counter()
+        with profiling.trace("convert_with_mips"):
+            per_level = converter.encode_pyramid(
+                surfaces0,
+                levels,
+                filter.value,
+                self._color_space is ColorSpace.sRGB,
+                params,
+            )
+        # Commit state only after a successful encode.
+        self._mip_levels = levels
+        self._images = [self._images[0]] + [
+            [[None] * self._faces for _ in range(depths)]
+            for _ in range(levels - 1)
+        ]
+        self._format = fmt
+        self._type = type_
+        self._alpha_type = alpha_type
+        self._color_mask = color_mask or ColorMask()
+        textures: list[list[list[bytes]]] = []
+        for lvl in range(levels):
+            it = iter(per_level[lvl])
+            textures.append(
+                [
+                    [bytes(next(it)) for _ in range(self._faces)]
+                    for _ in range(depths)
+                ]
+            )
+        self._textures = textures
+        texels = sum(
+            max(self._width >> k, 1) * max(self._height >> k, 1)
+            for k in range(levels)
+        ) * depths * self._faces
+        elapsed = time.perf_counter() - t0
+        self.last_convert_stats = {
+            "texels": texels,
+            "seconds": elapsed,
+            "mtexels_per_sec": texels / elapsed / 1e6 if elapsed > 0 else 0.0,
+            "phases": {"fused": elapsed},
+        }
+        return True
+
     @property
     def converted(self) -> bool:
         return self._valid and self._textures is not None

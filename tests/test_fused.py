@@ -1,0 +1,107 @@
+"""Fused device-mips pipeline (`Texture.convert_with_mips`): one dispatch
+computes the mip chain on device and encodes every level."""
+
+import numpy as np
+import pytest
+
+import cuttlefish_tpu as ct
+from cuttlefish_tpu.decode.s3tc import decode_bc1, decode_bc3
+from cuttlefish_tpu.formats import block_size
+
+F, T, Q = ct.TextureFormat, ct.TextureType, ct.Quality
+
+
+def _img(w, h, seed=0):
+    rng = np.random.default_rng(seed)
+    c0 = rng.random((1, 1, 4)).astype(np.float32)
+    c1 = rng.random((1, 1, 4)).astype(np.float32)
+    t = rng.random((h, w, 1)).astype(np.float32)
+    arr = c0 * t + c1 * (1 - t)
+    arr[..., 3] = 1.0
+    return ct.Image.from_array(arr.astype(np.float32), ct.ImageFormat.RGBAF)
+
+
+def _psnr(a, b):
+    mse = np.mean((np.asarray(a, np.float64) - np.asarray(b, np.float64)) ** 2)
+    return np.inf if mse == 0 else 10 * np.log10(255.0 * 255.0 / mse)
+
+
+class TestFusedPipeline:
+    def test_matches_host_path_structure_and_quality(self):
+        img = _img(96, 64)
+        host = ct.Texture(ct.Dimension.Dim2D, 96, 64)
+        host.set_image(img)
+        host.generate_mipmaps()
+        assert host.convert(F.BC3, T.UNorm, quality=Q.Low)
+
+        fused = ct.Texture(ct.Dimension.Dim2D, 96, 64)
+        fused.set_image(img)
+        assert fused.convert_with_mips(F.BC3, T.UNorm, quality=Q.Low)
+
+        assert fused.mip_levels == host.mip_levels == 7
+        for lvl in range(host.mip_levels):
+            a = host.data(mip_level=lvl)
+            b = fused.data(mip_level=lvl)
+            assert len(a) == len(b)
+            da = decode_bc3(np.frombuffer(a, np.uint8))
+            db = decode_bc3(np.frombuffer(b, np.uint8))
+            # Quality-equivalent (float path vs u8-wire host path).
+            assert np.abs(da.astype(int) - db.astype(int)).mean() < 2.0
+
+    def test_deterministic(self):
+        img = _img(32, 32, seed=3)
+        outs = []
+        for _ in range(2):
+            t = ct.Texture(ct.Dimension.Dim2D, 32, 32)
+            t.set_image(img)
+            assert t.convert_with_mips(F.BC1_RGB, T.UNorm, quality=Q.Lowest)
+            outs.append(t.save_to_bytes(ct.FileType.DDS)[1])
+        assert outs[0] == outs[1]
+
+    def test_srgb_cube_astc(self):
+        img = _img(16, 16, seed=5)
+        tex = ct.Texture(ct.Dimension.Cube, 16, 16, color_space=ct.ColorSpace.sRGB)
+        for face in ct.CubeFace:
+            tex.set_image(img, face=face)
+        assert tex.convert_with_mips(F.ASTC_4x4, T.UNorm, quality=Q.Lowest)
+        assert tex.mip_levels == 5
+        for lvl in range(5):
+            side = max(16 >> lvl, 1)
+            blocks = (-(-side // 4)) ** 2
+            for face in ct.CubeFace:
+                assert len(tex.data(face, lvl)) == blocks * 16
+        res, data = tex.save_to_bytes(ct.FileType.KTX)
+        assert res is ct.SaveResult.Success
+
+    def test_array(self):
+        tex = ct.Texture(ct.Dimension.Dim2D, 16, 16, depth=3)
+        for d in range(3):
+            tex.set_image(_img(16, 16, seed=d), depth=d)
+        assert tex.convert_with_mips(F.ETC2_R8G8B8, T.UNorm, quality=Q.Lowest)
+        per = 16 * block_size(F.ETC2_R8G8B8)
+        assert len(tex.data(depth=2)) == per
+        # layers differ (different source images)
+        assert tex.data(depth=0) != tex.data(depth=1)
+
+    def test_rejections(self):
+        # 3D and uncompressed formats fall back to the host path.
+        t3 = ct.Texture(ct.Dimension.Dim3D, 8, 8, depth=2)
+        for z in range(2):
+            t3.set_image(_img(8, 8), depth=z)
+        assert not t3.convert_with_mips(F.BC1_RGB, T.UNorm)
+        t2 = ct.Texture(ct.Dimension.Dim2D, 8, 8)
+        t2.set_image(_img(8, 8))
+        assert not t2.convert_with_mips(F.R8G8B8A8, T.UNorm)
+        assert not t2.convert_with_mips(F.BC1_RGB, T.SNorm)
+        # missing level-0 image
+        t4 = ct.Texture(ct.Dimension.Cube, 8, 8)
+        t4.set_image(_img(8, 8), face=ct.CubeFace.PosX)
+        assert not t4.convert_with_mips(F.BC1_RGB, T.UNorm)
+
+    def test_mip_level_cap(self):
+        t = ct.Texture(ct.Dimension.Dim2D, 32, 32)
+        t.set_image(_img(32, 32))
+        assert t.convert_with_mips(F.BC1_RGB, T.UNorm, mip_levels=3)
+        assert t.mip_levels == 3
+        res, data = t.save_to_bytes(ct.FileType.KTX)
+        assert res is ct.SaveResult.Success
