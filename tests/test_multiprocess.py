@@ -34,8 +34,6 @@ import numpy as np
 import cuttlefish_tpu as ct
 from cuttlefish_tpu.parallel import default_mesh, use_mesh
 
-pytestmark = pytest.mark.slow  # heavy jit compiles; core loop runs -m 'not slow'
-
 arr = np.random.default_rng(7).random((32, 48, 4)).astype(np.float32)
 tex = ct.Texture(ct.Dimension.Dim2D, 48, 32)
 tex.set_image(ct.Image.from_array(arr, ct.ImageFormat.RGBAF))
