@@ -775,8 +775,21 @@ def _encode_eac_alpha_jnp(vals: jnp.ndarray, quality: int = 2) -> jnp.ndarray:
     return _eac_pack(base, mult, table, idx)
 
 
-@functools.partial(jax.jit, static_argnames=("quality", "signed"))
 def encode_eac_r11(
+    vals: jnp.ndarray, quality: int = 2, signed: bool = False
+) -> jnp.ndarray:
+    """Dispatch: Pallas kernel on TPU, jnp path otherwise."""
+    if _use_pallas():
+        from cuttlefish_tpu.kernels.etc_pallas import encode_eac_r11_pallas
+
+        return encode_eac_r11_pallas(
+            vals, int(quality), bool(signed), interpret=_interp()
+        )
+    return _encode_eac_r11_jnp(vals, quality, signed)
+
+
+@functools.partial(jax.jit, static_argnames=("quality", "signed"))
+def _encode_eac_r11_jnp(
     vals: jnp.ndarray, quality: int = 2, signed: bool = False
 ) -> jnp.ndarray:
     """[N,16] floats ([0,1] unsigned / [-1,1] signed) -> EAC R11 words.
@@ -961,6 +974,12 @@ def _encode_etc2_rgba_jnp(blocks: jnp.ndarray, quality: int = 2, ch_weights=None
 @functools.partial(jax.jit, static_argnames=("quality", "signed"))
 def encode_eac_rg11(blocks: jnp.ndarray, quality: int = 2, signed: bool = False) -> jnp.ndarray:
     """[N,16,>=2] -> [N,4] words: R11 then G11."""
+    if _use_pallas():
+        from cuttlefish_tpu.kernels.etc_pallas import encode_eac_rg11_pallas
+
+        return encode_eac_rg11_pallas(
+            blocks, int(quality), bool(signed), interpret=_interp()
+        )
     r = encode_eac_r11(blocks[..., 0], quality=quality, signed=signed)
     g = encode_eac_r11(blocks[..., 1], quality=quality, signed=signed)
     return jnp.concatenate([r, g], axis=-1)

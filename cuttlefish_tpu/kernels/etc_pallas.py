@@ -558,6 +558,168 @@ def _eac_alpha(a, quality: int):
     return hi, lo
 
 
+def _eac_r11(v, quality: int, signed: bool):
+    """v [16,TN] in the true 11-bit domain (0..2047 unsigned /
+    -1023..1023 signed) -> (hi, lo) byte-swap-ready words.
+
+    Mirrors kernels/etc.py:encode_eac_r11: candidates are searched in the
+    /8 domain (identical float ops, so identical selections); the final
+    index argmin is scale-invariant, so the /8-domain running min IS the
+    true-domain selection."""
+    v8 = v / 8.0
+    lo_v = jnp.min(v8, axis=0, keepdims=True)
+    hi_v = jnp.max(v8, axis=0, keepdims=True)
+    brange = (-127, 127) if signed else (0, 255)
+    clip_lo, clip_hi = (-1023.0, 1023.0) if signed else (0.0, 2047.0)
+    base = jnp.clip(
+        jnp.round((lo_v + hi_v) * 0.5), brange[0], brange[1]
+    ).astype(jnp.int32)
+    span = (hi_v - lo_v) * 0.5
+    ncand = _EAC_MULT_CANDS[max(0, min(4, int(quality)))]
+    max_pos = _EAC_MODS_NP[:, 4:].max(1)
+    offset = 0.0 if signed else 4.0
+    best = None
+    for t in range(16):
+        m0 = jnp.clip(
+            jnp.round(span / float(max_pos[t])), 1, 15
+        ).astype(jnp.int32)
+        for dm in range(-(ncand // 2), ncand - ncand // 2):
+            mult = jnp.clip(m0 + dm, 1, 15)
+            e_best = None
+            idx = None
+            for k in range(8):
+                mod = float(_EAC_MODS_NP[t][k])
+                pal8 = (
+                    jnp.clip(
+                        base.astype(jnp.float32) * 8.0
+                        + offset
+                        + mod * mult.astype(jnp.float32) * 8.0,
+                        clip_lo,
+                        clip_hi,
+                    )
+                    / 8.0
+                )
+                e = (v8 - pal8) ** 2
+                if e_best is None:
+                    e_best = e
+                    idx = jnp.zeros_like(v8, dtype=jnp.int32)
+                else:
+                    take = e < e_best
+                    idx = jnp.where(take, k, idx)
+                    e_best = jnp.minimum(e, e_best)
+            err = _rt(e_best)
+            tv = jnp.full_like(err, t, dtype=jnp.int32)
+            cand = (base, mult, tv, idx, err)
+            if best is None:
+                best = cand
+            else:
+                take = err < best[4]
+                best = (
+                    jnp.where(take, cand[0], best[0]),
+                    jnp.where(take, cand[1], best[1]),
+                    jnp.where(take, cand[2], best[2]),
+                    jnp.where(take, cand[3], best[3]),
+                    jnp.minimum(err, best[4]),
+                )
+    base, mult, table, idx, _ = best
+    base = base & 0xFF  # two's-complement int8 field when signed
+    hi = (
+        (base.astype(_U32) << _U32(24))
+        | (mult.astype(_U32) << _U32(20))
+        | (table.astype(_U32) << _U32(16))
+    )
+    lo = jnp.zeros_like(hi)
+    for p in range(16):
+        ri = int(_RASTER_OF_P_NP[p])
+        val = idx[ri : ri + 1, :].astype(_U32)
+        bitpos = 45 - 3 * p
+        if bitpos >= 32:
+            hi = hi | (val << _U32(bitpos - 32))
+        elif bitpos >= 30:
+            hi = hi | (val >> _U32(32 - bitpos))
+            lo = lo | (val << _U32(bitpos))
+        else:
+            lo = lo | (val << _U32(bitpos))
+    return hi, lo
+
+
+@functools.partial(
+    jax.jit, static_argnames=("quality", "signed", "interpret")
+)
+def encode_eac_r11_pallas(vals, quality=2, signed=False, interpret=False):
+    """[N,16] float ([0,1] unsigned / [-1,1] signed) -> R11 words [N,2]."""
+    quality = max(0, min(4, int(quality)))
+    n = vals.shape[0]
+    tn = TN if n >= TN else -(-n // 128) * 128
+    npad = -(-n // tn) * tn
+    scale = 1023.0 if signed else 2047.0
+    lo_in = -1.0 if signed else 0.0
+    v = jnp.clip(vals.astype(jnp.float32), lo_in, 1.0) * scale
+    v = jnp.pad(v, ((0, npad - n), (0, 0)))
+    x = jnp.transpose(v)[None]  # [1,16,Np]
+
+    def kernel(x_ref, out_ref):
+        hi, lo = _eac_r11(x_ref[0], quality, signed)
+        out_ref[0:1, :] = _bswap(hi)
+        out_ref[1:2, :] = _bswap(lo)
+
+    words = pl.pallas_call(
+        kernel,
+        grid=(npad // tn,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 16, tn), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (2, tn), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((2, npad), jnp.uint32),
+        interpret=interpret,
+    )(x)
+    return jnp.transpose(words)[:n]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("quality", "signed", "interpret")
+)
+def encode_eac_rg11_pallas(blocks, quality=2, signed=False, interpret=False):
+    """[N,16,>=2] -> [N,4] words: R11 then G11, one kernel."""
+    quality = max(0, min(4, int(quality)))
+    n = blocks.shape[0]
+    tn = TN if n >= TN else -(-n // 128) * 128
+    npad = -(-n // tn) * tn
+    scale = 1023.0 if signed else 2047.0
+    lo_in = -1.0 if signed else 0.0
+    v = jnp.clip(blocks[..., :2].astype(jnp.float32), lo_in, 1.0) * scale
+    v = jnp.pad(v, ((0, npad - n), (0, 0), (0, 0)))
+    x = jnp.transpose(v, (2, 1, 0))  # [2,16,Np]
+
+    def kernel(x_ref, out_ref):
+        rhi, rlo = _eac_r11(x_ref[0], quality, signed)
+        ghi, glo = _eac_r11(x_ref[1], quality, signed)
+        out_ref[0:1, :] = _bswap(rhi)
+        out_ref[1:2, :] = _bswap(rlo)
+        out_ref[2:3, :] = _bswap(ghi)
+        out_ref[3:4, :] = _bswap(glo)
+
+    words = pl.pallas_call(
+        kernel,
+        grid=(npad // tn,),
+        in_specs=[
+            pl.BlockSpec(
+                (2, 16, tn), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (4, tn), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((4, npad), jnp.uint32),
+        interpret=interpret,
+    )(x)
+    return jnp.transpose(words)[:n]
+
+
 # ---------------------------------------------------------------------------
 # Kernels + wrappers
 # ---------------------------------------------------------------------------

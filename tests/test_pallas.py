@@ -200,6 +200,24 @@ def test_etc_family_pallas_bit_parity(blocks, monkeypatch):
             etc.encode_eac_alpha(blocks[..., 3], 2),
             etc._encode_eac_alpha_jnp(blocks[..., 3], 2),
         ),
+        (
+            etc.encode_eac_r11(blocks[..., 0], 2),
+            etc._encode_eac_r11_jnp(blocks[..., 0], 2),
+        ),
+        (
+            etc.encode_eac_r11(blocks[..., 0] * 2 - 1, 2, signed=True),
+            etc._encode_eac_r11_jnp(blocks[..., 0] * 2 - 1, 2, signed=True),
+        ),
+        (
+            etc.encode_eac_rg11(blocks[..., :2], 2),
+            np.concatenate(
+                [
+                    np.asarray(etc._encode_eac_r11_jnp(blocks[..., 0], 2)),
+                    np.asarray(etc._encode_eac_r11_jnp(blocks[..., 1], 2)),
+                ],
+                axis=-1,
+            ),
+        ),
     ]
     for i, (a, b) in enumerate(cases):
         a, b = np.asarray(a), np.asarray(b)
