@@ -220,6 +220,9 @@ def layout_menu(bw: int, bh: int):
     menu[(4, 1)] = [lay for lay in (best_for(1, 4, 64, 16),) if lay]
     menu[(8, 2)] = [lay for lay in (best_for(2, 8, 20, 6),) if lay]
     menu[(12, 2)] = [lay for lay in (best_for(2, 12, 12, 4),) if lay]
+    # 3-partition CEM 8 (18 endpoint values — the ISE ceiling): astcenc
+    # searches up to 4 partitions at its higher presets.
+    menu[(8, 3)] = [lay for lay in (best_for(3, 8, 8, 4),) if lay]
     # Dual-plane single partition: one plane for the CCS channel, one for
     # the rest (spec C.2.10; the astcenc analog is 1-plane-of-2 trials).
     menu[(12, "dp")] = [lay for lay in (best_for(1, 12, 16, 6, dual=True),) if lay]
@@ -723,36 +726,47 @@ def _void_extent(colors):
 # ---------------------------------------------------------------------------
 
 
-def _screen_partitions(colors, bw, bh, topk):
+def _screen_partitions(colors, bw, bh, topk, nparts: int = 2):
     """Within-cluster-SSE proxy over all 1024 seeds -> top-k seed ids.
 
     colors [N,T,4] -> seeds [N,K] int32.
     """
-    table = partition_table(bw, bh, 2)  # [1024, T]
-    m1 = jnp.asarray((table == 1).astype(np.float32))  # [S,T]
+    table = partition_table(bw, bh, nparts)  # [1024, T]
+    ms = [
+        jnp.asarray((table == j).astype(np.float32))
+        for j in range(1, nparts)
+    ]  # membership of partitions 1..nparts-1, [S,T] each
     t = colors.shape[1]
     sum_all = colors.sum(1)                      # [N,C]
     sq_all = (colors * colors).sum((1, 2))       # [N]
-    s1 = jnp.einsum("st,ntc->nsc", m1, colors)   # [N,S,C]
-    n1 = m1.sum(-1)                              # [S]
-    n0 = t - n1
-    s0 = sum_all[:, None, :] - s1
-    # avoid division by zero for degenerate seeds (all texels one side)
-    n1c = jnp.maximum(n1, 1.0)
-    n0c = jnp.maximum(n0, 1.0)
-    explained = (s1 * s1).sum(-1) / n1c + (s0 * s0).sum(-1) / n0c  # [N,S]
+    ss = [jnp.einsum("st,ntc->nsc", m, colors) for m in ms]  # [N,S,C]
+    ns = [m.sum(-1) for m in ms]                 # [S]
+    s0 = sum_all[:, None, :] - sum(ss)
+    n0 = t - sum(ns)
+    # avoid division by zero for degenerate seeds (an empty partition)
+    explained = (s0 * s0).sum(-1) / jnp.maximum(n0, 1.0)
+    for sj, nj in zip(ss, ns):
+        explained = explained + (sj * sj).sum(-1) / jnp.maximum(nj, 1.0)
     sse = sq_all[:, None] - explained
-    sse = jnp.where((n1 < 1) | (n0 < 1), jnp.inf, sse)
+    degenerate = n0 < 1
+    for nj in ns:
+        degenerate = degenerate | (nj < 1)
+    sse = jnp.where(degenerate, jnp.inf, sse)
     _, idx = jax.lax.top_k(-sse, topk)
     return idx.astype(jnp.int32)
 
 
-def _mask_for_seeds(seeds, bw, bh):
-    """seeds [N] -> mask [N,2,T] via one-hot matmul row select."""
-    table = jnp.asarray(partition_table(bw, bh, 2).astype(np.float32))  # [S,T]
+def _mask_for_seeds(seeds, bw, bh, nparts: int = 2):
+    """seeds [N] -> mask [N,nparts,T] via one-hot matmul row select."""
+    table = partition_table(bw, bh, nparts)  # [S,T]
     oh = jax.nn.one_hot(seeds, table.shape[0], dtype=jnp.float32)  # [N,S]
-    p1 = jnp.einsum("ns,st->nt", oh, table)
-    return jnp.stack([1.0 - p1, p1], axis=1)
+    ps = [
+        jnp.einsum(
+            "ns,st->nt", oh, jnp.asarray((table == j).astype(np.float32))
+        )
+        for j in range(1, nparts)
+    ]
+    return jnp.stack([1.0 - sum(ps)] + ps, axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -763,15 +777,15 @@ def _mask_for_seeds(seeds, bw, bh):
 # dual-plane CCS candidates; astcenc's "1 plane of 2" trials appear at the
 # THOROUGH/EXHAUSTIVE presets, AstcConverter.cpp:174-195)
 _PLAN = {
-    0: dict(iters=1, seeds2=0, cem8_layouts=1, cem12_layouts=1,
+    0: dict(iters=1, seeds2=0, seeds3=0, cem8_layouts=1, cem12_layouts=1,
             cem0_layouts=1, cem4_layouts=1, dp_ccs=()),
-    1: dict(iters=1, seeds2=1, cem8_layouts=1, cem12_layouts=1,
+    1: dict(iters=1, seeds2=1, seeds3=0, cem8_layouts=1, cem12_layouts=1,
             cem0_layouts=1, cem4_layouts=1, dp_ccs=()),
-    2: dict(iters=2, seeds2=1, cem8_layouts=2, cem12_layouts=1,
+    2: dict(iters=2, seeds2=1, seeds3=0, cem8_layouts=2, cem12_layouts=1,
             cem0_layouts=1, cem4_layouts=1, dp_ccs=()),
-    3: dict(iters=3, seeds2=2, cem8_layouts=3, cem12_layouts=2,
+    3: dict(iters=3, seeds2=2, seeds3=1, cem8_layouts=3, cem12_layouts=2,
             cem0_layouts=1, cem4_layouts=1, dp_ccs=(3,)),
-    4: dict(iters=4, seeds2=4, cem8_layouts=3, cem12_layouts=2,
+    4: dict(iters=4, seeds2=4, seeds3=2, cem8_layouts=3, cem12_layouts=2,
             cem0_layouts=1, cem4_layouts=1, dp_ccs=(0, 1, 2, 3)),
 }
 
@@ -856,6 +870,17 @@ def _encode_astc_jnp(
             if lay12 is not None and quality >= 3:
                 q0, q1, gq, err = _fit_layout(colors, lay12, mask, iters)
                 consider(_pack_block(lay12, q0, q1, gq, seed_k), err)
+
+    if plan["seeds3"] and menu[(8, 3)]:
+        lay3 = menu[(8, 3)][0]
+        seeds = _screen_partitions(
+            colors, block_w, block_h, plan["seeds3"], nparts=3
+        )
+        for k in range(plan["seeds3"]):
+            seed_k = seeds[:, k]
+            mask = _mask_for_seeds(seed_k, block_w, block_h, nparts=3)
+            q0, q1, gq, err = _fit_layout(colors, lay3, mask, iters)
+            consider(_pack_block(lay3, q0, q1, gq, seed_k), err)
 
     return best_words
 

@@ -568,17 +568,18 @@ def _layouts_b(bw, bh, quality):
     return lays
 
 
-def _fit_2part(px, m1, lay, iters, clut, grid):
-    """Two-partition fit with the subset-1 mask m1 [T,TN].  Returns
-    (qs [(q0,q1)]x2, gq [G,TN], err)."""
+def _fit_2part(px, masks, lay, iters, clut, grid):
+    """Multi-partition fit with membership masks (one [T,TN] mask per
+    partition, summing to 1).  Returns (qs [(q0,q1)] per partition,
+    gq [G,TN], err)."""
     nch = 4 if lay.cem == 12 else 3
-    masks = (1.0 - m1, m1)
+    nparts = len(masks)
     seeds = [_orient(*_pca_seed(px, m, nch)) for m in masks]
 
     best = None
     for it in range(max(1, iters)):
         qs, ds = [], []
-        for p in range(2):
+        for p in range(nparts):
             q0, d0 = _quant_colors(seeds[p][0], lay.clevels, clut)
             q1, d1 = _quant_colors(seeds[p][1], lay.clevels, clut)
             swap = sum(d0[:3]) > sum(d1[:3])
@@ -586,15 +587,15 @@ def _fit_2part(px, m1, lay, iters, clut, grid):
             d0, d1 = _sel(swap, d1, d0), _sel(swap, d0, d1)
             qs.append((q0, q1))
             ds.append((d0, d1))
-        # per-texel endpoints via the membership mask
+        # per-texel endpoints via the membership masks
         d0t = [
-            ds[0][0][c].astype(jnp.float32) * (1.0 - m1)
-            + ds[1][0][c].astype(jnp.float32) * m1
+            sum(ds[p][0][c].astype(jnp.float32) * masks[p]
+                for p in range(nparts))
             for c in range(nch)
         ]
         d1t = [
-            ds[0][1][c].astype(jnp.float32) * (1.0 - m1)
-            + ds[1][1][c].astype(jnp.float32) * m1
+            sum(ds[p][1][c].astype(jnp.float32) * masks[p]
+                for p in range(nparts))
             for c in range(nch)
         ]
         df = [d1t[c] - d0t[c] for c in range(nch)]
@@ -615,7 +616,7 @@ def _fit_2part(px, m1, lay, iters, clut, grid):
                     _sel(take, cand[0][p][0], best[0][p][0]),
                     _sel(take, cand[0][p][1], best[0][p][1]),
                 )
-                for p in range(2)
+                for p in range(nparts)
             ]
             best = (
                 newqs,
@@ -634,7 +635,7 @@ def _fit_2part(px, m1, lay, iters, clut, grid):
 
 
 def _pack_2part(lay, qs, gq, seed, shape, pack_tbls):
-    """Mirror of kernels/astc.py:_pack_block for nparts=2."""
+    """Mirror of kernels/astc.py:_pack_block for nparts >= 2 (same-CEM)."""
     nch = 4 if lay.cem == 12 else 3
     words = [jnp.zeros(shape, _U32) for _ in range(4)]
     mode = block_mode_field(lay.gw, lay.gh, lay.wlevels)
@@ -643,7 +644,7 @@ def _pack_2part(lay, qs, gq, seed, shape, pack_tbls):
     words[0] = words[0] | (seed.astype(_U32) << _U32(13))
     words[0] = words[0] | _U32(lay.cem << 2) << _U32(23)
     cols = []
-    for p in range(2):
+    for p in range(lay.nparts):
         for c in range(nch):
             cols.append(qs[p][0][c])
             cols.append(qs[p][1][c])
@@ -700,7 +701,8 @@ def _kernel_b(x_ref, pt_ref, ptt_ref, trit_ref, quint_ref, *rest,
         m1 = _mm(ptt_ref[:], onehot)  # [T,TN]
         for li, lay in enumerate(lays):
             qs, gq, lerr = _fit_2part(
-                px, m1, lay, iters, cluts.get(lay.clevels), grids.get(li)
+                px, (1.0 - m1, m1), lay, iters,
+                cluts.get(lay.clevels), grids.get(li),
             )
             lwords = _pack_2part(lay, qs, gq, seed, lerr.shape, pack_tbls)
             if words is None:
@@ -711,6 +713,76 @@ def _kernel_b(x_ref, pt_ref, ptt_ref, trit_ref, quint_ref, *rest,
                     jnp.where(take, a, b) for a, b in zip(lwords, words)
                 ]
                 err = jnp.minimum(lerr, err)
+
+    for w in range(4):
+        out_ref[w : w + 1, :] = words[w]
+    err_ref[0:1, :] = err
+
+
+# ---------------------------------------------------------------------------
+# Kernel C: 3-partition screening + fit (CEM 8), mirrors the jnp seeds3 sweep
+# ---------------------------------------------------------------------------
+
+
+def _kernel_c(x_ref, p1_ref, p2_ref, p1t_ref, p2t_ref, trit_ref, quint_ref,
+              *rest, quality, bw, bh, clut_levels, has_grid):
+    clut_refs = rest[: len(clut_levels)]
+    grid_refs = rest[len(clut_levels) : len(clut_levels) + (2 if has_grid else 0)]
+    out_ref, err_ref = rest[-2], rest[-1]
+    cluts = {lv: r[:] for lv, r in zip(clut_levels, clut_refs)}
+    grid = (grid_refs[0][:], grid_refs[1][:]) if has_grid else None
+    pack_tbls = (trit_ref[:], quint_ref[:])
+    px = [x_ref[c] for c in range(4)]
+    plan = _PLAN[quality]
+    iters = plan["iters"]
+    topk = max(1, plan["seeds3"])
+    lay = layout_menu(bw, bh)[(8, 3)][0]
+    t_count = float(bw * bh)
+
+    # 3-cluster within-SSE proxy over all 1024 seeds (two membership
+    # tables on the MXU; mirrors astc.py:_screen_partitions nparts=3).
+    p1 = p1_ref[:]  # [1024,T]
+    p2 = p2_ref[:]
+    n1 = jnp.sum(p1, axis=1, keepdims=True)
+    n2 = jnp.sum(p2, axis=1, keepdims=True)
+    s1 = [_mm(p1, px[c]) for c in range(4)]
+    s2 = [_mm(p2, px[c]) for c in range(4)]
+    sq_all = _rt(sum(px[c] * px[c] for c in range(4)))
+    s_all = [_rt(px[c]) for c in range(4)]
+    n0 = t_count - n1 - n2
+    explained = (
+        sum((s_all[c] - s1[c] - s2[c]) ** 2 for c in range(4))
+        / jnp.maximum(n0, 1.0)
+        + sum(s1[c] * s1[c] for c in range(4)) / jnp.maximum(n1, 1.0)
+        + sum(s2[c] * s2[c] for c in range(4)) / jnp.maximum(n2, 1.0)
+    )
+    sse = sq_all - explained
+    degenerate = (n0 < 1.0) | (n1 < 1.0) | (n2 < 1.0)
+    sse = jnp.where(degenerate, jnp.inf, sse)
+    iota = jax.lax.broadcasted_iota(jnp.int32, sse.shape, 0)
+
+    words = None
+    err = None
+    for k in range(topk):
+        smin = jnp.min(sse, axis=0, keepdims=True)
+        seed = jnp.min(
+            jnp.where(sse == smin, iota, 1024), axis=0, keepdims=True
+        )
+        sse = jnp.where(iota == seed, jnp.inf, sse)
+        onehot = (iota == seed).astype(jnp.float32)
+        m1 = _mm(p1t_ref[:], onehot)  # [T,TN]
+        m2 = _mm(p2t_ref[:], onehot)
+        qs, gq, lerr = _fit_2part(
+            px, (1.0 - m1 - m2, m1, m2), lay, iters,
+            cluts.get(lay.clevels), grid,
+        )
+        lwords = _pack_2part(lay, qs, gq, seed, lerr.shape, pack_tbls)
+        if words is None:
+            words, err = lwords, lerr
+        else:
+            take = lerr < err
+            words = [jnp.where(take, a, b) for a, b in zip(lwords, words)]
+            err = jnp.minimum(lerr, err)
 
     for w in range(4):
         out_ref[w : w + 1, :] = words[w]
@@ -895,6 +967,78 @@ def encode_astc_pallas(
         eb = err_b[0, :n]
         take = eb < err
         words = jnp.where(take[:, None], wb, words)
+        err = jnp.where(take, eb, err)
+
+    menu = layout_menu(bw, bh)
+    if plan["seeds3"] and menu[(8, 3)]:
+        lay3 = menu[(8, 3)][0]
+        full_tn_c = TN_B if t_count <= 64 else 128
+        tn_c = full_tn_c if n >= full_tn_c else -(-n // 128) * 128
+        xc, npad_c = pad_to(tn_c)
+        tab3 = partition_table(bw, bh, 3)
+        p1 = jnp.asarray((tab3 == 1).astype(np.float32))
+        p2 = jnp.asarray((tab3 == 2).astype(np.float32))
+        clut_levels_c = (
+            (lay3.clevels,) if lay3.clevels != 256 else ()
+        )
+        cluts_c = [
+            jnp.asarray(np.stack(_color_qlut(lv)).astype(np.float32))
+            for lv in clut_levels_c
+        ]
+        gridc = _prepared_grid(bw, bh, lay3.gw, lay3.gh)
+        gridc_arrs = []
+        gridc_specs = []
+        if gridc is not None:
+            a, pinv = gridc
+            gridc_arrs = [jnp.asarray(a), jnp.asarray(pinv)]
+            gridc_specs = [
+                pl.BlockSpec(a.shape, const, memory_space=pltpu.VMEM),
+                pl.BlockSpec(pinv.shape, const, memory_space=pltpu.VMEM),
+            ]
+        words_c, err_c = pl.pallas_call(
+            functools.partial(
+                _kernel_c, quality=quality, bw=bw, bh=bh,
+                clut_levels=clut_levels_c, has_grid=gridc is not None,
+            ),
+            grid=(npad_c // tn_c,),
+            in_specs=[
+                pl.BlockSpec(
+                    (4, t_count, tn_c), lambda i: (0, 0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec((1024, t_count), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1024, t_count), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((t_count, 1024), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((t_count, 1024), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 243), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 125), const, memory_space=pltpu.VMEM),
+            ]
+            + [
+                pl.BlockSpec((2, 256), const, memory_space=pltpu.VMEM)
+                for _ in clut_levels_c
+            ]
+            + gridc_specs,
+            out_specs=[
+                pl.BlockSpec(
+                    (4, tn_c), lambda i: (0, i), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, tn_c), lambda i: (0, i), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((4, npad_c), jnp.uint32),
+                jax.ShapeDtypeStruct((1, npad_c), jnp.float32),
+            ],
+            interpret=interpret,
+        )(
+            xc, p1, p2, jnp.transpose(p1), jnp.transpose(p2),
+            trit_tbl, quint_tbl, *cluts_c, *gridc_arrs,
+        )
+        wc = jnp.transpose(words_c)[:n]
+        ec = err_c[0, :n]
+        take = ec < err
+        words = jnp.where(take[:, None], wc, words)
     return words
 
 

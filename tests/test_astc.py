@@ -146,6 +146,28 @@ class TestAstc4x4:
         assert astc_db >= bc7_db - 0.2, (astc_db, bc7_db)
 
     @pytest.mark.slow
+    def test_three_partition_blocks(self):
+        """3-cluster content encodes 3-partition blocks at q3+ and gains
+        over the 2-partition-only search (astcenc parity: its higher
+        presets search up to 4 partitions)."""
+        rng = np.random.default_rng(2)
+        n = 64
+        cols = rng.random((n, 3, 1, 4), np.float32)
+        assign = rng.integers(0, 3, (n, 16))
+        blocks = np.take_along_axis(cols, assign[:, None, :, None], 1)[:, 0]
+        blocks = (
+            (blocks + rng.normal(0, 0.01, blocks.shape))
+            .astype(np.float32)
+            .clip(0, 1)
+        )
+        blocks[..., 3] = 1.0
+        w = np.asarray(astc.encode_astc(blocks, 4, 4, quality=3))
+        nparts = ((w[:, 0] >> 11) & 3) + 1
+        assert (nparts == 3).sum() > 5  # some blocks pick 3 partitions
+        dec = decode_astc(_bytes(w), 4, 4)
+        assert _psnr(dec[..., :3] / 255.0, blocks[..., :3]) > 20
+
+    @pytest.mark.slow
     def test_quality_monotone(self):
         rng = np.random.default_rng(3)
         blocks = rng.random((32, 16, 4), np.float32)

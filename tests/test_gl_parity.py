@@ -281,6 +281,26 @@ def test_astc_vs_gl(bw, bh):
     assert np.array_equal(gl, ours)
 
 
+def test_astc_3partition_vs_gl():
+    """3-partition bitstreams decode identically on Mesa's ASTC decoder."""
+    if not gl_has_extension("GL_KHR_texture_compression_astc_ldr"):
+        pytest.skip("no ASTC LDR in GL")
+    rng = np.random.default_rng(9)
+    cols = rng.random((N, 3, 1, 4)).astype(np.float32)
+    assign = rng.integers(0, 3, (N, 16))
+    blocks = np.take_along_axis(cols, assign[:, None, :, None], 1)[:, 0]
+    blocks = (
+        (blocks + rng.normal(0, 0.01, blocks.shape)).astype(np.float32).clip(0, 1)
+    )
+    blocks[..., 3] = 1.0
+    data = _bytes(kastc.encode_astc(jnp.asarray(blocks), 4, 4, quality=3))
+    w0 = np.frombuffer(data, np.uint8).reshape(-1, 16)[:, :4].copy().view(np.uint32)[:, 0]
+    assert (((w0 >> 11) & 3) + 1 == 3).any()  # 3-partition blocks emitted
+    ours = decode.decode_astc(np.frombuffer(data, np.uint8), 4, 4)
+    gl = _gl_blocks(data, "COMPRESSED_RGBA_ASTC_4x4", bw=4, bh=4)
+    assert np.array_equal(gl, ours)
+
+
 def test_astc_cem0_cem4_vs_gl():
     """Luminance (CEM 0) and luminance+alpha (CEM 4) bitstreams decode
     identically on Mesa's independent ASTC decoder."""
