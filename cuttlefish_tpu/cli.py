@@ -136,6 +136,9 @@ Output:
       --file-format dds|ktx|ktx2|pvr
                                  container (deduced from extension if absent)
       --create-dir               create the output directory if needed
+      --device-mips              fuse mipmap generation into the encode
+                                 dispatch on device (TPU extension; block
+                                 formats, no custom mips)
 """
 
 
@@ -170,6 +173,7 @@ class Args:
         self.output = ""
         self.file_type = FileType.Auto
         self.create_dir = False
+        self.device_mips = False
 
 
 def _err(msg: str) -> None:
@@ -521,6 +525,8 @@ def parse(argv: list[str]) -> Args | None:
                     i += 1
         elif a == "--create-dir":
             args.create_dir = True
+        elif a == "--device-mips":
+            args.device_mips = True
         else:
             _err(f"unknown option '{a}'")
             ok = False
@@ -717,6 +723,42 @@ def run(argv: list[str]) -> int:
         if not ok:
             _err(f"couldn't set image '{entry[-1]}'")
             return 3
+
+    if args.mip_levels != 0 and args.device_mips and not args.custom_mips:
+        # Fused TPU pipeline: mip chain + encode in one device dispatch
+        # (falls through to the host path when the format/shape doesn't
+        # qualify — convert_with_mips returns False without side effects).
+        levels = 0xFFFFFFFF if args.mip_levels < 0 else args.mip_levels
+        if verbose:
+            print("generating mipmaps on device (fused)")
+        try:
+            if tex.convert_with_mips(
+                args.fmt,
+                args.type,
+                quality=args.quality,
+                alpha_type=args.alpha,
+                mip_levels=levels,
+                filter=args.mip_filter,
+            ):
+                if verbose:
+                    print(f"saving '{args.output}'")
+                result = tex.save(args.output, args.file_type)
+                if result is SaveResult.WriteError and args.create_dir:
+                    parent = os.path.dirname(args.output)
+                    if parent:
+                        os.makedirs(parent, exist_ok=True)
+                        result = tex.save(args.output, args.file_type)
+                if result is not SaveResult.Success:
+                    _err(f"couldn't save '{args.output}': {result.name}")
+                    return 3
+                if args.log == "normal":
+                    print(f"converted '{args.output}'")
+                return 0
+        except (NotImplementedError, ValueError) as exc:
+            _err(str(exc))
+            return 3
+        if verbose:
+            print("fused path unavailable; falling back to host mipmaps")
 
     if args.mip_levels != 0:
         levels = 0xFFFFFFFF if args.mip_levels < 0 else args.mip_levels

@@ -98,6 +98,40 @@ class TestFusedPipeline:
         t4.set_image(_img(8, 8), face=ct.CubeFace.PosX)
         assert not t4.convert_with_mips(F.BC1_RGB, T.UNorm)
 
+    @pytest.mark.slow
+    def test_fused_first_then_host_fresh_process(self):
+        """Regression: running the fused path FIRST in a fresh process
+        must not leak kernel-module jnp constants created mid-trace into
+        the later host-path jit (UnexpectedTracerError)."""
+        import os
+        import subprocess
+        import sys
+
+        src = r"""
+import jax; jax.config.update("jax_platforms", "cpu")
+import numpy as np, cuttlefish_tpu as ct
+rng = np.random.default_rng(0)
+img = ct.Image.from_array(rng.random((32,32,4)).astype(np.float32), ct.ImageFormat.RGBAF)
+t = ct.Texture(ct.Dimension.Dim2D, 32, 32)
+t.set_image(img)
+assert t.convert_with_mips(ct.TextureFormat.BC3, ct.TextureType.UNorm, quality=ct.Quality.Lowest)
+t2 = ct.Texture(ct.Dimension.Dim2D, 32, 32)
+t2.set_image(img); t2.generate_mipmaps()
+assert t2.convert(ct.TextureFormat.BC3, ct.TextureType.UNorm, quality=ct.Quality.Lowest)
+print("OK")
+"""
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        out = subprocess.run(
+            [sys.executable, "-c", src],
+            capture_output=True,
+            text=True,
+            timeout=600,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            env=env,
+        )
+        assert out.returncode == 0, out.stdout[-3000:] + out.stderr[-3000:]
+
     def test_mip_level_cap(self):
         t = ct.Texture(ct.Dimension.Dim2D, 32, 32)
         t.set_image(_img(32, 32))
