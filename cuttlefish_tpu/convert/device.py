@@ -169,7 +169,10 @@ class _FusedPyramid:
                     src = srgb_to_linear_rgba(cur, jnp) if srgb else cur
                     t1 = jnp.einsum("oi,siwc->sowc", wy, src)
                     t2 = jnp.einsum("pj,sojc->sopc", wx, t1)
-                    t2 = jnp.clip(t2, 0.0, None)
+                    # No clamp: filter overshoot survives like the host
+                    # path (encoders clamp LDR inputs; HDR/signed formats
+                    # need the full range), and the sRGB transforms guard
+                    # their pow branches internally.
                     cur = linear_to_srgb_rgba(t2, jnp) if srgb else t2
                 parts.append(tile(cur, hh, ww))
             blocks = (

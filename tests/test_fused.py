@@ -98,6 +98,40 @@ class TestFusedPipeline:
         t4.set_image(_img(8, 8), face=ct.CubeFace.PosX)
         assert not t4.convert_with_mips(F.BC1_RGB, T.UNorm)
 
+    def test_signed_bc6h_negatives_survive_mips(self):
+        """Regression: the device mip chain must not clamp — signed BC6H
+        content keeps negative values through resampling."""
+        from cuttlefish_tpu.decode.bc6h import decode_bc6h
+        from cuttlefish_tpu.packfloat import half_bits_to_f32
+
+        rng = np.random.default_rng(9)
+        arr = (rng.random((16, 16, 4)).astype(np.float32) - 0.5) * 2.0
+        arr[..., 3] = 1.0
+        img = ct.Image.from_array(arr, ct.ImageFormat.RGBAF)
+
+        fused = ct.Texture(ct.Dimension.Dim2D, 16, 16)
+        fused.set_image(img)
+        assert fused.convert_with_mips(F.BC6H, T.Float, quality=Q.Lowest)
+        host = ct.Texture(ct.Dimension.Dim2D, 16, 16)
+        host.set_image(img)
+        host.generate_mipmaps()
+        assert host.convert(F.BC6H, T.Float, quality=Q.Lowest)
+        for lvl in (1, 2):
+            df = half_bits_to_f32(
+                decode_bc6h(
+                    np.frombuffer(fused.data(mip_level=lvl), np.uint8),
+                    signed=True,
+                ).astype(np.uint16)
+            )
+            dh = half_bits_to_f32(
+                decode_bc6h(
+                    np.frombuffer(host.data(mip_level=lvl), np.uint8),
+                    signed=True,
+                ).astype(np.uint16)
+            )
+            assert (df < -0.05).any()  # negatives survived
+            assert np.abs(df - dh).mean() < 0.05
+
     @pytest.mark.slow
     def test_fused_first_then_host_fresh_process(self):
         """Regression: running the fused path FIRST in a fresh process
