@@ -204,15 +204,12 @@ def _encode_pyramid(
     """surfaces0: level-0 [H,W,4] float32 surfaces in (depth, face)
     order.  Returns bytes[level][surface] (mip-major, matching
     Texture.convert's traversal)."""
-    # Kernel modules hold module-level jnp constants; importing them for
+    # Kernel modules hold module-level jnp constants; importing one for
     # the first time INSIDE the fused jit trace would capture those
-    # constants as tracers and leak them into later calls.  Import
-    # everything encode_blocks may reach before tracing.
-    import cuttlefish_tpu.kernels.astc  # noqa: F401
-    import cuttlefish_tpu.kernels.bc  # noqa: F401
-    import cuttlefish_tpu.kernels.bc6h  # noqa: F401
-    import cuttlefish_tpu.kernels.bc7  # noqa: F401
-    import cuttlefish_tpu.kernels.etc  # noqa: F401
+    # constants as tracers and leak them into later calls.  The package
+    # import pulls in every kernel module eagerly (kernels/__init__.py),
+    # outside any trace.
+    import cuttlefish_tpu.kernels  # noqa: F401
 
     s = len(surfaces0)
     h, w = surfaces0[0].shape[:2]

@@ -10,7 +10,6 @@ Error metric: sRGB sources weight RGB by Rec.709 (the REC709 metric at
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 import numpy as np
 
 from cuttlefish_tpu.convert import Converter, EncodeParams
@@ -21,7 +20,7 @@ _F = TextureFormat
 _T = TextureType
 
 
-def _rgb_weights(params: EncodeParams) -> jnp.ndarray:
+def _rgb_weights(params: EncodeParams) -> np.ndarray:
     if params.color_space is ColorSpace.sRGB:
         w = np.array([0.2126, 0.7152, 0.0722], np.float32) * 3.0
     else:
@@ -32,7 +31,10 @@ def _rgb_weights(params: EncodeParams) -> jnp.ndarray:
     w = w * mask
     if w.sum() == 0:
         w = np.ones(3, np.float32)
-    return jnp.asarray(w)
+    # Host array, NOT jnp: the kernels hash these as static Pallas params,
+    # and np.asarray on a committed device array is a full tunnel round-trip
+    # (~50-100 ms) per convert.
+    return w
 
 
 class EtcRgbConverter(BlockConverter):

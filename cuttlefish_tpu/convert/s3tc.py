@@ -14,7 +14,6 @@ The color mask zeroes ignored channels' error weight (`:283-311`).
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 import numpy as np
 
 from cuttlefish_tpu.convert import Converter, EncodeParams
@@ -25,7 +24,7 @@ _F = TextureFormat
 _T = TextureType
 
 
-def _channel_weights(params: EncodeParams) -> jnp.ndarray:
+def _channel_weights(params: EncodeParams) -> np.ndarray:
     if params.color_space is ColorSpace.sRGB:
         w = np.array([0.3, 0.59, 0.11], np.float32) * 3.0
     else:
@@ -36,7 +35,10 @@ def _channel_weights(params: EncodeParams) -> jnp.ndarray:
     w = w * mask
     if w.sum() == 0:
         w = np.ones(3, np.float32)
-    return jnp.asarray(w)
+    # Host array, NOT jnp: the kernels hash these as static Pallas params,
+    # and np.asarray on a committed device array is a full tunnel round-trip
+    # (~50-100 ms) per convert.
+    return w
 
 
 class Bc1Converter(BlockConverter):
