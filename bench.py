@@ -241,6 +241,48 @@ def measure_full_matrix() -> dict:
         log(f"astc_cube_srgb_nm_ktx: {out['astc_cube_srgb_nm_ktx']}")
 
     astc_cube()
+
+    # Config 5, fused: same cube/sRGB/normal-map content, but normal map
+    # + mip chain + tiling + encode all run as ONE device dispatch
+    # (Texture.convert_with_mips(normal_map=...)).
+    def astc_cube_fused():
+        from cuttlefish_tpu.image.image import NormalOptions
+
+        size = 256
+        surf = _test_surface(size)
+
+        def once():
+            t0 = time.perf_counter()
+            tex = ct.Texture(
+                ct.Dimension.Cube, size, size,
+                color_space=ct.ColorSpace.sRGB,
+            )
+            for face in ct.CubeFace:
+                tex.set_image(
+                    ct.Image.from_array(surf, ct.ImageFormat.RGBAF),
+                    face=face,
+                )
+            assert tex.convert_with_mips(
+                ct.TextureFormat.ASTC_4x4, ct.TextureType.UNorm,
+                quality=ct.Quality.Normal,
+                normal_map=NormalOptions.Default, normal_height=2.0,
+            )
+            res, data = tex.save_to_bytes(ct.FileType.KTX)
+            assert res is ct.SaveResult.Success
+            return time.perf_counter() - t0, data
+
+        cold, _ = once()
+        dt, data = min(once() for _ in range(3))
+        texels = size * size * 6 * 4 // 3
+        out["astc_cube_srgb_nm_fused_ktx"] = {
+            "mtexels_per_s": round(texels / dt / 1e6, 2),
+            "seconds": round(dt, 3),
+            "cold_seconds": round(cold, 3),
+            "bytes": len(data),
+        }
+        log(f"astc_cube_srgb_nm_fused_ktx: {out['astc_cube_srgb_nm_fused_ktx']}")
+
+    astc_cube_fused()
     # Config 4: BC6H + BC7 at Highest -> raw kernel throughput.
     surf = _test_surface(1024)
     blocks, _, _ = extract_blocks(surf, 4, 4)

@@ -99,6 +99,57 @@ class BlockConverter(Converter):
 _PYRAMID_FNS: dict = {}
 
 
+def _normal_map_device(h, options: int, height: float, jnp):
+    """[S,H,W] heightfield (red channel, linear) -> [S,H,W,4] normal map.
+
+    Same math as Image.create_normal_map (image/image.py, mirroring the
+    reference Image.cpp:1783-1880): central differences, one-sided at
+    non-wrapped edges (distance 1), dy = south - north, z normalized,
+    [-1,1] -> [0,1] remap unless KeepSign.  `options` is the
+    NormalOptions bitmask (Image.h:116-123: KeepSign=1, WrapX=2, WrapY=4).
+    """
+    import jax
+
+    keep_sign, wrap_x, wrap_y = options & 1, options & 2, options & 4
+    hh, ww = h.shape[-2], h.shape[-1]
+
+    if wrap_y:
+        above = jnp.roll(h, 1, axis=-2)
+        below = jnp.roll(h, -1, axis=-2)
+        dist_y = np.full((hh, 1), 2.0, np.float32)
+    else:
+        above = jnp.concatenate([h[..., :1, :], h[..., :-1, :]], axis=-2)
+        below = jnp.concatenate([h[..., 1:, :], h[..., -1:, :]], axis=-2)
+        dist_y = np.full((hh, 1), 2.0, np.float32)
+        if hh > 1:
+            dist_y[0] = dist_y[-1] = 1.0
+        else:
+            dist_y[0] = 1.0
+    dy = (below - above) * (height / dist_y)
+
+    if wrap_x:
+        left = jnp.roll(h, 1, axis=-1)
+        right = jnp.roll(h, -1, axis=-1)
+        dist_x = np.full((1, ww), 2.0, np.float32)
+    else:
+        left = jnp.concatenate([h[..., :, :1], h[..., :, :-1]], axis=-1)
+        right = jnp.concatenate([h[..., :, 1:], h[..., :, -1:]], axis=-1)
+        dist_x = np.full((1, ww), 2.0, np.float32)
+        if ww > 1:
+            dist_x[0, 0] = dist_x[0, -1] = 1.0
+        else:
+            dist_x[0, 0] = 1.0
+    dx = (left - right) * (height / dist_x)
+
+    inv_len = jax.lax.rsqrt(dx * dx + dy * dy + 1.0)
+    normal = jnp.stack(
+        [dx * inv_len, dy * inv_len, inv_len, jnp.ones_like(dx)], axis=-1
+    )
+    if not keep_sign:
+        normal = normal.at[..., :3].set(normal[..., :3] * 0.5 + 0.5)
+    return normal
+
+
 def _mip_dims(h: int, w: int, levels: int) -> list[tuple[int, int]]:
     return [(max(h >> k, 1), max(w >> k, 1)) for k in range(levels)]
 
@@ -118,7 +169,7 @@ class _FusedPyramid:
     """
 
     def __init__(self, converter, h, w, nsurf, levels, filter_name, srgb,
-                 params):
+                 params, normal_opts=None):
         import jax
         import jax.numpy as jnp
 
@@ -163,6 +214,16 @@ class _FusedPyramid:
         def fn(x):  # [S, H, W, 4] float32, texture color space
             parts = []
             cur = x
+            if normal_opts is not None:
+                # Heightfield -> tangent-space normal map on device, the
+                # fused analog of Image.create_normal_map (Image.cpp:
+                # 1783-1880) followed by set_image's colorspace convert:
+                # the stored level-0 heightfield is undone to linear, the
+                # normal computed there, and the result re-encoded.
+                opts, nm_height = normal_opts
+                hf = srgb_to_linear_rgba(cur, jnp) if srgb else cur
+                nm = _normal_map_device(hf[..., 0], opts, nm_height, jnp)
+                cur = linear_to_srgb_rgba(nm, jnp) if srgb else nm
             for k, (hh, ww) in enumerate(dims):
                 if k:
                     wy, wx = weights[k - 1]
@@ -200,6 +261,7 @@ def _encode_pyramid(
     filter_name: str,
     srgb: bool,
     params: EncodeParams,
+    normal_opts: tuple | None = None,
 ) -> list[list[np.ndarray]]:
     """surfaces0: level-0 [H,W,4] float32 surfaces in (depth, face)
     order.  Returns bytes[level][surface] (mip-major, matching
@@ -216,13 +278,15 @@ def _encode_pyramid(
     key = (
         type(self).__qualname__,
         tuple(sorted((k, repr(v)) for k, v in self.__dict__.items())),
-        h, w, s, levels, filter_name, srgb,
+        h, w, s, levels, filter_name, srgb, normal_opts,
         params.quality, params.alpha_type,
         repr(params.color_mask), params.color_space,
     )
     fused = _PYRAMID_FNS.get(key)
     if fused is None:
-        fused = _FusedPyramid(self, h, w, s, levels, filter_name, srgb, params)
+        fused = _FusedPyramid(
+            self, h, w, s, levels, filter_name, srgb, params, normal_opts
+        )
         _PYRAMID_FNS[key] = fused
     x = np.stack([np.asarray(sf, np.float32) for sf in surfaces0])
     words = _fetch_global(fused.fn(x))[: fused.ntot].astype(np.uint32)

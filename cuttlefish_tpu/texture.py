@@ -443,6 +443,8 @@ class Texture:
         color_mask: ColorMask | None = None,
         mip_levels: int = 0xFFFFFFFF,
         filter: ResizeFilter = ResizeFilter.CatmullRom,
+        normal_map: "NormalOptions | None" = None,
+        normal_height: float = 1.0,
     ) -> bool:
         """TPU-first fused pipeline (extension beyond the reference API):
         generate the mip chain ON DEVICE and encode every level of every
@@ -456,6 +458,13 @@ class Texture:
         guaranteed bit-identical to the host-mips path).  Block-compressed
         formats, 2D/array/cube, standard mip chain only (3D Z-filtering
         and custom mips use the host path).
+
+        ``normal_map``: treat the level-0 images as heightfields and
+        derive tangent-space normal maps ON DEVICE before the mip chain —
+        the fused analog of ``Image.create_normal_map`` + ``set_image``
+        (same math as Image.cpp:1783-1880, including the colorspace
+        round-trip set_image would apply).  Pass a ``NormalOptions``
+        bitmask (``NormalOptions.Default`` for the plain remapped map).
         """
         from cuttlefish_tpu.convert import EncodeParams, create_converter
         from cuttlefish_tpu.convert.device import BlockConverter
@@ -502,6 +511,11 @@ class Texture:
                 filter.value,
                 self._color_space is ColorSpace.sRGB,
                 params,
+                normal_opts=(
+                    None
+                    if normal_map is None
+                    else (int(normal_map), float(normal_height))
+                ),
             )
         # Commit state only after a successful encode.
         self._mip_levels = levels

@@ -98,6 +98,38 @@ class TestFusedPipeline:
         t4.set_image(_img(8, 8), face=ct.CubeFace.PosX)
         assert not t4.convert_with_mips(F.BC1_RGB, T.UNorm)
 
+    @pytest.mark.parametrize("srgb", [False, True])
+    def test_device_normal_map(self, srgb):
+        """convert_with_mips(normal_map=...) equals the host
+        create_normal_map + set_image + generate_mipmaps + convert flow
+        (within u8 wire quantization)."""
+        from cuttlefish_tpu.decode.bc7 import decode_bc7
+        from cuttlefish_tpu.image.image import NormalOptions
+
+        y, x = np.mgrid[0:32, 0:48].astype(np.float32)
+        hf = (0.5 + 0.4 * np.sin(x / 5) * np.cos(y / 7)).astype(np.float32)
+        arr = np.stack([hf, hf, hf, np.ones_like(hf)], -1)
+        cs = ct.ColorSpace.sRGB if srgb else ct.ColorSpace.Linear
+        opts = NormalOptions.WrapX
+
+        host = ct.Texture(ct.Dimension.Dim2D, 48, 32, color_space=cs)
+        img = ct.Image.from_array(arr, ct.ImageFormat.RGBAF)
+        host.set_image(img.create_normal_map(opts, height=2.0))
+        host.generate_mipmaps()
+        assert host.convert(F.BC7, T.UNorm, quality=Q.Low)
+
+        fused = ct.Texture(ct.Dimension.Dim2D, 48, 32, color_space=cs)
+        fused.set_image(ct.Image.from_array(arr, ct.ImageFormat.RGBAF))
+        assert fused.convert_with_mips(
+            F.BC7, T.UNorm, quality=Q.Low,
+            normal_map=opts, normal_height=2.0,
+        )
+        assert fused.mip_levels == host.mip_levels
+        for lvl in range(host.mip_levels):
+            a = decode_bc7(np.frombuffer(host.data(mip_level=lvl), np.uint8))
+            b = decode_bc7(np.frombuffer(fused.data(mip_level=lvl), np.uint8))
+            assert np.abs(a.astype(int) - b.astype(int)).mean() < 2.0
+
     def test_signed_bc6h_negatives_survive_mips(self):
         """Regression: the device mip chain must not clamp — signed BC6H
         content keeps negative values through resampling."""
