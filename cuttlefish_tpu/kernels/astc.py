@@ -223,6 +223,13 @@ def layout_menu(bw: int, bh: int):
     # 3-partition CEM 8 (18 endpoint values — the ISE ceiling): astcenc
     # searches up to 4 partitions at its higher presets.
     menu[(8, 3)] = [lay for lay in (best_for(3, 8, 8, 4),) if lay]
+    # 4-partition blocks: CEM 8 x 4 would need 24 endpoint values (> the
+    # 18-value ISE cap, spec C.2.24), so only the luminance CEMs fit —
+    # CEM 0 (8 values) and CEM 4 (16).  The win case is multi-region
+    # grayscale(+alpha) content; astcenc searches 4 partitions at
+    # THOROUGH+ (AstcConverter.cpp:174-195).
+    menu[(0, 4)] = [lay for lay in (best_for(4, 0, 64, 12),) if lay]
+    menu[(4, 4)] = [lay for lay in (best_for(4, 4, 8, 4),) if lay]
     # Dual-plane single partition: one plane for the CCS channel, one for
     # the rest (spec C.2.10; the astcenc analog is 1-plane-of-2 trials).
     menu[(12, "dp")] = [lay for lay in (best_for(1, 12, 16, 6, dual=True),) if lay]
@@ -777,16 +784,17 @@ def _mask_for_seeds(seeds, bw, bh, nparts: int = 2):
 # dual-plane CCS candidates; astcenc's "1 plane of 2" trials appear at the
 # THOROUGH/EXHAUSTIVE presets, AstcConverter.cpp:174-195)
 _PLAN = {
-    0: dict(iters=1, seeds2=0, seeds3=0, cem8_layouts=1, cem12_layouts=1,
-            cem0_layouts=1, cem4_layouts=1, dp_ccs=()),
-    1: dict(iters=1, seeds2=1, seeds3=0, cem8_layouts=1, cem12_layouts=1,
-            cem0_layouts=1, cem4_layouts=1, dp_ccs=()),
-    2: dict(iters=2, seeds2=1, seeds3=0, cem8_layouts=2, cem12_layouts=1,
-            cem0_layouts=1, cem4_layouts=1, dp_ccs=()),
-    3: dict(iters=3, seeds2=2, seeds3=1, cem8_layouts=3, cem12_layouts=2,
-            cem0_layouts=1, cem4_layouts=1, dp_ccs=(3,)),
-    4: dict(iters=4, seeds2=4, seeds3=2, cem8_layouts=3, cem12_layouts=2,
-            cem0_layouts=1, cem4_layouts=1, dp_ccs=(0, 1, 2, 3)),
+    0: dict(iters=1, seeds2=0, seeds3=0, seeds4=0, cem8_layouts=1,
+            cem12_layouts=1, cem0_layouts=1, cem4_layouts=1, dp_ccs=()),
+    1: dict(iters=1, seeds2=1, seeds3=0, seeds4=0, cem8_layouts=1,
+            cem12_layouts=1, cem0_layouts=1, cem4_layouts=1, dp_ccs=()),
+    2: dict(iters=2, seeds2=1, seeds3=0, seeds4=0, cem8_layouts=2,
+            cem12_layouts=1, cem0_layouts=1, cem4_layouts=1, dp_ccs=()),
+    3: dict(iters=3, seeds2=2, seeds3=1, seeds4=1, cem8_layouts=3,
+            cem12_layouts=2, cem0_layouts=1, cem4_layouts=1, dp_ccs=(3,)),
+    4: dict(iters=4, seeds2=4, seeds3=2, seeds4=2, cem8_layouts=3,
+            cem12_layouts=2, cem0_layouts=1, cem4_layouts=1,
+            dp_ccs=(0, 1, 2, 3)),
 }
 
 
@@ -881,6 +889,18 @@ def _encode_astc_jnp(
             mask = _mask_for_seeds(seed_k, block_w, block_h, nparts=3)
             q0, q1, gq, err = _fit_layout(colors, lay3, mask, iters)
             consider(_pack_block(lay3, q0, q1, gq, seed_k), err)
+
+    lays4 = [menu[key][0] for key in ((0, 4), (4, 4)) if menu[key]]
+    if plan["seeds4"] and lays4:
+        seeds = _screen_partitions(
+            colors, block_w, block_h, plan["seeds4"], nparts=4
+        )
+        for k in range(plan["seeds4"]):
+            seed_k = seeds[:, k]
+            mask = _mask_for_seeds(seed_k, block_w, block_h, nparts=4)
+            for lay in lays4:
+                q0, q1, gq, err = _fit_layout(colors, lay, mask, iters)
+                consider(_pack_block(lay, q0, q1, gq, seed_k), err)
 
     return best_words
 

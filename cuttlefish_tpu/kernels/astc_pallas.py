@@ -571,10 +571,33 @@ def _layouts_b(bw, bh, quality):
 def _fit_2part(px, masks, lay, iters, clut, grid):
     """Multi-partition fit with membership masks (one [T,TN] mask per
     partition, summing to 1).  Returns (qs [(q0,q1)] per partition,
-    gq [G,TN], err)."""
-    nch = 4 if lay.cem == 12 else 3
+    gq [G,TN], err).
+
+    Fit-space channels by CEM, as in _fit_1part: 8 = RGB, 12 = RGBA,
+    0 = luminance, 4 = luminance+alpha (decode replicates L to RGB,
+    spec C.2.14; no endpoint-order rule, so the orient/swap is skipped).
+    """
+    luma = lay.cem in (0, 4)
+    if luma:
+        gray = (px[0] + px[1] + px[2]) / 3.0
+        pxf = [gray, px[3]] if lay.cem == 4 else [gray]
+    else:
+        pxf = px[: (4 if lay.cem == 12 else 3)]
+    nch = len(pxf)
+
+    def expand4(d):
+        """Fit-space per-texel endpoint list -> (4-ch list, eval nch)."""
+        if lay.cem == 0:
+            return [d[0], d[0], d[0]], 3  # _eval_exact appends alpha=255
+        if lay.cem == 4:
+            return [d[0], d[0], d[0], d[1]], 4
+        return d, nch
+
     nparts = len(masks)
-    seeds = [_orient(*_pca_seed(px, m, nch)) for m in masks]
+    if luma:
+        seeds = [_pca_seed(pxf, m, nch) for m in masks]
+    else:
+        seeds = [_orient(*_pca_seed(pxf, m, nch)) for m in masks]
 
     best = None
     for it in range(max(1, iters)):
@@ -582,9 +605,10 @@ def _fit_2part(px, masks, lay, iters, clut, grid):
         for p in range(nparts):
             q0, d0 = _quant_colors(seeds[p][0], lay.clevels, clut)
             q1, d1 = _quant_colors(seeds[p][1], lay.clevels, clut)
-            swap = sum(d0[:3]) > sum(d1[:3])
-            q0, q1 = _sel(swap, q1, q0), _sel(swap, q0, q1)
-            d0, d1 = _sel(swap, d1, d0), _sel(swap, d0, d1)
+            if not luma:
+                swap = sum(d0[:3]) > sum(d1[:3])
+                q0, q1 = _sel(swap, q1, q0), _sel(swap, q0, q1)
+                d0, d1 = _sel(swap, d1, d0), _sel(swap, d0, d1)
             qs.append((q0, q1))
             ds.append((d0, d1))
         # per-texel endpoints via the membership masks
@@ -600,12 +624,14 @@ def _fit_2part(px, masks, lay, iters, clut, grid):
         ]
         df = [d1t[c] - d0t[c] for c in range(nch)]
         denom = sum(f * f for f in df) + 1e-6
-        proj = sum((px[c] - d0t[c]) * df[c] for c in range(nch))
+        proj = sum((pxf[c] - d0t[c]) * df[c] for c in range(nch))
         t = jnp.clip(proj / denom, 0.0, 1.0)
         gq, unq = _grid_quant(t, lay, grid)
-        d0i = [d.astype(jnp.int32) for d in d0t]
-        d1i = [d.astype(jnp.int32) for d in d1t]
-        err = _eval_exact(px, d0i, d1i, unq, nch)
+        d0x, nche = expand4(d0t)
+        d1x, _ = expand4(d1t)
+        d0i = [d.astype(jnp.int32) for d in d0x]
+        d1i = [d.astype(jnp.int32) for d in d1x]
+        err = _eval_exact(px, d0i, d1i, unq, nche)
         cand = (qs, gq, unq, err)
         if best is None:
             best = cand
@@ -626,9 +652,10 @@ def _fit_2part(px, masks, lay, iters, clut, grid):
             )
         if it + 1 < max(1, iters):
             w = best[2].astype(jnp.float32) / 64.0
-            seeds = [
-                _orient(*_ls(px[:nch], w, m, nch)) for m in masks
-            ]
+            if luma:
+                seeds = [_ls(pxf, w, m, nch) for m in masks]
+            else:
+                seeds = [_orient(*_ls(pxf, w, m, nch)) for m in masks]
 
     qs, gq, _, err = best
     return qs, gq, err
@@ -636,7 +663,7 @@ def _fit_2part(px, masks, lay, iters, clut, grid):
 
 def _pack_2part(lay, qs, gq, seed, shape, pack_tbls):
     """Mirror of kernels/astc.py:_pack_block for nparts >= 2 (same-CEM)."""
-    nch = 4 if lay.cem == 12 else 3
+    nch = (lay.cem >> 2) + 1  # values per endpoint: 0->1, 4->2, 8->3, 12->4
     words = [jnp.zeros(shape, _U32) for _ in range(4)]
     mode = block_mode_field(lay.gw, lay.gh, lay.wlevels)
     hdr = mode | ((lay.nparts - 1) << 11)
@@ -787,6 +814,88 @@ def _kernel_c(x_ref, p1_ref, p2_ref, p1t_ref, p2t_ref, trit_ref, quint_ref,
     for w in range(4):
         out_ref[w : w + 1, :] = words[w]
     err_ref[0:1, :] = err
+
+
+# ---------------------------------------------------------------------------
+# Kernel D: 4-partition screening + fit (luminance CEMs 0/4 — CEM 8 x 4
+# partitions would exceed the 18-value ISE cap), mirrors the jnp seeds4 sweep
+# ---------------------------------------------------------------------------
+
+
+def _kernel_d(x_ref, p1_ref, p2_ref, p3_ref, p1t_ref, p2t_ref, p3t_ref,
+              trit_ref, quint_ref, *rest, quality, bw, bh, clut_levels,
+              grid_layidx):
+    lays = _layouts_d(bw, bh)
+    clut_refs = rest[: len(clut_levels)]
+    grid_refs = rest[len(clut_levels) : len(clut_levels) + 2 * len(grid_layidx)]
+    out_ref, err_ref = rest[-2], rest[-1]
+    cluts = {lv: r[:] for lv, r in zip(clut_levels, clut_refs)}
+    grids = {
+        li: (grid_refs[2 * k][:], grid_refs[2 * k + 1][:])
+        for k, li in enumerate(grid_layidx)
+    }
+    pack_tbls = (trit_ref[:], quint_ref[:])
+    px = [x_ref[c] for c in range(4)]
+    plan = _PLAN[quality]
+    iters = plan["iters"]
+    topk = max(1, plan["seeds4"])
+    t_count = float(bw * bh)
+
+    # 4-cluster within-SSE proxy over all 1024 seeds (three membership
+    # tables on the MXU; mirrors astc.py:_screen_partitions nparts=4).
+    ps = [p1_ref[:], p2_ref[:], p3_ref[:]]  # [1024,T] each
+    ns = [jnp.sum(p, axis=1, keepdims=True) for p in ps]
+    s_p = [[_mm(p, px[c]) for c in range(4)] for p in ps]
+    sq_all = _rt(sum(px[c] * px[c] for c in range(4)))
+    s_all = [_rt(px[c]) for c in range(4)]
+    n0 = t_count - ns[0] - ns[1] - ns[2]
+    explained = sum(
+        (s_all[c] - s_p[0][c] - s_p[1][c] - s_p[2][c]) ** 2 for c in range(4)
+    ) / jnp.maximum(n0, 1.0)
+    for j in range(3):
+        explained = explained + sum(
+            s_p[j][c] * s_p[j][c] for c in range(4)
+        ) / jnp.maximum(ns[j], 1.0)
+    sse = sq_all - explained
+    degenerate = n0 < 1.0
+    for nj in ns:
+        degenerate = degenerate | (nj < 1.0)
+    sse = jnp.where(degenerate, jnp.inf, sse)
+    iota = jax.lax.broadcasted_iota(jnp.int32, sse.shape, 0)
+
+    words = None
+    err = None
+    for k in range(topk):
+        smin = jnp.min(sse, axis=0, keepdims=True)
+        seed = jnp.min(
+            jnp.where(sse == smin, iota, 1024), axis=0, keepdims=True
+        )
+        sse = jnp.where(iota == seed, jnp.inf, sse)
+        onehot = (iota == seed).astype(jnp.float32)
+        m1 = _mm(p1t_ref[:], onehot)  # [T,TN]
+        m2 = _mm(p2t_ref[:], onehot)
+        m3 = _mm(p3t_ref[:], onehot)
+        for li, lay in enumerate(lays):
+            qs, gq, lerr = _fit_2part(
+                px, (1.0 - m1 - m2 - m3, m1, m2, m3), lay, iters,
+                cluts.get(lay.clevels), grids.get(li),
+            )
+            lwords = _pack_2part(lay, qs, gq, seed, lerr.shape, pack_tbls)
+            if words is None:
+                words, err = lwords, lerr
+            else:
+                take = lerr < err
+                words = [jnp.where(take, a, b) for a, b in zip(lwords, words)]
+                err = jnp.minimum(lerr, err)
+
+    for w in range(4):
+        out_ref[w : w + 1, :] = words[w]
+    err_ref[0:1, :] = err
+
+
+def _layouts_d(bw, bh):
+    menu = layout_menu(bw, bh)
+    return [menu[key][0] for key in ((0, 4), (4, 4)) if menu[key]]
 
 
 # ---------------------------------------------------------------------------
@@ -1039,6 +1148,85 @@ def encode_astc_pallas(
         ec = err_c[0, :n]
         take = ec < err
         words = jnp.where(take[:, None], wc, words)
+        err = jnp.where(take, ec, err)
+
+    lays_d = _layouts_d(bw, bh)
+    if plan["seeds4"] and lays_d:
+        full_tn_d = TN_B if t_count <= 64 else 128
+        tn_d = full_tn_d if n >= full_tn_d else -(-n // 128) * 128
+        xd, npad_d = pad_to(tn_d)
+        tab4 = partition_table(bw, bh, 4)
+        pd = [jnp.asarray((tab4 == j).astype(np.float32)) for j in (1, 2, 3)]
+        clut_levels_d = tuple(
+            sorted({l.clevels for l in lays_d if l.clevels != 256})
+        )
+        cluts_d = [
+            jnp.asarray(np.stack(_color_qlut(lv)).astype(np.float32))
+            for lv in clut_levels_d
+        ]
+        grid_layidx_d = tuple(
+            li for li, l in enumerate(lays_d)
+            if _prepared_grid(bw, bh, l.gw, l.gh) is not None
+        )
+        gridd_arrs = []
+        gridd_specs = []
+        for li in grid_layidx_d:
+            a, pinv = _prepared_grid(bw, bh, lays_d[li].gw, lays_d[li].gh)
+            gridd_arrs += [jnp.asarray(a), jnp.asarray(pinv)]
+            gridd_specs += [
+                pl.BlockSpec(a.shape, const, memory_space=pltpu.VMEM),
+                pl.BlockSpec(pinv.shape, const, memory_space=pltpu.VMEM),
+            ]
+        words_d, err_d = pl.pallas_call(
+            functools.partial(
+                _kernel_d, quality=quality, bw=bw, bh=bh,
+                clut_levels=clut_levels_d, grid_layidx=grid_layidx_d,
+            ),
+            grid=(npad_d // tn_d,),
+            in_specs=[
+                pl.BlockSpec(
+                    (4, t_count, tn_d), lambda i: (0, 0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+            ]
+            + [
+                pl.BlockSpec((1024, t_count), const, memory_space=pltpu.VMEM)
+                for _ in range(3)
+            ]
+            + [
+                pl.BlockSpec((t_count, 1024), const, memory_space=pltpu.VMEM)
+                for _ in range(3)
+            ]
+            + [
+                pl.BlockSpec((1, 243), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 125), const, memory_space=pltpu.VMEM),
+            ]
+            + [
+                pl.BlockSpec((2, 256), const, memory_space=pltpu.VMEM)
+                for _ in clut_levels_d
+            ]
+            + gridd_specs,
+            out_specs=[
+                pl.BlockSpec(
+                    (4, tn_d), lambda i: (0, i), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, tn_d), lambda i: (0, i), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((4, npad_d), jnp.uint32),
+                jax.ShapeDtypeStruct((1, npad_d), jnp.float32),
+            ],
+            interpret=interpret,
+        )(
+            xd, *pd, *(jnp.transpose(p) for p in pd),
+            trit_tbl, quint_tbl, *cluts_d, *gridd_arrs,
+        )
+        wd = jnp.transpose(words_d)[:n]
+        ed = err_d[0, :n]
+        take = ed < err
+        words = jnp.where(take[:, None], wd, words)
     return words
 
 

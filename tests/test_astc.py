@@ -167,6 +167,39 @@ class TestAstc4x4:
         dec = decode_astc(_bytes(w), 4, 4)
         assert _psnr(dec[..., :3] / 255.0, blocks[..., :3]) > 20
 
+    def test_four_partition_blocks(self):
+        """4-region grayscale(+alpha) content encodes 4-partition CEM 0/4
+        blocks at q3+ (CEM 8 x 4 partitions would exceed the 18-value ISE
+        cap, so only the luminance CEMs exist at 4 partitions) and gains
+        over the q2 search."""
+        from cuttlefish_tpu.kernels.astc_partition import partition_table
+
+        rng = np.random.default_rng(4)
+        n = 48
+        tab = partition_table(4, 4, 4)
+        seeds = rng.choice(1024, n)
+        lv = np.array([[0.05, 0.35, 0.65, 0.95]] * n) + rng.normal(
+            0, 0.02, (n, 4)
+        )
+        blocks = np.zeros((n, 16, 4), np.float32)
+        for i, s in enumerate(seeds):
+            g = np.clip(lv[i][tab[s]], 0, 1)
+            blocks[i, :, 0] = blocks[i, :, 1] = blocks[i, :, 2] = g
+            blocks[i, :, 3] = np.clip(0.3 + 0.6 * (tab[s] % 2), 0, 1)
+        w3 = np.asarray(astc.encode_astc(blocks, 4, 4, quality=3))
+        nparts = ((w3[:, 0] >> 11) & 3) + 1
+        cemf = (w3[:, 0] >> 23) & 0x3F
+        four = (nparts == 4) & ((cemf & 0x3) == 0)  # exclude void extents
+        assert four.sum() > n // 4, four.sum()
+        # same-CEM field must decode as CEM 0 or 4 on those blocks
+        assert set(np.unique(cemf[four] >> 2).tolist()) <= {0, 4}
+        dec3 = decode_astc(_bytes(w3), 4, 4).astype(np.float64) / 255.0
+        w2 = np.asarray(astc.encode_astc(blocks, 4, 4, quality=2))
+        dec2 = decode_astc(_bytes(w2), 4, 4).astype(np.float64) / 255.0
+        mse3 = ((dec3 - blocks) ** 2).mean()
+        mse2 = ((dec2 - blocks) ** 2).mean()
+        assert mse3 < mse2 * 0.5, (mse3, mse2)  # big gain on this content
+
     @pytest.mark.slow
     def test_quality_monotone(self):
         rng = np.random.default_rng(3)

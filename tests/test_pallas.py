@@ -150,6 +150,50 @@ def test_astc_pallas_q3_dual_plane_parity():
     assert np.all(mp <= mj + 1e-9), (mp - mj).max()
 
 
+def test_astc_pallas_kernel_d_four_partitions():
+    """Kernel D (4-partition CEM 0/4): the Pallas path finds 4-partition
+    blocks on 4-region gray(+alpha) content at q3 and lands within a few
+    percent of the jnp path's error (bit divergence is possible on
+    PCA-degenerate blocks, where seed endpoints quantize differently)."""
+    from cuttlefish_tpu.decode.astc import decode_astc
+    from cuttlefish_tpu.kernels.astc import _encode_astc_jnp
+    from cuttlefish_tpu.kernels.astc_partition import partition_table
+    from cuttlefish_tpu.kernels.astc_pallas import encode_astc_pallas
+
+    rng = np.random.default_rng(12)
+    n = 32
+    tab = partition_table(4, 4, 4)
+    seeds = rng.choice(1024, n)
+    lv = np.array([[0.05, 0.35, 0.65, 0.95]] * n)
+    b = np.zeros((n, 16, 4), np.float32)
+    for i, s in enumerate(seeds):
+        g = lv[i][tab[s]]
+        b[i, :, 0] = b[i, :, 1] = b[i, :, 2] = g
+        b[i, :, 3] = 0.3 + 0.6 * (tab[s] % 2)
+    b = np.clip(b + rng.normal(0, 0.02, b.shape).astype(np.float32), 0, 1)
+    ref = np.clip(np.round(b * 255), 0, 255)
+
+    def per_block_mse(w):
+        raw = np.frombuffer(
+            np.ascontiguousarray(np.asarray(w)).astype("<u4").tobytes(),
+            np.uint8,
+        )
+        dec = decode_astc(raw, 4, 4).astype(np.float64)
+        return ((dec - ref) ** 2).mean(axis=(1, 2))
+
+    wp = np.asarray(encode_astc_pallas(b, 4, 4, 3, interpret=True))
+    nparts = ((wp[:, 0] >> 11) & 3) + 1
+    cemf = (wp[:, 0] >> 23) & 0x3F
+    four = (nparts == 4) & ((cemf & 0x3) == 0)  # exclude void extents
+    assert four.sum() > n // 4, four.sum()
+    mp = per_block_mse(wp)
+    mj = per_block_mse(_encode_astc_jnp(b, 4, 4, 3))
+    assert mp.mean() <= mj.mean() * 1.15, (mp.mean(), mj.mean())
+    # and q3 must clearly beat the 4-partition-free q2 search here
+    m2 = per_block_mse(encode_astc_pallas(b, 4, 4, 2, interpret=True))
+    assert mp.mean() < m2.mean() * 0.6, (mp.mean(), m2.mean())
+
+
 @pytest.mark.parametrize("bw,bh", [(5, 4), (6, 6), (8, 8)])
 def test_astc_other_sizes_pallas_quality(bw, bh):
     """Generalized ASTC Pallas kernel (decimated weight grids as in-kernel
