@@ -139,6 +139,9 @@ Output:
       --device-mips              fuse mipmap generation into the encode
                                  dispatch on device (TPU extension; block
                                  formats, no custom mips)
+      --supercompression none|zstd|zlib
+                                 KTX2 supercompression scheme, applied per
+                                 mip level (KTX2 output only)
 """
 
 
@@ -174,6 +177,7 @@ class Args:
         self.file_type = FileType.Auto
         self.create_dir = False
         self.device_mips = False
+        self.supercompression = "none"
 
 
 def _err(msg: str) -> None:
@@ -527,6 +531,16 @@ def parse(argv: list[str]) -> Args | None:
             args.create_dir = True
         elif a == "--device-mips":
             args.device_mips = True
+        elif a == "--supercompression":
+            ok = need(i, 1, a)
+            if ok:
+                sc = argv[i + 1].lower()
+                if sc not in ("none", "zlib", "zstd"):
+                    _err(f"unknown supercompression '{argv[i + 1]}'")
+                    ok = False
+                else:
+                    args.supercompression = sc
+                    i += 1
         else:
             _err(f"unknown option '{a}'")
             ok = False
@@ -742,12 +756,12 @@ def run(argv: list[str]) -> int:
             ):
                 if verbose:
                     print(f"saving '{args.output}'")
-                result = tex.save(args.output, args.file_type)
+                result = tex.save(args.output, args.file_type, args.supercompression)
                 if result is SaveResult.WriteError and args.create_dir:
                     parent = os.path.dirname(args.output)
                     if parent:
                         os.makedirs(parent, exist_ok=True)
-                        result = tex.save(args.output, args.file_type)
+                        result = tex.save(args.output, args.file_type, args.supercompression)
                 if result is not SaveResult.Success:
                     _err(f"couldn't save '{args.output}': {result.name}")
                     return 3
@@ -798,12 +812,12 @@ def run(argv: list[str]) -> int:
 
     if verbose:
         print(f"saving '{args.output}'")
-    result = tex.save(args.output, args.file_type)
+    result = tex.save(args.output, args.file_type, args.supercompression)
     if result is SaveResult.WriteError and args.create_dir:
         parent = os.path.dirname(args.output)
         if parent:
             os.makedirs(parent, exist_ok=True)
-            result = tex.save(args.output, args.file_type)
+            result = tex.save(args.output, args.file_type, args.supercompression)
     if result is not SaveResult.Success:
         _err(f"couldn't save '{args.output}': {result.name}")
         return 3

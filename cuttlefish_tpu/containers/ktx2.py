@@ -11,8 +11,12 @@ data, and level images ordered smallest mip first, each level aligned to
 lcm(texelBlockByteSize, 4), images tightly packed (no KTX1-style row
 padding) in layer -> face -> z-slice order.
 
-No supercompression is applied (supercompressionScheme = 0); the encoded
-block payloads are identical to the KTX1/DDS ones.
+Supercompression: scheme 0 (none, default), scheme 2 (Zstandard, the
+ecosystem default — what ``toktx --zcmp`` emits), or scheme 3 (ZLIB).
+Each level's payload is compressed independently, the level index carries
+compressed byteLength plus uncompressedByteLength, and level data loses
+its alignment requirement per spec.  With scheme 0 the encoded block
+payloads are identical to the KTX1/DDS ones.
 
 Self-validated: `tests/test_ktx2.py` re-parses the header, level index,
 DFD, and KVD from the raw bytes per spec and checks alignment, offsets,
@@ -423,8 +427,29 @@ def is_valid_for_ktx2(fmt: TextureFormat, type_: TextureType) -> bool:
     return get_vk_format(fmt, type_, ColorSpace.Linear) is not None
 
 
-def save_ktx2(texture, stream) -> SaveResult:
-    """Serialize a converted Texture to KTX 2.0."""
+def save_ktx2(texture, stream, supercompression: str = "none") -> SaveResult:
+    """Serialize a converted Texture to KTX 2.0.
+
+    ``supercompression``: "none" (scheme 0), "zstd" (scheme 2 — the
+    ecosystem default, requires the ``zstandard`` module), or "zlib"
+    (scheme 3).  Each level's payload is compressed independently per
+    KTX2 spec §5.3; the level index carries both compressed and
+    uncompressed byte lengths.
+    """
+    if supercompression not in ("none", "zlib", "zstd"):
+        return SaveResult.Unsupported
+    compress = None
+    if supercompression == "zlib":
+        import zlib
+
+        compress = lambda b: zlib.compress(b, 9)  # noqa: E731
+    elif supercompression == "zstd":
+        try:
+            import zstandard
+        except ImportError:
+            return SaveResult.Unsupported
+        cctx = zstandard.ZstdCompressor(level=9)
+        compress = cctx.compress
     vk = get_vk_format(texture.format, texture.type, texture.color_space)
     if vk is None:
         return SaveResult.Unsupported
@@ -478,17 +503,25 @@ def save_ktx2(texture, stream) -> SaveResult:
         return b"".join(parts)
 
     payloads = []
+    raw_sizes = []
     for level in range(levels):
         b = level_bytes(level)
         if b is None:
             return SaveResult.Invalid
+        raw_sizes.append(len(b))
+        if compress is not None:
+            b = compress(b)
         payloads.append(b)
 
-    # Alignment: lcm(texelBlockByteSize, 4) for supercompressionScheme 0.
-    bsize = block_size(fmt)
-    lcm = bsize
-    while lcm % 4:
-        lcm += bsize
+    # Alignment: lcm(texelBlockByteSize, 4) for supercompressionScheme 0;
+    # supercompressed level data has no alignment requirement.
+    if compress is not None:
+        lcm = 1
+    else:
+        bsize = block_size(fmt)
+        lcm = bsize
+        while lcm % 4:
+            lcm += bsize
 
     offsets = [0] * levels
     # File stores levels largest-index (smallest mip) first; byteOffsets in
@@ -516,7 +549,7 @@ def save_ktx2(texture, stream) -> SaveResult:
                 layers,
                 faces,
                 levels,
-                0,  # supercompressionScheme
+                {"none": 0, "zstd": 2, "zlib": 3}[supercompression],
             )
         )
         stream.write(
@@ -526,8 +559,12 @@ def save_ktx2(texture, stream) -> SaveResult:
             )
         )
         for level in range(levels):
-            n = len(payloads[level])
-            stream.write(struct.pack("<3Q", offsets[level], n, n))
+            stream.write(
+                struct.pack(
+                    "<3Q",
+                    offsets[level], len(payloads[level]), raw_sizes[level],
+                )
+            )
         stream.write(dfd)
         stream.write(kvd)
         for pad, payload in padded:

@@ -574,8 +574,17 @@ class Texture:
 
     # -- save --------------------------------------------------------------
 
-    def save(self, target, file_type: FileType = FileType.Auto) -> SaveResult:
-        """Save to a file path or binary stream (Texture.cpp:1638-1683)."""
+    def save(
+        self,
+        target,
+        file_type: FileType = FileType.Auto,
+        supercompression: str = "none",
+    ) -> SaveResult:
+        """Save to a file path or binary stream (Texture.cpp:1638-1683).
+
+        ``supercompression`` applies to KTX2 only ("none", "zstd", "zlib");
+        any other file type returns Unsupported when it is not "none".
+        """
         if not self.converted:
             return SaveResult.Invalid
         if isinstance(target, (str, os.PathLike)):
@@ -586,23 +595,29 @@ class Texture:
             except OSError:
                 return SaveResult.WriteError
             with stream:
-                return self._save_stream(stream, file_type)
-        return self._save_stream(target, file_type)
+                return self._save_stream(stream, file_type, supercompression)
+        return self._save_stream(target, file_type, supercompression)
 
-    def save_to_bytes(self, file_type: FileType) -> tuple[SaveResult, bytes]:
+    def save_to_bytes(
+        self, file_type: FileType, supercompression: str = "none"
+    ) -> tuple[SaveResult, bytes]:
         stream = io.BytesIO()
-        result = self._save_stream(stream, file_type)
+        result = self._save_stream(stream, file_type, supercompression)
         return result, stream.getvalue()
 
-    def _save_stream(self, stream, file_type: FileType) -> SaveResult:
+    def _save_stream(
+        self, stream, file_type: FileType, supercompression: str = "none"
+    ) -> SaveResult:
         from cuttlefish_tpu.containers import dds, ktx, ktx2, pvr
 
+        if file_type is FileType.KTX2:
+            return ktx2.save_ktx2(self, stream, supercompression)
+        if supercompression != "none":
+            return SaveResult.Unsupported
         if file_type is FileType.DDS:
             return dds.save_dds(self, stream)
         if file_type is FileType.KTX:
             return ktx.save_ktx(self, stream)
-        if file_type is FileType.KTX2:
-            return ktx2.save_ktx2(self, stream)
         if file_type is FileType.PVR:
             return pvr.save_pvr(self, stream)
         return SaveResult.UnknownFormat

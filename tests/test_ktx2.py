@@ -302,6 +302,96 @@ class TestStructure:
         assert p["samples"][0]["flags"] & 0x40  # SIGNED
 
 
+def _decompressor(scheme: str):
+    if scheme == "zlib":
+        import zlib
+
+        return zlib.decompress
+    import zstandard
+
+    return zstandard.ZstdDecompressor().decompress
+
+
+class TestSupercompression:
+    @pytest.mark.parametrize("scheme,scheme_id", [("zstd", 2), ("zlib", 3)])
+    def test_round_trip(self, scheme, scheme_id):
+        decompress = _decompressor(scheme)
+        tex = _tex2d(TextureFormat.BC1_RGB, mips=True)
+        res, plain = tex.save_to_bytes(FileType.KTX2)
+        assert res is SaveResult.Success
+        res, data = tex.save_to_bytes(FileType.KTX2, supercompression=scheme)
+        assert res is SaveResult.Success
+        p = parse_ktx2(data)
+        q = parse_ktx2(plain)
+        assert p["scheme"] == scheme_id and p["sgd"] == (0, 0)
+        assert p["levels"] == q["levels"]
+        prev_off = None
+        for level, (off, n, un) in enumerate(p["level_index"]):
+            raw = decompress(data[off : off + n])
+            assert len(raw) == un
+            poff, pn, pun = q["level_index"][level]
+            assert un == pun == pn
+            assert raw == plain[poff : poff + pn]
+            if prev_off is not None:
+                assert off < prev_off  # smallest mip still first in file
+            prev_off = off
+
+    def test_zlib_uncompressed_format(self):
+        import zlib
+
+        tex = _tex2d(TextureFormat.R8G8B8A8, size=8)
+        res, data = tex.save_to_bytes(FileType.KTX2, supercompression="zlib")
+        assert res is SaveResult.Success
+        p = parse_ktx2(data)
+        assert p["scheme"] == 3
+        off, n, un = p["level_index"][0]
+        assert un == 8 * 8 * 4
+        assert zlib.decompress(data[off : off + n]) == tex.data()
+
+    def test_unknown_scheme_rejected(self):
+        tex = _tex2d(TextureFormat.R8G8B8A8, size=8)
+        res, _ = tex.save_to_bytes(FileType.KTX2, supercompression="lz4")
+        assert res is SaveResult.Unsupported
+
+    def test_non_ktx2_rejected(self):
+        tex = _tex2d(TextureFormat.R8G8B8A8, size=8)
+        for ft in (FileType.DDS, FileType.KTX, FileType.PVR):
+            res, _ = tex.save_to_bytes(ft, supercompression="zlib")
+            assert res is SaveResult.Unsupported
+
+    def test_cli_flag(self, tmp_path):
+        import zlib
+
+        import PIL.Image
+
+        from cuttlefish_tpu.cli import run
+
+        src = tmp_path / "in.png"
+        rng = np.random.default_rng(13)
+        PIL.Image.fromarray(rng.integers(0, 255, (8, 8, 4), np.uint8)).save(src)
+        out = tmp_path / "out.ktx2"
+        assert (
+            run(["-i", str(src), "-f", "R8G8B8A8", "-o", str(out),
+                 "--supercompression", "zlib"])
+            == 0
+        )
+        p = parse_ktx2(out.read_bytes())
+        assert p["scheme"] == 3
+        off, n, un = p["level_index"][0]
+        assert len(zlib.decompress(out.read_bytes()[off : off + n])) == un
+        # Bad scheme and non-KTX2 target are both argument errors (exit 1/3).
+        assert (
+            run(["-i", str(src), "-f", "R8G8B8A8", "-o", str(out),
+                 "--supercompression", "lz4"])
+            == 1
+        )
+        assert (
+            run(["-i", str(src), "-f", "R8G8B8A8",
+                 "-o", str(tmp_path / "o.dds"), "--supercompression", "zlib"])
+            == 3
+        )
+
+
 def test_extension_dispatch(tmp_path):
     assert file_type_for_name("x.ktx2") is FileType.KTX2
     assert file_type_for_name("x.KTX2") is FileType.KTX2
