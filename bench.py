@@ -298,10 +298,13 @@ def measure_full_matrix() -> dict:
     out["bc6h_q4_kernel"] = {"mtexels_per_s": round(1024 * 1024 / dt / 1e6, 2)}
     log(f"bc6h_q4_kernel: {out['bc6h_q4_kernel']}")
     # Config 5: ASTC 4x4 + 8x8 kernels (sRGB/cube orchestration is host-side).
+    # Same gray gate the converter applies: colored content skips CEM 0/4.
+    gray = kastc.has_gray_blocks(blocks)
+    log(f"astc gray gate: {gray}")
     for q in (2, 3, 4):
         dt = _time_chained(
-            lambda b, q=q: kastc.encode_astc(b, 4, 4, quality=q), blocks, 4,
-            chain=4,
+            lambda b, q=q: kastc.encode_astc(b, 4, 4, quality=q, gray=gray),
+            blocks, 4, chain=4,
         )
         key = f"astc4x4_q{q}_kernel"
         out[key] = {"mtexels_per_s": round(1024 * 1024 / dt / 1e6, 2)}

@@ -33,6 +33,10 @@ class EncodeParams:
     alpha_type: Alpha = Alpha.Standard
     color_mask: ColorMask = dataclasses.field(default_factory=ColorMask)
     color_space: ColorSpace = ColorSpace.Linear
+    # Host content analysis (set per dispatch by BlockConverter via
+    # refine_params): near-gray blocks present?  ASTC gates its luminance
+    # CEM 0/4 fits on this; True (conservative) means "keep the fits".
+    content_gray: bool = True
 
 
 class Converter:

@@ -28,6 +28,22 @@ class AstcConverter(BlockConverter):
         if hdr:
             self.transfer_dtype = "f16"  # HDR profile: half-float domain
 
+    def refine_params(self, host_blocks, params: EncodeParams) -> EncodeParams:
+        """Gate the luminance CEM 0/4 fits on actual near-gray content
+        (the whole-dispatch analog of astcenc's per-block luminance
+        endpoint-format trial): no near-gray block in the batch means
+        those fits can never win, so the kernel variant without them is
+        compiled/selected instead."""
+        import dataclasses
+
+        from cuttlefish_tpu.kernels import astc
+
+        if self.hdr:
+            return params  # HDR profiles use CEM 11/14 only
+        return dataclasses.replace(
+            params, content_gray=astc.has_gray_blocks(host_blocks)
+        )
+
     def encode_blocks(self, blocks, params: EncodeParams):
         from cuttlefish_tpu.kernels import astc
 
@@ -46,6 +62,7 @@ class AstcConverter(BlockConverter):
             block_w=self.block_w,
             block_h=self.block_h,
             quality=int(params.quality),
+            gray=params.content_gray,
         )
 
 

@@ -56,6 +56,14 @@ class BlockConverter(Converter):
         """Hook for input-domain remaps (e.g. signed EAC rescale)."""
         return surface
 
+    def refine_params(
+        self, host_blocks: np.ndarray, params: EncodeParams
+    ) -> EncodeParams:
+        """Hook: inspect the host-side block batch and return params with
+        content-derived static flags filled in (a changed flag selects a
+        different compiled program variant, like quality does)."""
+        return params
+
     def encode(self, surface: np.ndarray, params: EncodeParams) -> np.ndarray:
         return self.encode_many([surface], params)[0]
 
@@ -80,6 +88,7 @@ class BlockConverter(Converter):
             if len(all_blocks) > 1
             else all_blocks[0]
         )
+        params = self.refine_params(blocks, params)
         n = blocks.shape[0]
         padded = _bucket(n)
         if padded != n:
@@ -275,12 +284,27 @@ def _encode_pyramid(
 
     s = len(surfaces0)
     h, w = surfaces0[0].shape[:2]
+    # Content flags from level 0 only (mips live on device).  A colored
+    # level 0 whose mips average to gray keeps the conservative default
+    # only if level 0 itself has a near-gray block; the residual risk is a
+    # gray-ish deep mip block encoded via CEM 8/12 instead of CEM 0/4 —
+    # a sub-0.1 dB effect on such content.
+    lvl0_blocks = np.concatenate(
+        [
+            extract_blocks(
+                np.asarray(sf, np.float32), self.block_w, self.block_h
+            )[0]
+            for sf in surfaces0
+        ],
+        axis=0,
+    )
+    params = self.refine_params(lvl0_blocks, params)
     key = (
         type(self).__qualname__,
         tuple(sorted((k, repr(v)) for k, v in self.__dict__.items())),
         h, w, s, levels, filter_name, srgb, normal_opts,
         params.quality, params.alpha_type,
-        repr(params.color_mask), params.color_space,
+        repr(params.color_mask), params.color_space, params.content_gray,
     )
     fused = _PYRAMID_FNS.get(key)
     if fused is None:

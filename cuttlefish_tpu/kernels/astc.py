@@ -798,8 +798,26 @@ _PLAN = {
 }
 
 
+GRAY_SPREAD = 16.0 / 255.0  # max RGB channel spread for a "near-gray" texel
+
+
+def has_gray_blocks(blocks) -> bool:
+    """Host-side scan: does any block consist entirely of near-gray texels?
+
+    The luminance CEMs 0/4 can only win on such blocks (encoding a colored
+    texel as replicated luminance has large error by construction), so a
+    batch with none lets the encoder skip those fits.  ``blocks`` is host
+    [N, T, 4] float RGBA in 0..1."""
+    import numpy as np_
+
+    rgb = np_.asarray(blocks, np_.float32)[..., :3]
+    spread = rgb.max(axis=2) - rgb.min(axis=2)  # [N,T]
+    return bool((spread.max(axis=1) < GRAY_SPREAD).any())
+
+
 def encode_astc(
-    blocks, block_w: int = 4, block_h: int = 4, quality: int = 2
+    blocks, block_w: int = 4, block_h: int = 4, quality: int = 2,
+    gray: bool = True,
 ):
     """Encode [N, bw*bh, 4] float RGBA (0..1) to ASTC [N,4] uint32 words.
 
@@ -807,27 +825,37 @@ def encode_astc(
     (kernels/astc_pallas.py, VMEM-resident layout sweep; decimated
     weight grids as in-kernel MXU matmuls; q3/q4 add dual-plane fits and
     top-k partition seeds); CPU uses the jnp path.  CUTTLEFISH_PALLAS=0
-    disables, =1 forces the interpreted kernel."""
+    disables, =1 forces the interpreted kernel.
+
+    ``gray=False`` (set by callers when `has_gray_blocks` found none)
+    skips the luminance CEM 0/4 fits on both paths."""
     import os
 
+    gray = bool(gray)
     use = os.environ.get("CUTTLEFISH_PALLAS", "auto")
     if use != "0":
         if jax.default_backend() == "tpu":
             from cuttlefish_tpu.kernels.astc_pallas import encode_astc_pallas
 
-            return encode_astc_pallas(blocks, block_w, block_h, int(quality))
+            return encode_astc_pallas(
+                blocks, block_w, block_h, int(quality), gray=gray
+            )
         if use == "1":
             from cuttlefish_tpu.kernels.astc_pallas import encode_astc_pallas
 
             return encode_astc_pallas(
-                blocks, block_w, block_h, int(quality), interpret=True
+                blocks, block_w, block_h, int(quality), interpret=True,
+                gray=gray,
             )
-    return _encode_astc_jnp(blocks, block_w, block_h, quality)
+    return _encode_astc_jnp(blocks, block_w, block_h, quality, gray)
 
 
-@functools.partial(jax.jit, static_argnames=("block_w", "block_h", "quality"))
+@functools.partial(
+    jax.jit, static_argnames=("block_w", "block_h", "quality", "gray")
+)
 def _encode_astc_jnp(
-    blocks: jnp.ndarray, block_w: int = 4, block_h: int = 4, quality: int = 2
+    blocks: jnp.ndarray, block_w: int = 4, block_h: int = 4, quality: int = 2,
+    gray: bool = True,
 ) -> jnp.ndarray:
     """jnp reference path (all 14 block sizes, all 5 quality levels)."""
     colors = jnp.clip(blocks.astype(jnp.float32), 0, 1) * 255.0
@@ -854,8 +882,8 @@ def _encode_astc_jnp(
         q0, q1, gq, err = _fit_layout(colors, lay, ones_mask, iters)
         consider(_pack_block(lay, q0, q1, gq), err)
 
-    for key, cnt in (((0, 1), plan["cem0_layouts"]),
-                     ((4, 1), plan["cem4_layouts"])):
+    for key, cnt in (((0, 1), plan["cem0_layouts"] if gray else 0),
+                     ((4, 1), plan["cem4_layouts"] if gray else 0)):
         for lay in menu[key][:cnt]:
             q0, q1, gq, err = _fit_layout(colors, lay, ones_mask, iters)
             consider(_pack_block(lay, q0, q1, gq), err)
@@ -891,7 +919,7 @@ def _encode_astc_jnp(
             consider(_pack_block(lay3, q0, q1, gq, seed_k), err)
 
     lays4 = [menu[key][0] for key in ((0, 4), (4, 4)) if menu[key]]
-    if plan["seeds4"] and lays4:
+    if plan["seeds4"] and lays4 and gray:
         seeds = _screen_partitions(
             colors, block_w, block_h, plan["seeds4"], nparts=4
         )

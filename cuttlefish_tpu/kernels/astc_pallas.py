@@ -482,18 +482,20 @@ def _void_extent(px, t_count):
 # ---------------------------------------------------------------------------
 
 
-def _tasks_a(bw, bh, quality):
+def _tasks_a(bw, bh, quality, gray=True):
     """Kernel-A work list: [(layout, ccs)] — 1-partition layouts (ccs is
     None) followed by one dual-plane fit per plan dp_ccs candidate.
-    Mirrors the jnp sweep order in kernels/astc.py:_encode_astc_jnp."""
+    Mirrors the jnp sweep order in kernels/astc.py:_encode_astc_jnp.
+    ``gray=False`` drops the luminance CEM 0/4 fits (the caller detected
+    no near-gray blocks in the batch, so they can never win)."""
     plan = _PLAN[quality]
     menu = layout_menu(bw, bh)
     tasks = [
         (lay, None)
         for lay in menu[(8, 1)][: plan["cem8_layouts"]]
         + menu[(12, 1)][: plan["cem12_layouts"]]
-        + menu[(0, 1)][: plan["cem0_layouts"]]
-        + menu[(4, 1)][: plan["cem4_layouts"]]
+        + menu[(0, 1)][: plan["cem0_layouts"] if gray else 0]
+        + menu[(4, 1)][: plan["cem4_layouts"] if gray else 0]
     ]
     if plan["dp_ccs"] and menu[(12, "dp")]:
         lay = menu[(12, "dp")][0]
@@ -516,7 +518,7 @@ def _prepared_grid(bw, bh, gw, gh):
 
 
 def _kernel_a(x_ref, trit_ref, quint_ref, *rest, quality, clut_levels, bw,
-              bh, grid_keys):
+              bh, grid_keys, gray=True):
     """grid_keys: tuple of (gw, gh) grid shapes that carry decimated
     grids; for each, two refs (a, pinv) follow the cluts in `rest`."""
     clut_refs = rest[: len(clut_levels)]
@@ -533,7 +535,7 @@ def _kernel_a(x_ref, trit_ref, quint_ref, *rest, quality, clut_levels, bw,
     iters = _PLAN[quality]["iters"]
 
     words, err = _void_extent(px, t_count)
-    for lay, ccs in _tasks_a(bw, bh, quality):
+    for lay, ccs in _tasks_a(bw, bh, quality, gray):
         clut = cluts.get(lay.clevels)
         grid = grids.get((lay.gw, lay.gh))
         if ccs is None:
@@ -904,7 +906,8 @@ def _layouts_d(bw, bh):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_w", "block_h", "quality", "interpret")
+    jax.jit,
+    static_argnames=("block_w", "block_h", "quality", "interpret", "gray"),
 )
 def encode_astc_pallas(
     blocks: jnp.ndarray,
@@ -912,11 +915,17 @@ def encode_astc_pallas(
     block_h: int = 4,
     quality: int = 2,
     interpret: bool = False,
+    gray: bool = True,
 ) -> jnp.ndarray:
     """Encode [N,bw*bh,4] float RGBA (0..1) -> ASTC [N,4] uint32 words.
 
     All 14 2D block sizes: non-full weight grids run the spec C.2.18
-    infill and its pseudo-inverse as in-kernel MXU matmuls."""
+    infill and its pseudo-inverse as in-kernel MXU matmuls.
+
+    ``gray=False`` skips the luminance CEM 0/4 single-partition fits and
+    the 4-partition CEM 0/4 kernel — callers pass False when a host-side
+    scan found no near-gray block in the batch (kernels/astc.py:
+    has_gray_blocks), recovering the sweep cost on colored content."""
     bw, bh = int(block_w), int(block_h)
     t_count = bw * bh
     quality = max(0, min(4, int(quality)))
@@ -935,7 +944,8 @@ def encode_astc_pallas(
     quint_tbl = jnp.asarray(
         quint_pack_table().reshape(1, -1).astype(np.float32)
     )  # [1,125]
-    tasks_a = _tasks_a(bw, bh, quality)
+    gray = bool(gray)
+    tasks_a = _tasks_a(bw, bh, quality, gray)
     clut_levels = tuple(
         sorted({lay.clevels for lay, _ in tasks_a if lay.clevels != 256})
     )
@@ -971,7 +981,7 @@ def encode_astc_pallas(
     words_a, err_a = pl.pallas_call(
         functools.partial(
             _kernel_a, quality=quality, clut_levels=clut_levels,
-            bw=bw, bh=bh, grid_keys=grid_keys,
+            bw=bw, bh=bh, grid_keys=grid_keys, gray=gray,
         ),
         grid=(npad_a // tn_a,),
         in_specs=[
@@ -1151,7 +1161,7 @@ def encode_astc_pallas(
         err = jnp.where(take, ec, err)
 
     lays_d = _layouts_d(bw, bh)
-    if plan["seeds4"] and lays_d:
+    if plan["seeds4"] and lays_d and gray:
         full_tn_d = TN_B if t_count <= 64 else 128
         tn_d = full_tn_d if n >= full_tn_d else -(-n // 128) * 128
         xd, npad_d = pad_to(tn_d)
@@ -1231,7 +1241,8 @@ def encode_astc_pallas(
 
 
 def encode_astc4x4_pallas(
-    blocks: jnp.ndarray, quality: int = 2, interpret: bool = False
+    blocks: jnp.ndarray, quality: int = 2, interpret: bool = False,
+    gray: bool = True,
 ) -> jnp.ndarray:
     """Encode [N,16,4] float RGBA (0..1) -> ASTC 4x4 [N,4] uint32 words."""
-    return encode_astc_pallas(blocks, 4, 4, quality, interpret)
+    return encode_astc_pallas(blocks, 4, 4, quality, interpret, gray)

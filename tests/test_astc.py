@@ -126,6 +126,51 @@ class TestAstc4x4:
         dec = decode_astc(_bytes(w), 4, 4)
         assert _psnr(dec / 255.0, blocks) > 42
 
+    def test_gray_gate_detection(self):
+        rng = np.random.default_rng(5)
+        col = rng.random((64, 16, 4)).astype(np.float32)
+        col[..., 0] = 0.9
+        col[..., 1] = 0.1  # strong chroma on every texel
+        assert not astc.has_gray_blocks(col)
+        one_gray = col.copy()
+        one_gray[7, :, :3] = 0.5
+        assert astc.has_gray_blocks(one_gray)
+        # a block with SOME gray texels but not all is not near-gray
+        mixed = col.copy()
+        mixed[3, :8, :3] = 0.5
+        assert not astc.has_gray_blocks(mixed)
+
+    def test_gray_gate_parity_on_colored_content(self):
+        """With no near-gray block, skipping CEM 0/4 must be a pure
+        speedup: identical bytes to the full sweep."""
+        rng = np.random.default_rng(6)
+        col = _smooth(64, 16, rng)
+        col[..., 0] = np.clip(col[..., 0] + 0.5, 0, 1)  # push chroma apart
+        col[..., 1] *= 0.3
+        assert not astc.has_gray_blocks(col)
+        for q in (2, 4):
+            w_full = np.asarray(astc.encode_astc(col, 4, 4, q, gray=True))
+            w_gate = np.asarray(astc.encode_astc(col, 4, 4, q, gray=False))
+            assert (w_full == w_gate).all(), q
+
+    def test_gray_gate_refine_params(self):
+        from cuttlefish_tpu.convert.astc import AstcConverter
+
+        conv = AstcConverter(_F.ASTC_4x4)
+        rng = np.random.default_rng(7)
+        col = rng.random((8, 16, 4)).astype(np.float32)
+        col[..., 0] = 0.9
+        col[..., 1] = 0.1
+        p = conv.refine_params(col, EncodeParams())
+        assert p.content_gray is False
+        col[0, :, :3] = 0.25
+        p = conv.refine_params(col, EncodeParams())
+        assert p.content_gray is True
+        # HDR converter never gates (CEM 11/14 only)
+        hdr = AstcConverter(_F.ASTC_4x4, hdr=True)
+        p = hdr.refine_params(col * 0 + 0.9, EncodeParams())
+        assert p.content_gray is True
+
     @pytest.mark.slow
     def test_astc_not_below_bc7(self):
         """North-star quality parity (VERDICT round-1 item 1): ASTC 4x4 at
