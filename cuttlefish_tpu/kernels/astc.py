@@ -882,17 +882,26 @@ def _encode_astc_jnp(
         q0, q1, gq, err = _fit_layout(colors, lay, ones_mask, iters)
         consider(_pack_block(lay, q0, q1, gq), err)
 
-    for key, cnt in (((0, 1), plan["cem0_layouts"] if gray else 0),
-                     ((4, 1), plan["cem4_layouts"] if gray else 0)):
-        for lay in menu[key][:cnt]:
-            q0, q1, gq, err = _fit_layout(colors, lay, ones_mask, iters)
-            consider(_pack_block(lay, q0, q1, gq), err)
-
     for ccs in plan["dp_ccs"]:
         lay = menu[(12, "dp")][0] if menu[(12, "dp")] else None
         if lay is not None:
             q0, q1, gq, err = _fit_dual_layout(colors, lay, ccs, iters)
             consider(_pack_block(lay, q0[:, None], q1[:, None], gq, ccs=ccs), err)
+
+    # Luminance CEMs: eligible only for near-gray blocks (same per-block
+    # rule as the Pallas kernel's tile gate, so both paths agree).
+    if gray:
+        spread = jnp.max(colors[..., :3], axis=2) - jnp.min(
+            colors[..., :3], axis=2
+        )  # [N,T]
+        isgray = jnp.max(spread, axis=1) < GRAY_SPREAD * 255.0  # [N]
+        gray_inf = jnp.where(isgray, 0.0, jnp.inf)
+
+    for key, cnt in (((0, 1), plan["cem0_layouts"] if gray else 0),
+                     ((4, 1), plan["cem4_layouts"] if gray else 0)):
+        for lay in menu[key][:cnt]:
+            q0, q1, gq, err = _fit_layout(colors, lay, ones_mask, iters)
+            consider(_pack_block(lay, q0, q1, gq), err + gray_inf)
 
     if plan["seeds2"] and menu[(8, 2)]:
         lay2 = menu[(8, 2)][0]
@@ -928,7 +937,7 @@ def _encode_astc_jnp(
             mask = _mask_for_seeds(seed_k, block_w, block_h, nparts=4)
             for lay in lays4:
                 q0, q1, gq, err = _fit_layout(colors, lay, mask, iters)
-                consider(_pack_block(lay, q0, q1, gq, seed_k), err)
+                consider(_pack_block(lay, q0, q1, gq, seed_k), err + gray_inf)
 
     return best_words
 

@@ -483,25 +483,44 @@ def _void_extent(px, t_count):
 
 
 def _tasks_a(bw, bh, quality, gray=True):
-    """Kernel-A work list: [(layout, ccs)] — 1-partition layouts (ccs is
-    None) followed by one dual-plane fit per plan dp_ccs candidate.
-    Mirrors the jnp sweep order in kernels/astc.py:_encode_astc_jnp.
-    ``gray=False`` drops the luminance CEM 0/4 fits (the caller detected
-    no near-gray blocks in the batch, so they can never win)."""
+    """Kernel-A work lists ``(base, gray_tasks)``: base = 1-partition CEM
+    8/12 layouts (ccs None) plus one dual-plane fit per plan dp_ccs
+    candidate; gray_tasks = the luminance CEM 0/4 layouts, run only for
+    near-gray blocks (per-block mask, per-tile `pl.when` skip).  Mirrors
+    the jnp sweep order in kernels/astc.py:_encode_astc_jnp.
+    ``gray=False`` drops the gray tasks entirely (the caller detected no
+    near-gray blocks in the batch)."""
     plan = _PLAN[quality]
     menu = layout_menu(bw, bh)
-    tasks = [
+    base = [
         (lay, None)
         for lay in menu[(8, 1)][: plan["cem8_layouts"]]
         + menu[(12, 1)][: plan["cem12_layouts"]]
-        + menu[(0, 1)][: plan["cem0_layouts"] if gray else 0]
-        + menu[(4, 1)][: plan["cem4_layouts"] if gray else 0]
     ]
     if plan["dp_ccs"] and menu[(12, "dp")]:
         lay = menu[(12, "dp")][0]
         for ccs in plan["dp_ccs"]:
-            tasks.append((lay, ccs))
-    return tasks
+            base.append((lay, ccs))
+    gray_tasks = (
+        [
+            (lay, None)
+            for lay in menu[(0, 1)][: plan["cem0_layouts"]]
+            + menu[(4, 1)][: plan["cem4_layouts"]]
+        ]
+        if gray
+        else []
+    )
+    return base, gray_tasks
+
+
+def _gray_mask(px):
+    """[1,TN] bool: every texel of the block is near-gray (RGB spread
+    below kernels/astc.py:GRAY_SPREAD; px values are 0..255)."""
+    from cuttlefish_tpu.kernels.astc import GRAY_SPREAD
+
+    hi = jnp.maximum(jnp.maximum(px[0], px[1]), px[2])
+    lo = jnp.minimum(jnp.minimum(px[0], px[1]), px[2])
+    return jnp.max(hi - lo, axis=0, keepdims=True) < GRAY_SPREAD * 255.0
 
 
 @functools.lru_cache(maxsize=256)
@@ -517,10 +536,20 @@ def _prepared_grid(bw, bh, gw, gh):
     return a.astype(np.float32), pinv
 
 
-def _kernel_a(x_ref, trit_ref, quint_ref, *rest, quality, clut_levels, bw,
-              bh, grid_keys, gray=True):
+def _kernel_a(x_ref, *refs, quality, clut_levels, bw, bh, grid_keys,
+              gray=True):
     """grid_keys: tuple of (gw, gh) grid shapes that carry decimated
-    grids; for each, two refs (a, pinv) follow the cluts in `rest`."""
+    grids; for each, two refs (a, pinv) follow the cluts in `rest`.
+    When ``gray`` a per-tile flag array (SMEM, one int per grid step)
+    precedes the table refs: tiles whose flag is 0 contain no near-gray
+    block and skip the CEM 0/4 fits on the scalar core (`pl.when`);
+    flagged tiles run them but only near-gray blocks may take the result
+    (per-block mask), keeping output independent of tiling."""
+    if gray:
+        flags_ref, rest = refs[0], refs[1:]
+    else:
+        flags_ref, rest = None, refs
+    trit_ref, quint_ref, rest = rest[0], rest[1], rest[2:]
     clut_refs = rest[: len(clut_levels)]
     grid_refs = rest[len(clut_levels) : len(clut_levels) + 2 * len(grid_keys)]
     out_ref, err_ref = rest[-2], rest[-1]
@@ -534,25 +563,47 @@ def _kernel_a(x_ref, trit_ref, quint_ref, *rest, quality, clut_levels, bw,
     px = [x_ref[c] for c in range(4)]
     iters = _PLAN[quality]["iters"]
 
-    words, err = _void_extent(px, t_count)
-    for lay, ccs in _tasks_a(bw, bh, quality, gray):
-        clut = cluts.get(lay.clevels)
-        grid = grids.get((lay.gw, lay.gh))
-        if ccs is None:
-            q0, q1, gq, lerr = _fit_1part(px, lay, iters, clut, grid)
-            lwords = _pack_1part(lay, q0, q1, gq, lerr.shape, pack_tbls)
-        else:
-            q0, q1, gq, lerr = _fit_dual(px, lay, ccs, iters, clut, grid)
-            lwords = _pack_1part(
-                lay, q0, q1, gq, lerr.shape, pack_tbls, ccs
-            )
-        take = lerr < err
-        words = [jnp.where(take, a, b) for a, b in zip(lwords, words)]
-        err = jnp.where(take, lerr, err)
+    def run(tasks, words, err, mask=None):
+        for lay, ccs in tasks:
+            clut = cluts.get(lay.clevels)
+            grid = grids.get((lay.gw, lay.gh))
+            if ccs is None:
+                q0, q1, gq, lerr = _fit_1part(px, lay, iters, clut, grid)
+                lwords = _pack_1part(lay, q0, q1, gq, lerr.shape, pack_tbls)
+            else:
+                q0, q1, gq, lerr = _fit_dual(px, lay, ccs, iters, clut, grid)
+                lwords = _pack_1part(
+                    lay, q0, q1, gq, lerr.shape, pack_tbls, ccs
+                )
+            if mask is not None:
+                lerr = jnp.where(mask, lerr, jnp.float32(np.inf))
+            take = lerr < err
+            words = [jnp.where(take, a, b) for a, b in zip(lwords, words)]
+            err = jnp.where(take, lerr, err)
+        return words, err
 
-    for w in range(4):
-        out_ref[w : w + 1, :] = words[w]
-    err_ref[0:1, :] = err
+    base, gray_tasks = _tasks_a(bw, bh, quality, gray)
+    words, err = _void_extent(px, t_count)
+    words, err = run(base, words, err)
+
+    def write(ws, e):
+        for w in range(4):
+            out_ref[w : w + 1, :] = ws[w]
+        err_ref[0:1, :] = e
+
+    if gray_tasks:
+        tile_flag = flags_ref[pl.program_id(0)]
+
+        @pl.when(tile_flag != 0)
+        def _():
+            gw, ge = run(gray_tasks, words, err, _gray_mask(px))
+            write(gw, ge)
+
+        @pl.when(tile_flag == 0)
+        def _():
+            write(words, err)
+    else:
+        write(words, err)
 
 
 # ---------------------------------------------------------------------------
@@ -824,75 +875,91 @@ def _kernel_c(x_ref, p1_ref, p2_ref, p1t_ref, p2t_ref, trit_ref, quint_ref,
 # ---------------------------------------------------------------------------
 
 
-def _kernel_d(x_ref, p1_ref, p2_ref, p3_ref, p1t_ref, p2t_ref, p3t_ref,
-              trit_ref, quint_ref, *rest, quality, bw, bh, clut_levels,
-              grid_layidx):
+def _kernel_d(x_ref, flags_ref, p1_ref, p2_ref, p3_ref, p1t_ref, p2t_ref,
+              p3t_ref, trit_ref, quint_ref, *rest, quality, bw, bh,
+              clut_levels, grid_layidx):
     lays = _layouts_d(bw, bh)
     clut_refs = rest[: len(clut_levels)]
     grid_refs = rest[len(clut_levels) : len(clut_levels) + 2 * len(grid_layidx)]
     out_ref, err_ref = rest[-2], rest[-1]
-    cluts = {lv: r[:] for lv, r in zip(clut_levels, clut_refs)}
-    grids = {
-        li: (grid_refs[2 * k][:], grid_refs[2 * k + 1][:])
-        for k, li in enumerate(grid_layidx)
-    }
-    pack_tbls = (trit_ref[:], quint_ref[:])
-    px = [x_ref[c] for c in range(4)]
-    plan = _PLAN[quality]
-    iters = plan["iters"]
-    topk = max(1, plan["seeds4"])
-    t_count = float(bw * bh)
+    tile_flag = flags_ref[pl.program_id(0)]
 
-    # 4-cluster within-SSE proxy over all 1024 seeds (three membership
-    # tables on the MXU; mirrors astc.py:_screen_partitions nparts=4).
-    ps = [p1_ref[:], p2_ref[:], p3_ref[:]]  # [1024,T] each
-    ns = [jnp.sum(p, axis=1, keepdims=True) for p in ps]
-    s_p = [[_mm(p, px[c]) for c in range(4)] for p in ps]
-    sq_all = _rt(sum(px[c] * px[c] for c in range(4)))
-    s_all = [_rt(px[c]) for c in range(4)]
-    n0 = t_count - ns[0] - ns[1] - ns[2]
-    explained = sum(
-        (s_all[c] - s_p[0][c] - s_p[1][c] - s_p[2][c]) ** 2 for c in range(4)
-    ) / jnp.maximum(n0, 1.0)
-    for j in range(3):
-        explained = explained + sum(
-            s_p[j][c] * s_p[j][c] for c in range(4)
-        ) / jnp.maximum(ns[j], 1.0)
-    sse = sq_all - explained
-    degenerate = n0 < 1.0
-    for nj in ns:
-        degenerate = degenerate | (nj < 1.0)
-    sse = jnp.where(degenerate, jnp.inf, sse)
-    iota = jax.lax.broadcasted_iota(jnp.int32, sse.shape, 0)
+    @pl.when(tile_flag == 0)
+    def _():
+        # No near-gray block in this tile: the luminance 4-partition fits
+        # cannot win anywhere, so skip the whole sweep on the scalar core.
+        out_ref[:, :] = jnp.zeros(out_ref.shape, out_ref.dtype)
+        err_ref[0:1, :] = jnp.full(err_ref.shape, np.inf, jnp.float32)
 
-    words = None
-    err = None
-    for k in range(topk):
-        smin = jnp.min(sse, axis=0, keepdims=True)
-        seed = jnp.min(
-            jnp.where(sse == smin, iota, 1024), axis=0, keepdims=True
-        )
-        sse = jnp.where(iota == seed, jnp.inf, sse)
-        onehot = (iota == seed).astype(jnp.float32)
-        m1 = _mm(p1t_ref[:], onehot)  # [T,TN]
-        m2 = _mm(p2t_ref[:], onehot)
-        m3 = _mm(p3t_ref[:], onehot)
-        for li, lay in enumerate(lays):
-            qs, gq, lerr = _fit_2part(
-                px, (1.0 - m1 - m2 - m3, m1, m2, m3), lay, iters,
-                cluts.get(lay.clevels), grids.get(li),
+    @pl.when(tile_flag != 0)
+    def _():
+        cluts = {lv: r[:] for lv, r in zip(clut_levels, clut_refs)}
+        grids = {
+            li: (grid_refs[2 * k][:], grid_refs[2 * k + 1][:])
+            for k, li in enumerate(grid_layidx)
+        }
+        pack_tbls = (trit_ref[:], quint_ref[:])
+        px = [x_ref[c] for c in range(4)]
+        plan = _PLAN[quality]
+        iters = plan["iters"]
+        topk = max(1, plan["seeds4"])
+        t_count = float(bw * bh)
+
+        # 4-cluster within-SSE proxy over all 1024 seeds (three membership
+        # tables on the MXU; mirrors astc.py:_screen_partitions nparts=4).
+        ps = [p1_ref[:], p2_ref[:], p3_ref[:]]  # [1024,T] each
+        ns = [jnp.sum(p, axis=1, keepdims=True) for p in ps]
+        s_p = [[_mm(p, px[c]) for c in range(4)] for p in ps]
+        sq_all = _rt(sum(px[c] * px[c] for c in range(4)))
+        s_all = [_rt(px[c]) for c in range(4)]
+        n0 = t_count - ns[0] - ns[1] - ns[2]
+        explained = sum(
+            (s_all[c] - s_p[0][c] - s_p[1][c] - s_p[2][c]) ** 2
+            for c in range(4)
+        ) / jnp.maximum(n0, 1.0)
+        for j in range(3):
+            explained = explained + sum(
+                s_p[j][c] * s_p[j][c] for c in range(4)
+            ) / jnp.maximum(ns[j], 1.0)
+        sse = sq_all - explained
+        degenerate = n0 < 1.0
+        for nj in ns:
+            degenerate = degenerate | (nj < 1.0)
+        sse = jnp.where(degenerate, jnp.inf, sse)
+        iota = jax.lax.broadcasted_iota(jnp.int32, sse.shape, 0)
+
+        words = None
+        err = None
+        for k in range(topk):
+            smin = jnp.min(sse, axis=0, keepdims=True)
+            seed = jnp.min(
+                jnp.where(sse == smin, iota, 1024), axis=0, keepdims=True
             )
-            lwords = _pack_2part(lay, qs, gq, seed, lerr.shape, pack_tbls)
-            if words is None:
-                words, err = lwords, lerr
-            else:
-                take = lerr < err
-                words = [jnp.where(take, a, b) for a, b in zip(lwords, words)]
-                err = jnp.minimum(lerr, err)
+            sse = jnp.where(iota == seed, jnp.inf, sse)
+            onehot = (iota == seed).astype(jnp.float32)
+            m1 = _mm(p1t_ref[:], onehot)  # [T,TN]
+            m2 = _mm(p2t_ref[:], onehot)
+            m3 = _mm(p3t_ref[:], onehot)
+            for li, lay in enumerate(lays):
+                qs, gq, lerr = _fit_2part(
+                    px, (1.0 - m1 - m2 - m3, m1, m2, m3), lay, iters,
+                    cluts.get(lay.clevels), grids.get(li),
+                )
+                lwords = _pack_2part(lay, qs, gq, seed, lerr.shape, pack_tbls)
+                if words is None:
+                    words, err = lwords, lerr
+                else:
+                    take = lerr < err
+                    words = [
+                        jnp.where(take, a, b) for a, b in zip(lwords, words)
+                    ]
+                    err = jnp.minimum(lerr, err)
 
-    for w in range(4):
-        out_ref[w : w + 1, :] = words[w]
-    err_ref[0:1, :] = err
+        # Only near-gray blocks may take a luminance 4-partition result.
+        err = jnp.where(_gray_mask(px), err, jnp.float32(np.inf))
+        for w in range(4):
+            out_ref[w : w + 1, :] = words[w]
+        err_ref[0:1, :] = err
 
 
 def _layouts_d(bw, bh):
@@ -922,10 +989,14 @@ def encode_astc_pallas(
     All 14 2D block sizes: non-full weight grids run the spec C.2.18
     infill and its pseudo-inverse as in-kernel MXU matmuls.
 
-    ``gray=False`` skips the luminance CEM 0/4 single-partition fits and
-    the 4-partition CEM 0/4 kernel — callers pass False when a host-side
-    scan found no near-gray block in the batch (kernels/astc.py:
-    has_gray_blocks), recovering the sweep cost on colored content."""
+    ``gray=False`` statically skips the luminance CEM 0/4 single-partition
+    fits and the 4-partition CEM 0/4 kernel — callers pass False when a
+    host-side scan found no near-gray block in the batch
+    (kernels/astc.py:has_gray_blocks).  With ``gray=True`` the fits are
+    gated dynamically: a per-tile flag (any near-gray block in the tile)
+    skips them on the scalar core via `pl.when`, and a per-block mask
+    limits who may take the result, so the output is independent of the
+    tile layout and matches the jnp path's per-block gating."""
     bw, bh = int(block_w), int(block_h)
     t_count = bw * bh
     quality = max(0, min(4, int(quality)))
@@ -938,14 +1009,30 @@ def encode_astc_pallas(
         x = jnp.pad(x, ((0, npad - n), (0, 0), (0, 0)))
         return jnp.transpose(x, (2, 1, 0)), npad  # [4,T,Np]
 
+    gray = bool(gray)
+    if gray:
+        from cuttlefish_tpu.kernels.astc import GRAY_SPREAD
+
+        rgb = jnp.clip(blocks[..., :3].astype(jnp.float32), 0.0, 1.0)
+        spread = jnp.max(rgb, axis=2) - jnp.min(rgb, axis=2)  # [N,T]
+        isgray_n = jnp.max(spread, axis=1) < GRAY_SPREAD  # [N]
+
+        def tile_flags(npad, tn):
+            f = jnp.pad(isgray_n, (0, npad - n))
+            return jnp.any(f.reshape(npad // tn, tn), axis=1).astype(
+                jnp.int32
+            )
+
+        smem_flags_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
     trit_tbl = jnp.asarray(
         trit_pack_table().reshape(1, -1).astype(np.float32)
     )  # [1,243]
     quint_tbl = jnp.asarray(
         quint_pack_table().reshape(1, -1).astype(np.float32)
     )  # [1,125]
-    gray = bool(gray)
-    tasks_a = _tasks_a(bw, bh, quality, gray)
+    base_a, gray_a = _tasks_a(bw, bh, quality, gray)
+    tasks_a = base_a + gray_a
     clut_levels = tuple(
         sorted({lay.clevels for lay, _ in tasks_a if lay.clevels != 256})
     )
@@ -978,10 +1065,12 @@ def encode_astc_pallas(
         full_tn = min(full_tn, 256)
     tn_a = full_tn if n >= full_tn else -(-n // 128) * 128
     xa, npad_a = pad_to(tn_a)
+    flag_args_a = [tile_flags(npad_a, tn_a)] if gray and gray_a else []
+    flag_specs_a = [smem_flags_spec] if flag_args_a else []
     words_a, err_a = pl.pallas_call(
         functools.partial(
             _kernel_a, quality=quality, clut_levels=clut_levels,
-            bw=bw, bh=bh, grid_keys=grid_keys, gray=gray,
+            bw=bw, bh=bh, grid_keys=grid_keys, gray=bool(flag_args_a),
         ),
         grid=(npad_a // tn_a,),
         in_specs=[
@@ -989,6 +1078,9 @@ def encode_astc_pallas(
                 (4, t_count, tn_a), lambda i: (0, 0, i),
                 memory_space=pltpu.VMEM,
             ),
+        ]
+        + flag_specs_a
+        + [
             pl.BlockSpec((1, 243), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 125), const, memory_space=pltpu.VMEM),
         ]
@@ -1006,7 +1098,7 @@ def encode_astc_pallas(
             jax.ShapeDtypeStruct((1, npad_a), jnp.float32),
         ],
         interpret=interpret,
-    )(xa, trit_tbl, quint_tbl, *cluts, *grid_arrs)
+    )(xa, *flag_args_a, trit_tbl, quint_tbl, *cluts, *grid_arrs)
     words = jnp.transpose(words_a)[:n]
     err = err_a[0, :n]
 
@@ -1198,6 +1290,7 @@ def encode_astc_pallas(
                     (4, t_count, tn_d), lambda i: (0, 0, i),
                     memory_space=pltpu.VMEM,
                 ),
+                smem_flags_spec,
             ]
             + [
                 pl.BlockSpec((1024, t_count), const, memory_space=pltpu.VMEM)
@@ -1230,7 +1323,8 @@ def encode_astc_pallas(
             ],
             interpret=interpret,
         )(
-            xd, *pd, *(jnp.transpose(p) for p in pd),
+            xd, tile_flags(npad_d, tn_d), *pd,
+            *(jnp.transpose(p) for p in pd),
             trit_tbl, quint_tbl, *cluts_d, *gridd_arrs,
         )
         wd = jnp.transpose(words_d)[:n]

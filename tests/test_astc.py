@@ -153,6 +153,31 @@ class TestAstc4x4:
             w_gate = np.asarray(astc.encode_astc(col, 4, 4, q, gray=False))
             assert (w_full == w_gate).all(), q
 
+    def test_gray_gate_per_block_eligibility(self):
+        """Luminance CEMs are gated per block: gray blocks in a mixed
+        batch still get CEM 0 (with its quality win), colored blocks
+        never take CEM 0/4 even with gray neighbors in the batch."""
+        rng = np.random.default_rng(8)
+        n = 48
+        blocks = _smooth(n, 16, rng)
+        blocks[..., 0] = np.clip(blocks[..., 0] + 0.5, 0, 1)
+        blocks[..., 1] *= 0.2
+        gray_idx = [3, 11, 30]
+        for i in gray_idx:
+            g0, g1 = rng.random(), rng.random()
+            t = rng.random((16,), np.float32)
+            blocks[i, :, :3] = (g0 * t + g1 * (1 - t))[:, None]
+        assert astc.has_gray_blocks(blocks)
+        w = np.asarray(astc.encode_astc(blocks, 4, 4, quality=2))
+        npart = (w[:, 0] >> 11) & 3
+        cem = (w[:, 0] >> 13) & 0xF
+        is_cem_gray = (npart == 0) & ((cem == 0) | (cem == 4))
+        void = (w[:, 0] & 0x1FF) == 0x1FC
+        for i in gray_idx:
+            assert is_cem_gray[i] or void[i], i
+        colored = np.setdiff1d(np.arange(n), gray_idx)
+        assert not is_cem_gray[colored].any()
+
     def test_gray_gate_refine_params(self):
         from cuttlefish_tpu.convert.astc import AstcConverter
 
