@@ -27,6 +27,7 @@ from cuttlefish_tpu.formats import (
     file_type_for_name,
     has_native_srgb,
     is_format_valid,
+    max_mipmap_levels,
 )
 from cuttlefish_tpu.image import Channel, Image, ImageFormat, NormalOptions, ResizeFilter, RotateAngle
 from cuttlefish_tpu.texture import CustomMipImage, Texture
@@ -150,7 +151,11 @@ class Args:
         self.jobs = 1
         self.log = "normal"  # normal | quiet | verbose
         self.image_type = IMAGE
-        self.images: list[tuple] = []  # (index|face|None..., path)
+        # Slot list mirroring the reference's std::vector<std::string>
+        # (CommandLine.cpp:859-976): arrays index by element, cube maps by
+        # CubeFace enum value, cube arrays by index*6+face; unset slots are
+        # None ("not all images were provided" at validate).
+        self.images: list = []
         self.width = ORIGINAL
         self.height = ORIGINAL
         self.resize_filter = ResizeFilter.CatmullRom
@@ -171,6 +176,7 @@ class Args:
         self.dimension = Dimension.Dim2D
         self.fmt = TextureFormat.Unknown
         self.type = TextureType.UNorm
+        self.type_set = False  # explicit -t seen (CommandLine.cpp:818,1301)
         self.alpha = None
         self.quality = Quality.Normal
         self.output = ""
@@ -184,34 +190,53 @@ def _err(msg: str) -> None:
     print(f"error: {msg}", file=sys.stderr)
 
 
-def _parse_custom_mip_entry(parts: list[str]):
-    """One custom-mip list line: level [depth] [face] [once|continue] file."""
-    if len(parts) < 2 or not parts[0].isdigit():
-        _err(f"invalid custom mip entry: {' '.join(parts)}")
+def _parse_custom_mip_entry(line: str):
+    """One custom-mip list line: level [depth] [face] [once|continue] file.
+
+    Mirrors `readCustomMipList` (CommandLine.cpp:553-620): optional tokens
+    are consumed greedily and the file name is the REST of the line, so
+    paths with spaces work (the reference fixture has "array 0.png").  The
+    default replacement is Continue, matching the reference.
+    """
+
+    def next_token(s: str):
+        s = s.lstrip("\t\v\f ")
+        j = 0
+        while j < len(s) and s[j] not in "\t\v\f ":
+            j += 1
+        return s[:j], s[j:]
+
+    tok, rest = next_token(line)
+    if not tok.isdigit():
+        _err(f"invalid mip level {tok}")
         return None
-    level = int(parts[0])
-    pos = 1
+    level = int(tok)
     depth = 0
     face = CubeFace.PosX
-    repl = MipReplacement.Once
-    if pos < len(parts) - 1 and parts[pos].isdigit():
-        depth = int(parts[pos])
-        pos += 1
-    if pos < len(parts) - 1 and parts[pos].lower() in _FACES:
-        face = _FACES[parts[pos].lower()]
-        pos += 1
-    if pos < len(parts) - 1 and parts[pos].lower() in ("once", "continue"):
+    repl = MipReplacement.Continue
+    tok, rest2 = next_token(rest)
+    if tok.isdigit():
+        depth = int(tok)
+        rest = rest2
+        tok, rest2 = next_token(rest)
+    if tok.lower() in _FACES:
+        face = _FACES[tok.lower()]
+        rest = rest2
+        tok, rest2 = next_token(rest)
+    if tok.lower() in ("once", "continue"):
         repl = (
-            MipReplacement.Once
-            if parts[pos].lower() == "once"
+            MipReplacement.Once if tok.lower() == "once"
             else MipReplacement.Continue
         )
-        pos += 1
-    if pos != len(parts) - 1:
-        _err(f"invalid custom mip entry: {' '.join(parts)}")
+        rest = rest2
+    path = rest.strip("\t\v\f ")
+    if not path:
+        _err(
+            f"no file provided for custom mip level {level}, depth {depth}"
+        )
         return None
     idx = ImageIndex(cube_face=face, mip_level=level, depth=depth)
-    return idx, CustomMipImage(parts[pos], repl)
+    return idx, CustomMipImage(path, repl)
 
 
 def parse(argv: list[str]) -> Args | None:
@@ -227,16 +252,7 @@ def parse(argv: list[str]) -> Args | None:
             return False
         return True
 
-    input_seen = None
-
-    def set_input_type(t, flag):
-        nonlocal input_seen
-        if input_seen is not None and input_seen != t:
-            _err("cannot mix input types")
-            return False
-        input_seen = t
-        args.image_type = t
-        return True
+    mix_error = "cannot mix different types of image inputs"
 
     i = 0
     ok = True
@@ -256,68 +272,119 @@ def parse(argv: list[str]) -> Args | None:
         elif a in ("-v", "--verbose"):
             args.log = "verbose"
         elif a in ("-i", "--input"):
-            ok = need(i, 1, a) and set_input_type(IMAGE, a)
-            if ok:
-                args.images.append((len(args.images), argv[i + 1]))
-                i += 1
+            # Any prior input (including another -i) is a mix error
+            # (CommandLine.cpp:841-857).
+            if args.images:
+                _err(mix_error)
+                ok = False
+            else:
+                ok = need(i, 1, a)
+                if ok:
+                    args.image_type = IMAGE
+                    args.images.append(argv[i + 1])
+                    i += 1
         elif a in ("-a", "--array"):
-            ok = need(i, 1, a) and set_input_type(ARRAY, a)
+            if args.images and args.image_type != ARRAY:
+                _err(mix_error)
+                ok = False
+            else:
+                ok = need(i, 1, a)
             if ok:
+                args.image_type = ARRAY
                 if i + 2 < len(argv) and argv[i + 1].isdigit():
-                    args.images.append((int(argv[i + 1]), argv[i + 2]))
+                    index = int(argv[i + 1])
+                    path = argv[i + 2]
                     i += 2
                 else:
-                    args.images.append((len(args.images), argv[i + 1]))
+                    index = len(args.images)
+                    path = argv[i + 1]
                     i += 1
+                if index >= len(args.images):
+                    args.images.extend(
+                        [None] * (index + 1 - len(args.images)))
+                if args.images[index] is not None:
+                    _err(f"image for index {index} already provided")
+                    ok = False
+                else:
+                    args.images[index] = path
         elif a in ("-c", "--cube"):
-            ok = need(i, 2, a) and set_input_type(CUBE, a)
+            if args.images and args.image_type != CUBE:
+                _err(mix_error)
+                ok = False
+            else:
+                ok = need(i, 2, a)
             if ok:
+                if not args.images:
+                    args.images = [None] * 6
+                args.image_type = CUBE
                 face = _FACES.get(argv[i + 1].lower())
                 if face is None:
                     _err(f"unknown cube face '{argv[i + 1]}'")
                     ok = False
-                else:
-                    args.images.append((0, face, argv[i + 2]))
-                    i += 2
-        elif a in ("-C", "--cube-array"):
-            ok = need(i, 3, a) and set_input_type(CUBE_ARRAY, a)
-            if ok:
-                if not argv[i + 1].isdigit():
-                    _err(f"invalid cube array index '{argv[i + 1]}'")
+                elif args.images[int(face)] is not None:
+                    _err(f"image for face {argv[i + 1]} already provided")
                     ok = False
                 else:
+                    args.images[int(face)] = argv[i + 2]
+                    i += 2
+        elif a in ("-C", "--cube-array"):
+            if args.images and args.image_type != CUBE_ARRAY:
+                _err(mix_error)
+                ok = False
+            else:
+                ok = need(i, 3, a)
+            if ok:
+                args.image_type = CUBE_ARRAY
+                if not argv[i + 1].isdigit():
+                    _err(f"invalid index {argv[i + 1]}")
+                    ok = False
+                else:
+                    cube_index = int(argv[i + 1])
                     face = _FACES.get(argv[i + 2].lower())
                     if face is None:
                         _err(f"unknown cube face '{argv[i + 2]}'")
                         ok = False
                     else:
-                        args.images.append((int(argv[i + 1]), face, argv[i + 3]))
-                        i += 3
+                        slot = cube_index * 6 + int(face)
+                        need_len = (cube_index + 1) * 6
+                        if need_len > len(args.images):
+                            args.images.extend(
+                                [None] * (need_len - len(args.images)))
+                        if args.images[slot] is not None:
+                            _err(
+                                f"image for index {cube_index} and face "
+                                f"{argv[i + 2]} already provided"
+                            )
+                            ok = False
+                        else:
+                            args.images[slot] = argv[i + 3]
+                            i += 3
         elif a in ("-I", "--input-list"):
-            ok = need(i, 2, a)
+            if args.images:
+                _err(mix_error)
+                ok = False
+            else:
+                ok = need(i, 2, a)
             if ok:
                 ltype = _LIST_TYPES.get(argv[i + 1].lower())
                 if ltype is None:
-                    _err(f"unknown input list type '{argv[i + 1]}'")
+                    _err(f"unknown image type {argv[i + 1]}")
                     ok = False
                 else:
-                    ok = set_input_type(ltype, a)
-                    if ok:
-                        try:
-                            with open(argv[i + 2]) as f:
-                                paths = [ln.strip() for ln in f if ln.strip()]
-                        except OSError:
-                            _err(f"couldn't read input list '{argv[i + 2]}'")
-                            ok = False
-                        else:
-                            for n, p in enumerate(paths):
-                                if ltype in (CUBE, CUBE_ARRAY):
-                                    args.images.append(
-                                        (n // 6, CubeFace(n % 6), p)
-                                    )
-                                else:
-                                    args.images.append((n, p))
-                            i += 2
+                    args.image_type = ltype
+                    try:
+                        with open(argv[i + 2]) as f:
+                            paths = [ln.strip() for ln in f if ln.strip()]
+                    except OSError:
+                        _err(
+                            f"couldn't open image list file '{argv[i + 2]}'"
+                        )
+                        ok = False
+                    else:
+                        # Raw line order; cube lists map positionally to
+                        # CubeFace enum order (main.cpp:352-366).
+                        args.images.extend(paths)
+                        i += 2
         elif a in ("-r", "--resize"):
             ok = need(i, 2, a)
             if ok:
@@ -359,7 +426,8 @@ def parse(argv: list[str]) -> Args | None:
                     i += 1
                     depth = 0
                     face = CubeFace.PosX
-                    repl = MipReplacement.Once
+                    # Default replacement is Continue (CommandLine.cpp:1076).
+                    repl = MipReplacement.Continue
                     if i + 1 < len(argv) and argv[i + 1].isdigit():
                         depth = int(argv[i + 1])
                         i += 1
@@ -380,26 +448,40 @@ def parse(argv: list[str]) -> Args | None:
                         idx = ImageIndex(
                             cube_face=face, mip_level=level, depth=depth
                         )
-                        args.custom_mips[idx] = CustomMipImage(
-                            argv[i + 1], repl
-                        )
-                        i += 1
+                        if idx in args.custom_mips:
+                            _err(
+                                f"custom mip for level {level}, depth "
+                                f"{depth} already provided"
+                            )
+                            ok = False
+                        else:
+                            args.custom_mips[idx] = CustomMipImage(
+                                argv[i + 1], repl
+                            )
+                            i += 1
         elif a == "--custom-mip-list":
             ok = need(i, 1, a)
             if ok:
                 try:
                     with open(argv[i + 1]) as f:
-                        lines = [ln.split() for ln in f if ln.strip()]
+                        lines = [ln.rstrip("\r\n") for ln in f if ln.strip()]
                 except OSError:
-                    _err(f"couldn't read custom mip list '{argv[i + 1]}'")
+                    _err(f"couldn't open custom mip file '{argv[i + 1]}'")
                     ok = False
                 else:
-                    for parts in lines:
-                        entry = _parse_custom_mip_entry(parts)
+                    for line in lines:
+                        entry = _parse_custom_mip_entry(line)
                         if entry is None:
                             ok = False
                             break
                         idx, cm = entry
+                        if idx in args.custom_mips:
+                            _err(
+                                f"custom mip for level {idx.mip_level}, "
+                                f"depth {idx.depth} already provided"
+                            )
+                            ok = False
+                            break
                         args.custom_mips[idx] = cm
                     i += 1
         elif a == "--flipx":
@@ -482,6 +564,15 @@ def parse(argv: list[str]) -> Args | None:
                 else:
                     args.fmt = fmt
                     i += 1
+                    # Unique default types (CommandLine.cpp:1300-1309):
+                    # UFloat-only formats default to UFloat unless -t was
+                    # given explicitly.
+                    if not args.type_set and fmt in (
+                        TextureFormat.B10G11R11_UFloat,
+                        TextureFormat.E5B9G9R9_UFloat,
+                        TextureFormat.BC6H,
+                    ):
+                        args.type = TextureType.UFloat
         elif a in ("-t", "--type"):
             ok = need(i, 1, a)
             if ok:
@@ -491,6 +582,7 @@ def parse(argv: list[str]) -> Args | None:
                     ok = False
                 else:
                     args.type = t
+                    args.type_set = True
                     i += 1
         elif a == "--alpha":
             ok = need(i, 1, a)
@@ -515,8 +607,12 @@ def parse(argv: list[str]) -> Args | None:
         elif a in ("-o", "--output"):
             ok = need(i, 1, a)
             if ok:
-                args.output = argv[i + 1]
-                i += 1
+                if args.output:
+                    _err("output file already provided")
+                    ok = False
+                else:
+                    args.output = argv[i + 1]
+                    i += 1
         elif a == "--file-format":
             ok = need(i, 1, a)
             if ok:
@@ -554,15 +650,36 @@ def parse(argv: list[str]) -> Args | None:
 
 
 def validate(args: Args) -> bool:
-    """Post-parse validation (CommandLine.cpp:680-793)."""
+    """Post-parse validation (CommandLine.cpp:624-793)."""
     if not args.images:
-        _err("no input images provided")
+        _err("an input image must be provided")
         return False
+    if args.image_type == IMAGE and len(args.images) != 1:
+        _err("only 1 input image may be provided for a standard texture")
+        return False
+    if args.image_type in (CUBE, CUBE_ARRAY):
+        if args.image_type == CUBE and len(args.images) != 6:
+            _err("6 images must be provided for a cubemap texture")
+            return False
+        if args.image_type == CUBE_ARRAY and len(args.images) % 6 != 0:
+            _err(
+                "a multiple of 6 images must be provided for a cubemap "
+                "texture"
+            )
+            return False
+        if args.dimension is not Dimension.Dim2D:
+            _err("cubemap texture must have a dimension of 2")
+            return False
+        args.dimension = Dimension.Cube
+    for path in args.images:
+        if not path:
+            _err("not all images were provided")
+            return False
     if args.fmt is TextureFormat.Unknown:
-        _err("no texture format specified")
+        _err("texture file format cannot be determined")
         return False
     if not args.output:
-        _err("no output file specified")
+        _err("output file must be provided")
         return False
     if args.file_type is FileType.Auto:
         args.file_type = file_type_for_name(args.output)
@@ -579,15 +696,34 @@ def validate(args: Args) -> bool:
         args.fmt, args.type
     ):
         args.texture_color_space = ColorSpace.Linear
-    if args.image_type in (CUBE, CUBE_ARRAY) and args.dimension is not Dimension.Dim2D:
-        _err("cube maps must be 2D")
-        return False
-    if args.mip_levels == 0 and args.custom_mips:
+    # Custom mips require mipmap generation beyond the base level
+    # (reference checks mipLevels <= 1; our 0 means "-m not given").
+    if args.custom_mips and args.mip_levels in (0, 1):
         _err("cannot specify custom mip images without generating mipmaps")
         return False
+    depth_count = len(args.images)
+    level_depth_counts: dict[int, int] = {}
     for idx in args.custom_mips:
         if idx.mip_level == 0:
             _err("cannot provide custom mip for level 0")
+            return False
+        this_depth = depth_count
+        if args.dimension is Dimension.Dim3D:
+            this_depth = max(depth_count >> idx.mip_level, 1)
+            level_depth_counts[idx.mip_level] = (
+                level_depth_counts.get(idx.mip_level, 0) + 1
+            )
+        if idx.depth >= this_depth:
+            _err(
+                f"custom mip depth {idx.depth} out of range for level "
+                f"{idx.mip_level}"
+            )
+            return False
+    # 3D textures must have either no depths or all depths per level.
+    for level, count in level_depth_counts.items():
+        this_depth = max(depth_count >> level, 1)
+        if count != this_depth:
+            _err(f"must provide custom mips for all depths in level {level}")
             return False
     if args.alpha is None:
         args.alpha = Alpha.PreMultiplied if args.pre_multiply else Alpha.Standard
@@ -689,38 +825,50 @@ def run(argv: list[str]) -> int:
     verbose = args.log == "verbose"
     size_box = [None, None]
 
-    # Load all inputs.
+    # Load all inputs (main.cpp:279-292, exit code 2 domain).
     loaded = []
-    for entry in args.images:
-        img = load_and_process_image(args, entry[-1], size_box)
+    for path in args.images:
+        img = load_and_process_image(args, path, size_box)
         if img is None:
             return 2
-        loaded.append((entry, img))
+        loaded.append(img)
 
     width, height = size_box
-    if args.image_type in (CUBE, CUBE_ARRAY):
-        dim = Dimension.Cube
-    elif args.image_type in (ARRAY,) and args.dimension is Dimension.Dim3D:
-        dim = Dimension.Dim3D
-    elif args.dimension is Dimension.Dim1D:
-        dim = Dimension.Dim1D
-    else:
-        dim = args.dimension
+    dim = args.dimension
 
-    if args.image_type in (ARRAY, CUBE_ARRAY):
-        depth = 1 + max(e[0][0] for e in loaded)
+    # Custom-mip range checks need the final size, so they live here in the
+    # load stage like the reference (main.cpp:290-308, exit code 2).
+    if args.custom_mips:
+        requested = 0xFFFFFFFF if args.mip_levels < 0 else args.mip_levels
+        mip_count = min(
+            requested,
+            max_mipmap_levels(dim, width, height, len(args.images)),
+        )
+        for idx in args.custom_mips:
+            if idx.mip_level >= mip_count:
+                _err(f"level {idx.mip_level} for custom mip out of range")
+                return 2
+            if (
+                idx.cube_face is not CubeFace.PosX
+                and dim is not Dimension.Cube
+            ):
+                _err("custom mip cube face used for non-cubemap texture")
+                return 2
+
+    if args.image_type == ARRAY and dim is not Dimension.Dim3D:
+        depth = len(loaded)
+    elif args.image_type == CUBE_ARRAY:
+        depth = len(loaded) // 6
+    elif args.image_type == ARRAY:
+        depth = len(loaded)  # 3D: slice count
     else:
-        depth = 0 if args.image_type == IMAGE else 0
-    if args.image_type == ARRAY and args.dimension is Dimension.Dim3D:
-        is_array = False
-    else:
-        is_array = args.image_type in (ARRAY, CUBE_ARRAY)
+        depth = 0
 
     tex = Texture(
         dim,
         width,
         height,
-        depth=depth if args.image_type != IMAGE else 0,
+        depth=depth,
         mip_levels=1,
         color_space=args.texture_color_space,
     )
@@ -728,14 +876,17 @@ def run(argv: list[str]) -> int:
         _err("couldn't create texture")
         return 3
 
-    for entry, img in loaded:
-        if args.image_type in (CUBE, CUBE_ARRAY):
-            index, face = entry[0], entry[1]
-            ok = tex.set_image(img, face=face, depth=index if is_array else 0)
+    for n, img in enumerate(loaded):
+        if args.image_type == CUBE:
+            ok = tex.set_image(img, face=CubeFace(n))
+        elif args.image_type == CUBE_ARRAY:
+            ok = tex.set_image(img, face=CubeFace(n % 6), depth=n // 6)
+        elif args.image_type == ARRAY:
+            ok = tex.set_image(img, depth=n)
         else:
-            ok = tex.set_image(img, depth=entry[0])
+            ok = tex.set_image(img)
         if not ok:
-            _err(f"couldn't set image '{entry[-1]}'")
+            _err(f"couldn't set image '{args.images[n]}'")
             return 3
 
     if args.mip_levels != 0 and args.device_mips and not args.custom_mips:

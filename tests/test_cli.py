@@ -178,9 +178,11 @@ class TestMultiImage:
         assert run(argv + ["-f", "R8", "-o", out]) == 0
 
     def test_cube_incomplete(self, tmp_path):
+        # Caught at validate like the reference (exit 1, "not all images
+        # were provided" — CommandLine.cpp:676-683, ctest CubeMissingFace).
         out = str(tmp_path / "o.ktx")
         p = _write_png(str(tmp_path / "f.png"))
-        assert run(["-c", "+x", p, "-f", "R8", "-o", out]) == 3
+        assert run(["-c", "+x", p, "-f", "R8", "-o", out]) == 1
 
     def test_mixed_inputs_rejected(self, png, tmp_path):
         out = str(tmp_path / "o.dds")
