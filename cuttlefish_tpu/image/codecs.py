@@ -246,6 +246,17 @@ def load(source) -> tuple[np.ndarray, ImageFormat]:
                 return _native_to_format(arr, depth)
         except Exception:
             pass
+    if data.startswith(b"\xff\xd8\xff"):
+        # Baseline JPEG via the native decoder; progressive/12-bit streams
+        # raise and fall through to PIL.
+        try:
+            from cuttlefish_tpu import native
+
+            if native.available():
+                arr = native.jpeg_decode(data)
+                return _native_to_format(arr, 8)
+        except Exception:
+            pass
     if not _HAVE_PIL:
         raise DecodeError("PIL unavailable and format not built-in")
     try:

@@ -18,6 +18,7 @@ import tempfile
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "src", "codec.cpp")
+_SRC_JPEG = os.path.join(_DIR, "src", "jpeg.cpp")
 _SRC_BC7 = os.path.join(_DIR, "src", "bc7_cpu.cpp")
 
 _lib = None
@@ -30,7 +31,7 @@ def _build_and_load():
         return
     try:
         h = hashlib.sha256()
-        for src in (_SRC, _SRC_BC7):
+        for src in (_SRC, _SRC_JPEG, _SRC_BC7):
             with open(src, "rb") as f:
                 h.update(f.read())
         digest = h.hexdigest()[:16]
@@ -46,7 +47,8 @@ def _build_and_load():
                 subprocess.run(
                     [
                         "g++", "-O2", "-shared", "-fPIC", "-std=c++17",
-                        _SRC, _SRC_BC7, "-lz", "-pthread", "-o", tmp,
+                        _SRC, _SRC_JPEG, _SRC_BC7, "-lz", "-pthread",
+                        "-o", tmp,
                     ],
                     check=True,
                     capture_output=True,
@@ -79,6 +81,10 @@ def _configure(lib):
     lib.ctpu_tga_encode.argtypes = [
         u8p, c.c_uint32, c.c_uint32, c.c_uint32,
         c.POINTER(u8p), c.POINTER(c.c_size_t),
+    ]
+    lib.ctpu_jpeg_decode.argtypes = [
+        u8p, c.c_size_t, c.POINTER(u8p),
+        c.POINTER(c.c_uint32), c.POINTER(c.c_uint32), c.POINTER(c.c_uint32),
     ]
     lib.ctpu_extract_blocks.argtypes = [
         c.POINTER(c.c_float), c.c_int, c.c_int, c.c_int, c.c_int, c.c_int,
@@ -130,6 +136,41 @@ def png_decode(data: bytes):
     if ch.value == 1:
         arr = arr[:, :, 0]
     return arr.copy(), depth.value
+
+
+def jpeg_decode(data: bytes):
+    """Baseline JPEG bytes -> uint8 array [h,w] (gray) or [h,w,3] (RGB).
+
+    Raises ValueError on unsupported streams (progressive, 12-bit, ...);
+    callers fall back to PIL (`image/codecs.py:load`).
+    """
+    import numpy as np
+
+    _build_and_load()
+    if _lib is None:
+        raise RuntimeError(f"native codec unavailable: {_load_error}")
+    c = ctypes
+    buf = (c.c_uint8 * len(data)).from_buffer_copy(data)
+    out = c.POINTER(c.c_uint8)()
+    w = c.c_uint32()
+    h = c.c_uint32()
+    ch = c.c_uint32()
+    rc = _lib.ctpu_jpeg_decode(
+        buf, len(data), c.byref(out), c.byref(w), c.byref(h), c.byref(ch)
+    )
+    if rc != 1:
+        raise ValueError("JPEG decode failed (unsupported or corrupt)")
+    try:
+        nbytes = w.value * h.value * ch.value
+        raw = c.cast(out, c.POINTER(c.c_uint8 * nbytes)).contents
+        arr = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(
+            h.value, w.value, ch.value
+        )
+    finally:
+        _lib.ctpu_free(out)
+    if ch.value == 1:
+        arr = arr[:, :, 0]
+    return arr.copy()
 
 
 def png_encode(arr) -> bytes:

@@ -178,3 +178,79 @@ class TestQualityVsCpuReference:
         p_tpu = psnr(encode_bc7(blocks, quality=quality))
         p_cpu = psnr(native.bc7_encode_cpu(blocks, quality))
         assert p_tpu >= p_cpu - 1e-6, (p_tpu, p_cpu)
+
+
+class TestJpegDecode:
+    """Native baseline JPEG decoder vs PIL/libjpeg (external oracle).
+
+    JPEG permits small per-sample IDCT variance, so parity is asserted
+    within +/-3 LSB; the fancy (triangular) chroma upsampling matches
+    libjpeg's jdsample.c exactly, so subsampled images carry no extra
+    error beyond the IDCT class.
+    """
+
+    def _roundtrip(self, arr, maxdiff, **save_kw):
+        import PIL.Image
+
+        buf = io.BytesIO()
+        PIL.Image.fromarray(arr).save(buf, "JPEG", **save_kw)
+        data = buf.getvalue()
+        ours = native.jpeg_decode(data)
+        img = PIL.Image.open(io.BytesIO(data))
+        if ours.ndim == 3:
+            img = img.convert("RGB")
+        ref = np.asarray(img).astype(int)
+        d = np.abs(ours.astype(int) - ref)
+        assert ours.shape == ref.shape
+        assert d.max() <= maxdiff, d.max()
+
+    @pytest.mark.parametrize("subsampling", [0, 1, 2])
+    def test_rgb_vs_pil(self, subsampling):
+        x, y = np.meshgrid(np.linspace(0, 1, 97), np.linspace(0, 1, 64))
+        img = np.stack(
+            [0.5 + 0.5 * np.sin(6 * x), 0.5 + 0.5 * np.cos(5 * y + x), x * y],
+            -1,
+        )
+        arr = (img * 255).astype(np.uint8)
+        self._roundtrip(arr, 3, quality=92, subsampling=subsampling)
+
+    def test_odd_size_420(self):
+        rng = np.random.default_rng(1)
+        arr = (rng.random((63, 95, 3)) * 255).astype(np.uint8)
+        self._roundtrip(arr, 4, quality=85, subsampling=2)
+
+    def test_grayscale(self):
+        # No chroma path: differences are pure IDCT rounding (<= 1 LSB).
+        import PIL.Image
+
+        rng = np.random.default_rng(2)
+        arr = (rng.random((40, 52)) * 255).astype(np.uint8)
+        buf = io.BytesIO()
+        PIL.Image.fromarray(arr, "L").save(buf, "JPEG", quality=90)
+        ours = native.jpeg_decode(buf.getvalue())
+        ref = np.asarray(PIL.Image.open(buf)).astype(int)
+        assert np.abs(ours.astype(int) - ref).max() <= 1
+
+    def test_progressive_raises(self):
+        import PIL.Image
+
+        arr = np.zeros((16, 16, 3), np.uint8)
+        buf = io.BytesIO()
+        PIL.Image.fromarray(arr).save(buf, "JPEG", progressive=True)
+        with pytest.raises(ValueError):
+            native.jpeg_decode(buf.getvalue())
+
+    def test_loader_uses_native_and_pil_fallback(self):
+        import PIL.Image
+
+        from cuttlefish_tpu.image import codecs
+
+        arr = np.full((24, 24, 3), 128, np.uint8)
+        for progressive in (False, True):
+            buf = io.BytesIO()
+            PIL.Image.fromarray(arr).save(
+                buf, "JPEG", quality=95, progressive=progressive
+            )
+            decoded, fmt = codecs.load(buf.getvalue())
+            assert decoded.shape == (24, 24, 3)
+            assert np.abs(decoded.astype(int) - 128).max() <= 2
