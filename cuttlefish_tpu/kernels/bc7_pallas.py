@@ -511,12 +511,73 @@ def _fit_alpha(a, levels: int, qbits: int, iters: int):
     return q0, q1, idx, err
 
 
-def _mode5(px, iters: int, chw, rot: int = 0):
+def _rot_perm(rot: int):
+    perm = [0, 1, 2, 3]
     if rot:
-        perm = [0, 1, 2, 3]
         perm[rot - 1], perm[3] = 3, rot - 1
+    return perm
+
+
+def _apply_rot(px, chw, rotv):
+    """Per-block dynamic channel rotation.
+
+    rotv [1,TN] int32 in 0..3; returns (px_rot, chw_rot) where channel c of
+    the output is px[perm_r[c]] for each block's rotation r (perm swaps
+    channel r-1 with alpha).  chw scalars become [1,TN] arrays — every
+    consumer only multiplies by them, so broadcasting is transparent.
+    """
+    perms = [_rot_perm(r) for r in range(4)]
+    uniform = len(set(chw)) == 1  # rotation leaves uniform weights alone
+    one = jnp.ones_like(px[0][:1, :])
+    out_px, out_w = [], []
+    for c in range(4):
+        v = px[perms[0][c]]
+        w = None if uniform else one * chw[perms[0][c]]
+        for r in (1, 2, 3):
+            take = rotv == r
+            v = jnp.where(take, px[perms[r][c]], v)
+            if not uniform:
+                w = jnp.where(take, one * chw[perms[r][c]], w)
+        out_px.append(v)
+        out_w.append(chw[c] if uniform else w)
+    return out_px, tuple(out_w)
+
+
+def _screen_rot(px, chw):
+    """Rotation screening score [4][1,TN] (lower = better).
+
+    Mode 4/5 encode 3 channels on a shared index line and the rotated-out
+    channel on its own scalar line, so the unfixable error is the rank-1
+    residual of the color triple; the alpha line quantizes almost freely
+    (6-8 bit endpoints), contributing only an index-quantization term that
+    is small and similar across rotations — a lightly weighted alpha SSE
+    keeps pathological spreads from being rotated out for free.
+    """
+    scores = []
+    ones = jnp.ones_like(px[0])
+    for r in range(4):
+        perm = _rot_perm(r)
+        p3 = [px[perm[c]] for c in range(3)]
+        w3 = [chw[perm[c]] for c in range(3)]
+        _, _, axis, mean = _pca_seed(p3, ones, chn=3)
+        cent = [p3[c] - mean[c] for c in range(3)]
+        proj = sum(cent[c] * axis[c] for c in range(3))
+        resid = sum(
+            w3[c] * _rt((cent[c] - proj * axis[c]) ** 2) for c in range(3)
+        )
+        pa = px[perm[3]]
+        amean = _rt(pa) / 16.0
+        asse = _rt((pa - amean) ** 2)
+        scores.append(resid + 0.03 * chw[perm[3]] * asse)
+    return scores
+
+
+def _mode5(px, iters: int, chw, rot=0):
+    if isinstance(rot, int):
+        perm = _rot_perm(rot)
         px = [px[p] for p in perm]
         chw = tuple(chw[p] for p in perm)
+    # else: caller already rotated px/chw via _apply_rot; rot is [1,TN].
     cw = (chw[0], chw[1], chw[2])
     ones = jnp.ones_like(px[0])
     hi, lo, _, _ = _pca_seed(px, ones, chn=3)
@@ -538,7 +599,7 @@ def _mode5(px, iters: int, chw, rot: int = 0):
 
     pk = _Packer(a0.shape)
     pk.put(jnp.full_like(a0, 32), 6)
-    pk.put(jnp.full_like(a0, rot), 2)
+    pk.put(jnp.full_like(a0, rot) if isinstance(rot, int) else rot, 2)
     for c in range(3):
         pk.put(v0[c], 7)
         pk.put(v1[c], 7)
@@ -553,12 +614,12 @@ def _mode5(px, iters: int, chw, rot: int = 0):
     return pk.words, err
 
 
-def _mode4(px, iters: int, chw, rot: int = 0):
-    if rot:
-        perm = [0, 1, 2, 3]
-        perm[rot - 1], perm[3] = 3, rot - 1
+def _mode4(px, iters: int, chw, rot=0):
+    if isinstance(rot, int):
+        perm = _rot_perm(rot)
         px = [px[p] for p in perm]
         chw = tuple(chw[p] for p in perm)
+    # else: caller already rotated px/chw via _apply_rot; rot is [1,TN].
     cw = (chw[0], chw[1], chw[2])
     ones = jnp.ones_like(px[0])
     hi, lo, _, _ = _pca_seed(px, ones, chn=3)
@@ -585,7 +646,7 @@ def _mode4(px, iters: int, chw, rot: int = 0):
 
         pk = _Packer(a0.shape)
         pk.put(jnp.full_like(a0, 16), 5)
-        pk.put(jnp.full_like(a0, rot), 2)
+        pk.put(jnp.full_like(a0, rot) if isinstance(rot, int) else rot, 2)
         pk.put(jnp.full_like(a0, idx_mode), 1)
         for c in range(3):
             pk.put(v0[c], 5)
@@ -985,12 +1046,38 @@ def _kernel_hq(
     p3mt = [p3t0_ref[:], p3t1_ref[:], p3t2_ref[:]]
 
     words, err = _mode6(px, iters, chw)
-    for rot in plan["rot"]:
-        for enc in (_mode5, _mode4):
-            w2, e2 = enc(px, iters, chw, rot)
-            take = e2 < err
-            words = [jnp.where(take, a, b) for a, b in zip(w2, words)]
-            err = jnp.minimum(e2, err)
+    if len(plan["rot"]) <= 1:
+        for rot in plan["rot"]:
+            for enc in (_mode5, _mode4):
+                w2, e2 = enc(px, iters, chw, rot)
+                take = e2 < err
+                words = [jnp.where(take, a, b) for a, b in zip(w2, words)]
+                err = jnp.minimum(e2, err)
+    else:
+        # Screen the 4 rotations per block and fit only the best two:
+        # halves the rotation work (8 full mode-4/5 fits -> 4 + a cheap
+        # PCA screen) with no measurable PSNR loss vs exhaustive.
+        scores = _screen_rot(px, chw)
+        r1 = jnp.zeros_like(scores[0], jnp.int32)
+        s1 = scores[0]
+        for r in (1, 2, 3):
+            take = scores[r] < s1
+            r1 = jnp.where(take, r, r1)
+            s1 = jnp.minimum(scores[r], s1)
+        r2 = jnp.zeros_like(r1)
+        s2 = jnp.where(r1 == 0, jnp.float32(3e38), scores[0])
+        for r in (1, 2, 3):
+            sr = jnp.where(r1 == r, jnp.float32(3e38), scores[r])
+            take = sr < s2
+            r2 = jnp.where(take, r, r2)
+            s2 = jnp.minimum(sr, s2)
+        for rv in (r1, r2):
+            pxr, chwr = _apply_rot(px, chw, rv)
+            for enc in (_mode5, _mode4):
+                w2, e2 = enc(pxr, iters, chwr, rv)
+                take = e2 < err
+                words = [jnp.where(take, a, b) for a, b in zip(w2, words)]
+                err = jnp.minimum(e2, err)
     for mode, key in ((1, "m1"), (3, "m3"), (7, "m7")):
         if plan[key]:
             w2, e2 = _mode_2subset(
