@@ -182,3 +182,43 @@ def from_rgbad(
     if fmt is _IF.Complex:
         return np.stack([rgba[..., 0], rgba[..., 1]], axis=-1).astype(dtype)
     raise ValueError(f"cannot write pixels of {fmt}")
+
+
+# Pixel-layout introspection (reference Image.h:282-342, values matching
+# FreeImage on little-endian: FI_RGBA_* for 24/32-bit bitmaps, FI16_555 /
+# FI16_565 for the packed 16-bit formats, zero for non-bitmap types).
+# Note the reference's Impl constructor assigns the green mask to blueMask
+# (Image.cpp:746, an upstream copy-paste slip); we implement the intended
+# per-channel values.
+_BPP: dict[ImageFormat, int] = {
+    _IF.Invalid: 0, _IF.Gray8: 8, _IF.Gray16: 16, _IF.RGB5: 16,
+    _IF.RGB565: 16, _IF.RGB8: 24, _IF.RGB16: 48, _IF.RGBF: 96,
+    _IF.RGBA8: 32, _IF.RGBA16: 64, _IF.RGBAF: 128, _IF.Int16: 16,
+    _IF.UInt16: 16, _IF.Int32: 32, _IF.UInt32: 32, _IF.Float: 32,
+    _IF.Double: 64, _IF.Complex: 128,
+}
+
+# fmt -> (red, green, blue, alpha) (mask, shift) pairs.
+_MASKS: dict[ImageFormat, tuple] = {
+    _IF.RGB5: ((0x7C00, 10), (0x03E0, 5), (0x001F, 0), (0, 0)),
+    _IF.RGB565: ((0xF800, 11), (0x07E0, 5), (0x001F, 0), (0, 0)),
+    _IF.RGB8: ((0x00FF0000, 16), (0x0000FF00, 8), (0x000000FF, 0), (0, 0)),
+    _IF.RGBA8: (
+        (0x00FF0000, 16), (0x0000FF00, 8), (0x000000FF, 0),
+        (0xFF000000, 24),
+    ),
+}
+
+
+def bits_per_pixel(fmt: ImageFormat) -> int:
+    """Storage bits per pixel (Image.h:282, FreeImage_GetBPP values)."""
+    return _BPP[fmt]
+
+
+def channel_mask_shift(fmt: ImageFormat, channel: int) -> tuple[int, int]:
+    """(mask, shift) of a packed channel, 0..3 = RGBA; zeros when the
+    format has no packed integer channel layout (Image.h:300-342)."""
+    entry = _MASKS.get(fmt)
+    if entry is None:
+        return (0, 0)
+    return entry[channel]

@@ -169,6 +169,60 @@ class Image:
             raise ValueError("invalid image")
         return self._data
 
+    # -- pixel-layout introspection (Image.h:282-352) ---------------------
+
+    @property
+    def bits_per_pixel(self) -> int:
+        from cuttlefish_tpu.image.format import bits_per_pixel
+
+        return 0 if self._data is None else bits_per_pixel(self._format)
+
+    def _mask_shift(self, channel: int) -> tuple[int, int]:
+        from cuttlefish_tpu.image.format import channel_mask_shift
+
+        if self._data is None:
+            return (0, 0)
+        return channel_mask_shift(self._format, channel)
+
+    @property
+    def red_mask(self) -> int:
+        return self._mask_shift(0)[0]
+
+    @property
+    def red_shift(self) -> int:
+        return self._mask_shift(0)[1]
+
+    @property
+    def green_mask(self) -> int:
+        return self._mask_shift(1)[0]
+
+    @property
+    def green_shift(self) -> int:
+        return self._mask_shift(1)[1]
+
+    @property
+    def blue_mask(self) -> int:
+        return self._mask_shift(2)[0]
+
+    @property
+    def blue_shift(self) -> int:
+        return self._mask_shift(2)[1]
+
+    @property
+    def alpha_mask(self) -> int:
+        return self._mask_shift(3)[0]
+
+    @property
+    def alpha_shift(self) -> int:
+        return self._mask_shift(3)[1]
+
+    def scanline(self, y: int) -> np.ndarray:
+        """Row y of the storage array (shared view; Image.h:349-352 —
+        already top-down here, no bottom-up flip needed)."""
+        if self._data is None or not 0 <= y < self.height:
+            raise ValueError("invalid scanline")
+        return self._data[y]
+
     def rgbad(self) -> np.ndarray:
         """Whole image as (H, W, 4) float64 RGBA (getPixel semantics)."""
         return to_rgbad(self.array, self._format)

@@ -311,3 +311,45 @@ def test_exr_roundtrip_and_zip(tmp_path):
     dec2, _ = exr.decode_exr(zfile)
     assert np.array_equal(dec2, arr)
     assert len(zfile) < len(none)
+
+
+class TestLayoutIntrospection:
+    """Pixel-layout accessors (Image.h:282-352; FreeImage little-endian
+    mask values; the reference's blueMask is assigned the green mask by an
+    upstream slip at Image.cpp:746 — intended per-channel values here)."""
+
+    def test_rgba8_masks(self):
+        img = Image()
+        img.initialize(ImageFormat.RGBA8, 4, 4)
+        assert img.bits_per_pixel == 32
+        assert (img.red_mask, img.red_shift) == (0x00FF0000, 16)
+        assert (img.green_mask, img.green_shift) == (0x0000FF00, 8)
+        assert (img.blue_mask, img.blue_shift) == (0x000000FF, 0)
+        assert (img.alpha_mask, img.alpha_shift) == (0xFF000000, 24)
+
+    def test_rgb565_masks(self):
+        img = Image()
+        img.initialize(ImageFormat.RGB565, 4, 4)
+        assert img.bits_per_pixel == 16
+        assert (img.red_mask, img.red_shift) == (0xF800, 11)
+        assert (img.green_mask, img.green_shift) == (0x07E0, 5)
+        assert (img.blue_mask, img.blue_shift) == (0x001F, 0)
+        assert img.alpha_mask == 0
+
+    def test_float_formats_no_masks(self):
+        img = Image()
+        img.initialize(ImageFormat.RGBAF, 4, 4)
+        assert img.bits_per_pixel == 128
+        assert img.red_mask == 0 and img.alpha_mask == 0
+
+    def test_scanline(self):
+        img = Image()
+        img.initialize(ImageFormat.RGBA8, 3, 2)
+        img.set_pixel(1, 1, (1.0, 0.0, 0.0, 1.0))
+        row = img.scanline(1)
+        assert row.shape[0] == 3
+        assert row[1][0] == 255  # red channel of the set pixel
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            img.scanline(2)
