@@ -101,6 +101,13 @@ class Texture:
         self._valid = True
         return True
 
+    def reset(self) -> None:
+        """Return to the uninitialized state (Texture.h:576)."""
+        self._valid = False
+        self._images = []
+        self._textures = None
+        self._format = TextureFormat.Unknown
+
     def _effective_depth(self, mip_level: int) -> int:
         if self._dimension is Dimension.Dim3D:
             return max(self._depth >> mip_level, 1)
