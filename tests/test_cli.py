@@ -296,3 +296,34 @@ class TestReferenceParityExtras:
         PIL.Image.fromarray(arr, "RGBA").save(p)
         out = str(tmp_path / "o.dds")
         assert run(["-i", p, "-f", "BC1_RGBA", "-Q", "lowest", "-o", out]) == 0
+
+
+class TestCustomMipDefaults:
+    def test_default_replacement_is_continue(self, tmp_path):
+        """-M without once/continue uses Continue (CommandLine.cpp:1076):
+        mips BELOW the custom level must derive from the custom image, not
+        resume the original chain."""
+        import PIL.Image
+
+        # 8x8 base: all black.  Custom mip 1 (4x4): all white.  With
+        # Continue, mip 2 (2x2) is white; with Once it would be black.
+        base = str(tmp_path / "base.png")
+        PIL.Image.fromarray(np.zeros((8, 8, 4), np.uint8)).save(base)
+        custom = str(tmp_path / "white.png")
+        PIL.Image.fromarray(
+            np.full((4, 4, 4), 255, np.uint8)).save(custom)
+        out = str(tmp_path / "o.ktx")
+        assert run([
+            "-i", base, "-f", "R8G8B8A8", "-m", "-M", "1", custom,
+            "-o", out,
+        ]) == 0
+        data = open(out, "rb").read()
+        # KTX1: 64B header + per-mip (4B size + payload); mip2 is 2x2 RGBA8.
+        off = 64
+        for _ in range(2):  # skip mips 0 and 1
+            (sz,) = struct.unpack("<I", data[off : off + 4])
+            off += 4 + sz
+        (sz,) = struct.unpack("<I", data[off : off + 4])
+        mip2 = data[off + 4 : off + 4 + sz]
+        assert sz == 2 * 2 * 4
+        assert set(mip2[0::4]) == {255}, "mip2 must derive from the custom image"
