@@ -312,7 +312,57 @@ def measure_full_matrix() -> dict:
     return out
 
 
+def measure_scaling() -> dict:
+    """1 -> N device scaling efficiency (BASELINE.json: >= 90% target).
+
+    Shards the BC7 block batch over an N-device mesh and compares
+    per-device throughput against the 1-device run.  On a single-chip
+    machine (this round's hardware) it reports the device count and skips;
+    the harness is exercised on the virtual CPU mesh by the test suite and
+    runs for real once a multi-chip slice is attached.
+    """
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from cuttlefish_tpu.convert.blocks import extract_blocks
+    from cuttlefish_tpu.kernels.bc7 import encode_bc7
+
+    devs = jax.devices()
+    n = len(devs)
+    if n < 2:
+        return {"devices": n, "note": "single device; scaling run skipped"}
+    surf = _test_surface(IMAGE)
+    blocks, _, _ = extract_blocks(surf, 4, 4)
+    nblk = blocks.shape[0] - blocks.shape[0] % n
+
+    def throughput(ndev):
+        mesh = Mesh(np.asarray(devs[:ndev]), ("blocks",))
+        sh = NamedSharding(mesh, P("blocks"))
+        placed = jax.device_put(np.asarray(blocks[:nblk]), sh)
+        step = jax.jit(
+            lambda b: encode_bc7(b, quality=QUALITY),
+            in_shardings=sh, out_shardings=sh,
+        )
+        jax.block_until_ready(step(placed))
+        t0 = time.perf_counter()
+        outs = [step(placed) for _ in range(8)]
+        jax.block_until_ready(outs[-1])
+        return nblk * 16 * 8 / (time.perf_counter() - t0) / 1e6
+
+    one = throughput(1)
+    full = throughput(n)
+    return {
+        "devices": n,
+        "mtexels_1dev": round(one, 2),
+        "mtexels_ndev": round(full, 2),
+        "efficiency": round(full / (one * n), 4),
+    }
+
+
 def main() -> None:
+    if "--scaling" in sys.argv:
+        print(json.dumps(measure_scaling()))
+        return
     tpu = measure_bc7_tpu()
     try:
         cpu = measure_bc7_cpu()

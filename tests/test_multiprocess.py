@@ -89,3 +89,16 @@ def test_two_process_mesh_writes_identical_dds(tmp_path):
     res, ref = tex.save_to_bytes(ct.FileType.DDS)
     assert res is ct.SaveResult.Success
     assert out.read_bytes() == ref
+
+
+@pytest.mark.slow
+def test_bench_scaling_harness_virtual_mesh():
+    """bench.py --scaling measures 1->N efficiency; on the 8-device
+    virtual CPU mesh it must produce a sane efficiency figure (the real
+    multi-chip run uses the same code path)."""
+    import bench
+
+    res = bench.measure_scaling()
+    assert res["devices"] == 8
+    assert res["mtexels_ndev"] > 0 and res["mtexels_1dev"] > 0
+    assert 0 < res["efficiency"] <= 1.5
