@@ -76,16 +76,20 @@ class TestPvrtc1:
         assert _psnr(dec[..., :3], surf[..., :3]) > 24
 
     def test_refinement_helps(self):
+        """The footprint-aware Jacobi refinement must buy real quality:
+        monotone down the ladder and >= 2 dB from Lowest to Highest."""
         rng = np.random.default_rng(3)
         surf = _smooth_surface(32, 32, rng)
         errs = []
-        for q in (0, 4):
+        for q in (0, 2, 4):
             words = np.asarray(encode_pvrtc1(surf, bpp2=False, quality=q))
             dec = decode_pvrtc1(
                 np.ascontiguousarray(words.astype("<u4")).view(np.uint8), 32, 32
             )
             errs.append(np.mean((dec[..., :3] - surf[..., :3]) ** 2))
         assert errs[1] <= errs[0] + 1e-9
+        assert errs[2] <= errs[1] + 1e-9
+        assert errs[2] < 0.64 * errs[0]  # >= ~2 dB gain at Highest
 
 
 class TestPipeline:
