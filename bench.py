@@ -309,6 +309,29 @@ def measure_full_matrix() -> dict:
         key = f"astc4x4_q{q}_kernel"
         out[key] = {"mtexels_per_s": round(1024 * 1024 / dt / 1e6, 2)}
         log(f"{key}: {out[key]}")
+
+    # PVRTC1 4bpp (whole-surface jnp; not block-local, so no Pallas path).
+    # Throughput at 1024^2 plus PSNR at 256^2 via the spec decoder (the
+    # footprint-aware refinement is the quality lever — see BASELINE.md).
+    from cuttlefish_tpu.decode.pvrtc import decode_pvrtc1
+    from cuttlefish_tpu.kernels import pvrtc as kpvrtc
+
+    surf1k = _test_surface(1024)
+    dt = _time_chained(
+        lambda s: kpvrtc.encode_pvrtc1(s, quality=QUALITY), surf1k, 2,
+        chain=4,
+    )
+    s256 = _test_surface(256)
+    words = np.asarray(kpvrtc.encode_pvrtc1(s256, quality=QUALITY))
+    dec = decode_pvrtc1(
+        np.ascontiguousarray(words.astype("<u4")).view(np.uint8), 256, 256
+    )
+    mse = float(np.mean((dec[..., :3] - s256[..., :3]) ** 2))
+    out["pvrtc1_q2"] = {
+        "mtexels_per_s": round(1024 * 1024 / dt / 1e6, 2),
+        "psnr_256_db": round(10.0 * np.log10(1.0 / mse), 2),
+    }
+    log(f"pvrtc1_q2: {out['pvrtc1_q2']}")
     return out
 
 

@@ -94,23 +94,33 @@ def _decode_pvrtc(
     # Punch-through modulation mode (color word bit 0, 4bpp): weights
     # 0/4/4/8 and index 2 zeroes alpha (PVRTDecompress getModulationValues).
     punch_weights = np.array([0, 4, 4, 8], np.float32)
-    out = np.zeros((height, width, 4), np.float32)
-    for by in range(nby):
-        for bx in range(nbx):
-            m = int(mod[by * nbx + bx])
-            punch = (not bpp2) and (cw[by * nbx + bx] & 1)
-            wtab = punch_weights if punch else weights
-            for fy in range(bh):
-                for fx in range(bw):
-                    idx = (m >> (bits * (fy * bw + fx))) & ((1 << bits) - 1)
-                    w8 = wtab[idx]
-                    y, x = by * bh + fy, bx * bw + fx
-                    out[y, x] = (
-                        a_img[y, x] * (8 - w8) + b_img[y, x] * w8
-                    ) / 8.0
-                    if punch and idx == 2:
-                        out[y, x, 3] = 0.0
-    return out
+
+    # Vectorized: unpack per-texel modulation indices for all blocks at
+    # once, pick the weight table per block by the punch flag, blend.
+    texel = np.arange(bh * bw, dtype=np.uint64)  # raster within block
+    idx = (
+        (mod[:, None] >> (bits * texel[None, :]))
+        & np.uint64((1 << bits) - 1)
+    ).astype(np.int64)  # [nblocks, bh*bw]
+    punch = (
+        np.zeros(len(cw), bool) if bpp2 else (cw & 1).astype(bool)
+    )  # [nblocks]
+    w8 = np.where(
+        punch[:, None], punch_weights[idx], weights[idx]
+    )  # [nblocks, bh*bw]
+    punched = punch[:, None] & (idx == 2)
+    # Scatter block-texel grids back to the surface raster.
+    w8_img = (
+        w8.reshape(nby, nbx, bh, bw).transpose(0, 2, 1, 3)
+        .reshape(height, width)
+    )
+    punched_img = (
+        punched.reshape(nby, nbx, bh, bw).transpose(0, 2, 1, 3)
+        .reshape(height, width)
+    )
+    out = (a_img * (8.0 - w8_img[..., None]) + b_img * w8_img[..., None]) / 8.0
+    out[..., 3] = np.where(punched_img, 0.0, out[..., 3])
+    return out.astype(np.float32)
 
 
 def decode_pvrtc1(
