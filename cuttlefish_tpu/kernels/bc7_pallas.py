@@ -788,6 +788,28 @@ def _mode_2subset(px, iters, chw, part2, part2t, anchors, mode, topk):
     best_words = None
     best_err = None
     pxc = px[:chn]
+    if len(parts) > 1:
+        # Estimate-then-refine (mirrors kernels/bc7.py:_best_over_candidates
+        # est_err): rank the screened partitions by ONE unrefined
+        # quantize+assign pass per candidate and deep-fit only the
+        # per-block winner.
+        bp, be = None, None
+        for part in parts:
+            onehot = (iota64 == part).astype(jnp.float32)
+            m1 = mm(part2t, onehot)
+            _, _, e0 = _fit(
+                pxc, 1.0 - m1, levels, quant, 0, cw[:chn],
+                seed_of(1.0 - m1),
+            )
+            _, _, e1 = _fit(pxc, m1, levels, quant, 0, cw[:chn], seed_of(m1))
+            e = e0 + e1
+            if bp is None:
+                bp, be = part, e
+            else:
+                take = e < be
+                bp = jnp.where(take, part, bp)
+                be = jnp.minimum(e, be)
+        parts = [bp]
     for part in parts:
         onehot = (iota64 == part).astype(jnp.float32)
         m1 = mm(part2t, onehot)
@@ -924,6 +946,26 @@ def _mode_3subset(px, iters, chw, p3m, p3mt, anch2, anch3, mode, topk):
     px3 = px[:3]
     best_words = None
     best_err = None
+    if len(parts) > 1:
+        # Estimate-then-refine, as in _mode_2subset.
+        bp, be = None, None
+        for part in parts:
+            onehot = (iota64 == part).astype(jnp.float32)
+            subm = [mm(p3mt[s], onehot) for s in range(3)]
+            e = None
+            for sidx in range(3):
+                _, _, se = _fit(
+                    px3, subm[sidx], levels, quant, 0, cw[:3],
+                    seed_of(subm[sidx]),
+                )
+                e = se if e is None else e + se
+            if bp is None:
+                bp, be = part, e
+            else:
+                take = e < be
+                bp = jnp.where(take, part, bp)
+                be = jnp.minimum(e, be)
+        parts = [bp]
     for part in parts:
         onehot = (iota64 == part).astype(jnp.float32)
         subm = [mm(p3mt[s], onehot) for s in range(3)]  # [16,TN] each
