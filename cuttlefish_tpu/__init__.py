@@ -38,12 +38,15 @@ from cuttlefish_tpu.formats import (
 )
 from cuttlefish_tpu.image import Image, ImageFormat, NormalOptions, ResizeFilter, RotateAngle
 from cuttlefish_tpu.texture import CustomMipImage, Texture
+from cuttlefish_tpu.containers.load import LoadError, load_texture
 
 __version__ = "0.1.0"
 
 __all__ = [
     "Alpha",
     "ColorMask",
+    "LoadError",
+    "load_texture",
     "ColorSpace",
     "CubeFace",
     "CustomMipImage",

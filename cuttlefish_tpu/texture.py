@@ -579,6 +579,27 @@ class Texture:
         d = self.data(face, mip_level, depth)
         return 0 if d is None else len(d)
 
+    def decode_image(
+        self, face: CubeFace | None = None, mip_level: int = 0, depth: int = 0
+    ) -> Image | None:
+        """Decode one converted surface back to an RGBAF Image.
+
+        Extension beyond the reference (which never decodes): dispatches
+        to the spec decoders in ``decode/`` for compressed formats and
+        inverts the standard packing for uncompressed ones.  Values are
+        the format's natural decode domain (UNorm in [0,1], SNorm in
+        [-1,1], Int/UInt raw integers as floats, HDR floats)."""
+        data = self.data(face, mip_level, depth)
+        if data is None:
+            return None
+        from cuttlefish_tpu.decode.surface import decode_surface
+
+        arr = decode_surface(
+            data, self._format, self._type,
+            self.width(mip_level), self.height(mip_level),
+        )
+        return Image.from_array(arr, ImageFormat.RGBAF, self._color_space)
+
     # -- save --------------------------------------------------------------
 
     def save(

@@ -41,6 +41,8 @@ MODULES = [
     "cuttlefish_tpu.containers.ktx",
     "cuttlefish_tpu.containers.ktx2",
     "cuttlefish_tpu.containers.pvr",
+    "cuttlefish_tpu.containers.load",
+    "cuttlefish_tpu.decode.surface",
     "cuttlefish_tpu.kernels.bc",
     "cuttlefish_tpu.kernels.bc6h",
     "cuttlefish_tpu.kernels.bc7",

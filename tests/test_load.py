@@ -1,0 +1,175 @@
+"""Container loader round-trips (containers/load.py) and surface decode.
+
+Every loader is the enumeration-inverse of its writer, so the contract
+tested here is: save -> load preserves metadata and surface bytes, and
+load -> save reproduces the original container byte-for-byte.
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+import cuttlefish_tpu as ct
+
+
+def _image(w, h, seed=0):
+    rng = np.random.default_rng(seed)
+    arr = rng.random((h, w, 4), np.float32)
+    return ct.Image.from_array(arr, ct.ImageFormat.RGBAF), arr
+
+
+def _texture(fmt, type_=ct.TextureType.UNorm, w=16, h=16, mips=False,
+             layers=0, quality=ct.Quality.Lowest):
+    tex = ct.Texture(ct.Dimension.Dim2D, w, h, depth=layers)
+    img, _ = _image(w, h)
+    for d in range(max(layers, 1)):
+        assert tex.set_image(img, depth=d)
+    if mips:
+        assert tex.generate_mipmaps()
+    assert tex.convert(fmt, type_, quality=quality)
+    return tex
+
+
+def _roundtrip(tex, file_type, **save_kw):
+    res, blob = tex.save_to_bytes(file_type, **save_kw)
+    assert res is ct.SaveResult.Success
+    loaded = ct.load_texture(blob)
+    # Re-save must reproduce the container byte-for-byte.
+    res2, blob2 = loaded.save_to_bytes(file_type, **save_kw)
+    assert res2 is ct.SaveResult.Success
+    assert blob2 == blob
+    return loaded
+
+
+def test_dds_roundtrip_bc1():
+    tex = _texture(ct.TextureFormat.BC1_RGB, mips=True)
+    loaded = _roundtrip(tex, ct.FileType.DDS)
+    assert loaded.format is ct.TextureFormat.BC1_RGB
+    assert loaded.type is ct.TextureType.UNorm
+    assert loaded.mip_levels == tex.mip_levels
+    for mip in range(tex.mip_levels):
+        assert loaded.data(mip_level=mip) == tex.data(mip_level=mip)
+
+
+def test_dds_roundtrip_cube():
+    tex = ct.Texture(ct.Dimension.Cube, 16, 16)
+    img, _ = _image(16, 16)
+    for face in ct.CubeFace:
+        assert tex.set_image(img, face=face)
+    assert tex.convert(ct.TextureFormat.BC7, quality=ct.Quality.Lowest)
+    loaded = _roundtrip(tex, ct.FileType.DDS)
+    assert loaded.dimension is ct.Dimension.Cube
+    assert loaded.faces == 6
+    for face in ct.CubeFace:
+        assert loaded.data(face) == tex.data(face)
+
+
+def test_dds_roundtrip_array_uncompressed():
+    tex = _texture(ct.TextureFormat.R8G8B8A8, layers=3)
+    loaded = _roundtrip(tex, ct.FileType.DDS)
+    assert loaded.is_array and loaded.depth() == 3
+    for d in range(3):
+        assert loaded.data(depth=d) == tex.data(depth=d)
+
+
+def test_ktx_roundtrip_uncompressed_row_padding():
+    # 15x7 RGB8 rows are 45 bytes -> padded to 48 in the container; the
+    # loader must strip the padding back out.
+    tex = _texture(ct.TextureFormat.R8G8B8, w=15, h=7)
+    loaded = _roundtrip(tex, ct.FileType.KTX)
+    assert loaded.format is ct.TextureFormat.R8G8B8
+    assert loaded.data() == tex.data()
+
+
+def test_ktx_roundtrip_etc2_mips():
+    tex = _texture(ct.TextureFormat.ETC2_R8G8B8, mips=True)
+    loaded = _roundtrip(tex, ct.FileType.KTX)
+    for mip in range(tex.mip_levels):
+        assert loaded.data(mip_level=mip) == tex.data(mip_level=mip)
+
+
+@pytest.mark.parametrize("scheme", ["none", "zlib", "zstd"])
+def test_ktx2_roundtrip_supercompression(scheme):
+    tex = _texture(ct.TextureFormat.BC4, mips=True)
+    try:
+        loaded = _roundtrip(tex, ct.FileType.KTX2, supercompression=scheme)
+    except ct.LoadError:
+        pytest.skip("zstandard missing")
+    assert loaded.format is ct.TextureFormat.BC4
+    for mip in range(tex.mip_levels):
+        assert loaded.data(mip_level=mip) == tex.data(mip_level=mip)
+
+
+def test_pvr_roundtrip_bc1a_metadata():
+    tex = _texture(ct.TextureFormat.BC1_RGBA)
+    loaded = _roundtrip(tex, ct.FileType.PVR)
+    assert loaded.format is ct.TextureFormat.BC1_RGBA
+    tex_rgb = _texture(ct.TextureFormat.BC1_RGB)
+    assert ct.load_texture(
+        tex_rgb.save_to_bytes(ct.FileType.PVR)[1]
+    ).format is ct.TextureFormat.BC1_RGB
+
+
+def test_pvr_roundtrip_array():
+    tex = _texture(ct.TextureFormat.EAC_R11, layers=2)
+    loaded = _roundtrip(tex, ct.FileType.PVR)
+    assert loaded.is_array and loaded.depth() == 2
+    assert loaded.data(depth=1) == tex.data(depth=1)
+
+
+def test_load_auto_sniffing_and_errors(tmp_path):
+    tex = _texture(ct.TextureFormat.R8G8B8A8)
+    for ft in (ct.FileType.DDS, ct.FileType.KTX, ct.FileType.PVR,
+               ct.FileType.KTX2):
+        blob = tex.save_to_bytes(ft)[1]
+        assert ct.load_texture(blob).format is ct.TextureFormat.R8G8B8A8
+    path = tmp_path / "t.dds"
+    assert tex.save(path) is ct.SaveResult.Success
+    assert ct.load_texture(path).format is ct.TextureFormat.R8G8B8A8
+    with pytest.raises(ct.LoadError):
+        ct.load_texture(b"not a container at all")
+
+
+def test_decode_image_uncompressed_exact():
+    tex = ct.Texture(ct.Dimension.Dim2D, 9, 5)
+    img, arr = _image(9, 5)
+    assert tex.set_image(img)
+    assert tex.convert(ct.TextureFormat.R8G8B8A8)
+    dec = tex.decode_image()
+    expect = np.round(np.clip(arr, 0, 1) * 255.0) / 255.0
+    assert np.allclose(dec.array, expect, atol=1e-6)
+
+
+def test_decode_image_packed565():
+    tex = ct.Texture(ct.Dimension.Dim2D, 8, 8)
+    img, arr = _image(8, 8)
+    assert tex.set_image(img)
+    assert tex.convert(ct.TextureFormat.R5G6B5)
+    dec = tex.decode_image().array
+    assert np.all(np.abs(dec[..., :3] - arr[..., :3]) <= 0.5 / 31.0 + 1e-6)
+    assert np.all(dec[..., 3] == 1.0)
+
+
+def test_decode_image_bc1_quality():
+    tex = ct.Texture(ct.Dimension.Dim2D, 16, 16)
+    rng = np.random.default_rng(3)
+    base = rng.random((1, 1, 4)).astype(np.float32)
+    arr = np.clip(
+        base + rng.normal(0, 0.03, (16, 16, 4)).astype(np.float32), 0, 1
+    )
+    arr[..., 3] = 1.0
+    assert tex.set_image(ct.Image.from_array(arr, ct.ImageFormat.RGBAF))
+    assert tex.convert(ct.TextureFormat.BC1_RGB, quality=ct.Quality.Lowest)
+    dec = tex.decode_image().array
+    mse = float(np.mean((dec[..., :3] - arr[..., :3]) ** 2))
+    assert 10 * np.log10(1.0 / (mse + 1e-12)) > 30.0
+
+
+def test_decode_image_loaded_from_container():
+    tex = _texture(ct.TextureFormat.BC3, quality=ct.Quality.Low)
+    blob = tex.save_to_bytes(ct.FileType.KTX)[1]
+    loaded = ct.load_texture(blob)
+    a = tex.decode_image().array
+    b = loaded.decode_image().array
+    assert np.array_equal(a, b)
