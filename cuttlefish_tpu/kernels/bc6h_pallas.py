@@ -156,19 +156,45 @@ def _palette_entry(q0, q1, w: int, bits: int, signed: bool):
     return out
 
 
+def _w64_dyn(kk, levels: int):
+    """Per-texel interpolation weight round(k*64/(L-1)) (the BC6H 3/4-bit
+    weight tables equal the BC7 formula); same float-floor trick as
+    bc7_pallas._w64 — the numerator is odd so the f32 floor is exact."""
+    num = (kk * 128 + (levels - 1)).astype(jnp.float32)
+    return jnp.floor(num * (1.0 / (2 * (levels - 1)))).astype(jnp.int32)
+
+
 def _assign_full(px, q0, q1, bits: int, signed: bool, weights, mask=None):
-    """Full palette argmin per texel.  Returns (idx [16,TN], err [1,TN])."""
+    """Nearest-palette index by line projection + 3-candidate exact check
+    (the BC7 kernels' O(1) assign instead of the full L-entry sweep).
+    Returns (idx [16,TN], err [1,TN])."""
+    levels = len(weights)
+    unq = _unquant_signed if signed else _unquant_unsigned
+    u0 = [unq(q0[c], bits) for c in range(3)]
+    u1 = [unq(q1[c], bits) for c in range(3)]
+    # w=0 / w=64 palette entries are just finalize(u): (u*64+32)>>6 == u.
+    lof = [_finalize(u0[c], signed).astype(jnp.float32) for c in range(3)]
+    hif = [_finalize(u1[c], signed).astype(jnp.float32) for c in range(3)]
+    dd = [hif[c] - lof[c] for c in range(3)]
+    denom = sum(d * d for d in dd) + 1e-6
+    t = jnp.clip(
+        sum((px[c] - lof[c]) * dd[c] for c in range(3)) / denom, 0.0, 1.0
+    )
+    k = jnp.clip(jnp.round(t * (levels - 1)), 0, levels - 1).astype(jnp.int32)
     best_i = None
     best_e = None
-    for k, w in enumerate(weights):
-        pal = _palette_entry(q0, q1, int(w), bits, signed)
-        e = sum((px[c] - pal[c]) ** 2 for c in range(3))
+    for dk in (-1, 0, 1):
+        kk = jnp.clip(k + dk, 0, levels - 1)
+        w = _w64_dyn(kk, levels)
+        e = jnp.zeros_like(px[0])
+        for c in range(3):
+            interp = (u0[c] * (64 - w) + u1[c] * w + 32) >> 6
+            e = e + (px[c] - _finalize(interp, signed).astype(jnp.float32)) ** 2
         if best_i is None:
-            best_i = jnp.zeros_like(px[0], dtype=jnp.int32)
-            best_e = e
+            best_i, best_e = kk, e
         else:
             take = e < best_e
-            best_i = jnp.where(take, k, best_i)
+            best_i = jnp.where(take, kk, best_i)
             best_e = jnp.minimum(e, best_e)
     if mask is not None:
         best_e = best_e * mask
@@ -384,34 +410,54 @@ def _fit_two_region(px, masks, anchor_oh, e0, e1, mode_id, signed):
             effs.append([rw[c] + dlt[c] for c in range(3)])
     v01, v10, v11 = effs
 
+    # Per-texel endpoint line via the region masks, then the projection
+    # + 3-candidate assign (replaces two full 8-weight palette sweeps).
+    unq = _unquant_signed if signed else _unquant_unsigned
+    sel1 = masks[1] > 0.5
+    u0t = [
+        jnp.where(sel1, unq(v10[c], epbits), unq(rw[c], epbits))
+        for c in range(3)
+    ]
+    u1t = [
+        jnp.where(sel1, unq(v11[c], epbits), unq(v01[c], epbits))
+        for c in range(3)
+    ]
+    lof = [_finalize(u0t[c], signed).astype(jnp.float32) for c in range(3)]
+    hif = [_finalize(u1t[c], signed).astype(jnp.float32) for c in range(3)]
+    dd = [hif[c] - lof[c] for c in range(3)]
+    denom = sum(d * d for d in dd) + 1e-6
+    t = jnp.clip(
+        sum((px[c] - lof[c]) * dd[c] for c in range(3)) / denom, 0.0, 1.0
+    )
+    k0 = jnp.clip(jnp.round(t * 7.0), 0, 7).astype(jnp.int32)
+
+    def eval_at(kk):
+        w = _w64_dyn(kk, 8)
+        e = jnp.zeros_like(px[0])
+        for c in range(3):
+            interp = (u0t[c] * (64 - w) + u1t[c] * w + 32) >> 6
+            e = e + (px[c] - _finalize(interp, signed).astype(jnp.float32)) ** 2
+        return e
+
     best_i = None
     best_e = None
-    for k, w in enumerate(WEIGHTS3):
-        p0 = _palette_entry(rw, v01, int(w), epbits, signed)
-        p1 = _palette_entry(v10, v11, int(w), epbits, signed)
-        pal = [
-            p0[c] * masks[0] + p1[c] * masks[1] for c in range(3)
-        ]
-        e = sum((px[c] - pal[c]) ** 2 for c in range(3))
+    for dk in (-1, 0, 1):
+        kk = jnp.clip(k0 + dk, 0, 7)
+        e = eval_at(kk)
         if best_i is None:
-            best_i = jnp.zeros_like(px[0], dtype=jnp.int32)
-            best_e = e
+            best_i, best_e = kk, e
         else:
             take = e < best_e
-            best_i = jnp.where(take, k, best_i)
+            best_i = jnp.where(take, kk, best_i)
             best_e = jnp.minimum(e, best_e)
+    # Anchor texels clamp their 3-bit index to the 2-bit range; the exact
+    # error of a clamped texel is the k=3 entry's (no second sweep needed).
     is_anchor = (_iota16(px[0].shape) == 0) | (anchor_oh > 0.5)
+    clamped = is_anchor & (best_i > 3)
     idx = jnp.where(is_anchor, jnp.minimum(best_i, 3), best_i)
-    # exact error of the clamped assignment
-    err = None
-    for k, w in enumerate(WEIGHTS3):
-        p0 = _palette_entry(rw, v01, int(w), epbits, signed)
-        p1 = _palette_entry(v10, v11, int(w), epbits, signed)
-        pal = [p0[c] * masks[0] + p1[c] * masks[1] for c in range(3)]
-        e = sum((px[c] - pal[c]) ** 2 for c in range(3))
-        sel = (idx == k).astype(jnp.float32)
-        err = e * sel if err is None else err + e * sel
-    return fields, idx, _rt(err)
+    e3 = eval_at(jnp.full_like(best_i, 3))
+    err_t = jnp.where(clamped, e3, best_e)
+    return fields, idx, _rt(err_t)
 
 
 def _pack_two_region(mode_id, fields, d, idx, anchor1):

@@ -1113,13 +1113,21 @@ def _kernel_hq(
             take = sr < s2
             r2 = jnp.where(take, r, r2)
             s2 = jnp.minimum(sr, s2)
+        # Estimate-then-refine over the two screened rotations: one
+        # unrefined mode-5 fit ranks them by true candidate error; only
+        # the per-block winner gets the full mode-4/5 fits.
+        ests = []
         for rv in (r1, r2):
             pxr, chwr = _apply_rot(px, chw, rv)
-            for enc in (_mode5, _mode4):
-                w2, e2 = enc(pxr, iters, chwr, rv)
-                take = e2 < err
-                words = [jnp.where(take, a, b) for a, b in zip(w2, words)]
-                err = jnp.minimum(e2, err)
+            _, e = _mode5(pxr, 0, chwr, rv)
+            ests.append(e)
+        rbest = jnp.where(ests[1] < ests[0], r2, r1)
+        pxr, chwr = _apply_rot(px, chw, rbest)
+        for enc in (_mode5, _mode4):
+            w2, e2 = enc(pxr, iters, chwr, rbest)
+            take = e2 < err
+            words = [jnp.where(take, a, b) for a, b in zip(w2, words)]
+            err = jnp.minimum(e2, err)
     for mode, key in ((1, "m1"), (3, "m3"), (7, "m7")):
         if plan[key]:
             w2, e2 = _mode_2subset(

@@ -115,6 +115,26 @@ def check_astc(qualities=(2, 3, 4)):
         print(f"astc {name}: " + " ".join(row), flush=True)
 
 
+def check_bc6h(qualities=(2, 4)):
+    from cuttlefish_tpu.decode.bc6h import decode_bc6h_f32
+    from cuttlefish_tpu.kernels.bc6h_pallas import encode_bc6h_pallas
+
+    for name, blocks in content_sets(nblocks=2048).items():
+        hdr = blocks[..., :3] * 8.0  # HDR range
+        row = []
+        for q in qualities:
+            words = np.asarray(encode_bc6h_pallas(hdr, quality=q))
+            sub = np.ascontiguousarray(words[::8].astype("<u4")).view(
+                np.uint8
+            )
+            dec = decode_bc6h_f32(sub)
+            ref = hdr[::8]
+            mse = float(np.mean((dec - ref) ** 2))
+            peak = float(ref.max()) ** 2
+            row.append(f"q{q}={10*np.log10(peak/mse):.3f}")
+        print(f"bc6h {name}: " + " ".join(row), flush=True)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     print(f"devices: {jax.devices()}", flush=True)
@@ -122,3 +142,5 @@ if __name__ == "__main__":
         check_bc7()
     if which in ("astc", "all"):
         check_astc()
+    if which in ("bc6h", "all"):
+        check_bc6h()
