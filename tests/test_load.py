@@ -173,3 +173,68 @@ def test_decode_image_loaded_from_container():
     a = tex.decode_image().array
     b = loaded.decode_image().array
     assert np.array_equal(a, b)
+
+
+def _valid_combos():
+    """Every (format, type) the converter accepts, skipping UFloat ASTC
+    (HDR compiles are heavy; covered by test_astc) and keeping one type
+    per format to bound runtime."""
+    out = []
+    for fmt in ct.TextureFormat:
+        if fmt is ct.TextureFormat.Unknown:
+            continue
+        for t in (ct.TextureType.UNorm, ct.TextureType.SNorm,
+                  ct.TextureType.UInt, ct.TextureType.Int,
+                  ct.TextureType.Float, ct.TextureType.UFloat):
+            if ct.is_format_valid(fmt, t):
+                if fmt.name.startswith("ASTC_") and t is ct.TextureType.UFloat:
+                    continue
+                out.append((fmt, t))
+                break
+    return out
+
+
+@pytest.mark.slow
+def test_every_format_roundtrips_through_containers():
+    """For every (format, type): convert at Lowest quality, then for every
+    container that accepts it, save -> load -> byte-equal data -> re-save
+    byte-equal container; decode_image must succeed for every format."""
+    from cuttlefish_tpu.containers.dds import is_valid_for_dds
+    from cuttlefish_tpu.containers.ktx import is_valid_for_ktx
+    from cuttlefish_tpu.containers.ktx2 import is_valid_for_ktx2
+    from cuttlefish_tpu.containers.pvr import is_valid_for_pvr
+
+    validity = [
+        (ct.FileType.DDS, is_valid_for_dds),
+        (ct.FileType.KTX, is_valid_for_ktx),
+        (ct.FileType.KTX2, is_valid_for_ktx2),
+        (ct.FileType.PVR, is_valid_for_pvr),
+    ]
+    rng = np.random.default_rng(7)
+    for fmt, t in _valid_combos():
+        w = h = max(ct.min_width(fmt), ct.min_height(fmt), 16)
+        tex = ct.Texture(ct.Dimension.Dim2D, w, h)
+        arr = rng.random((h, w, 4), np.float32)
+        if t in (ct.TextureType.SNorm, ct.TextureType.Float):
+            arr = arr * 2.0 - 1.0
+        elif t in (ct.TextureType.UInt, ct.TextureType.Int):
+            arr = np.round(arr * 100)
+        assert tex.set_image(ct.Image.from_array(arr, ct.ImageFormat.RGBAF))
+        assert tex.convert(fmt, t, quality=ct.Quality.Lowest), (fmt, t)
+        dec = tex.decode_image()
+        assert dec is not None and dec.array.shape == (h, w, 4), (fmt, t)
+        for ft, valid in validity:
+            if not valid(fmt, t):
+                continue
+            res, blob = tex.save_to_bytes(ft)
+            assert res is ct.SaveResult.Success, (fmt, t, ft)
+            loaded = ct.load_texture(blob)
+            assert loaded.data() == tex.data(), (fmt, t, ft)
+            if loaded.format is fmt and loaded.type is t:
+                # Byte-exact re-save, except where the container cannot
+                # represent the distinction (e.g. DDS BC1 RGB vs RGBA
+                # share a DXGI code and the loader picks one).
+                res2, blob2 = loaded.save_to_bytes(ft)
+                assert (res2, blob2) == (ct.SaveResult.Success, blob), (
+                    fmt, t, ft,
+                )
