@@ -159,12 +159,19 @@ def _basis_matrix(n_texels: int, block: int, n_blocks: int, wrap: bool):
         f = y % block
         j = y // block
         if f < half:
-            p = (j - 1) % n_blocks if wrap else max(j - 1, 0)
+            p_raw = j - 1
             w = (f + half) / block
         else:
-            p = j
+            p_raw = j
             w = (f - half) / block
-        q = (p + 1) % n_blocks if wrap else min(p + 1, n_blocks - 1)
+        if wrap:
+            p = p_raw % n_blocks
+            q = (p_raw + 1) % n_blocks
+        else:
+            # Clamp the bracketing PAIR (p_raw, p_raw+1) so border texels
+            # collapse to the pure border block, matching upscale_bilinear.
+            p = min(max(p_raw, 0), n_blocks - 1)
+            q = min(max(p_raw + 1, 0), n_blocks - 1)
         m[y, p] += 1.0 - w
         m[y, q] += w
     return m
@@ -192,10 +199,15 @@ def upscale_bilinear(
         qy = (py + 1) % nby
         qx = (px + 1) % nbx
     else:
-        py = jnp.clip(jnp.where(fy < bh // 2, j - 1, j), 0, nby - 1)
-        px = jnp.clip(jnp.where(fx < bw // 2, i - 1, i), 0, nbx - 1)
-        qy = jnp.clip(py + 1, 0, nby - 1)
-        qx = jnp.clip(px + 1, 0, nbx - 1)
+        # Clamp mode: bracketing centers are (j-1, j) or (j, j+1); clamp
+        # AFTER forming the pair so border texels collapse to the pure
+        # border block (p == q), not to an interpolation one block in.
+        py0 = jnp.where(fy < bh // 2, j - 1, j)
+        px0 = jnp.where(fx < bw // 2, i - 1, i)
+        qy = jnp.clip(py0 + 1, 0, nby - 1)
+        qx = jnp.clip(px0 + 1, 0, nbx - 1)
+        py = jnp.clip(py0, 0, nby - 1)
+        px = jnp.clip(px0, 0, nbx - 1)
     wy = jnp.where(fy < bh // 2, fy + bh // 2, fy - bh // 2).astype(jnp.float32) / bh
     wx = jnp.where(fx < bw // 2, fx + bw // 2, fx - bw // 2).astype(jnp.float32) / bw
     p00 = grid[py][:, px]
@@ -295,6 +307,18 @@ def _encode_pvrtc(
 
     mi, a_img, b_img = modulate(lo, hi)
 
+    def surface_err(mi_, a_, b_):
+        s = (mod_w[mi_] / 8.0)[..., None]
+        out = a_ * (1.0 - s) + b_ * s
+        return jnp.sum((rgba - out) ** 2)
+
+    # Keep the best state across refinement passes (the damped Jacobi step
+    # optimizes continuous endpoints against the QUANTIZED decode and can
+    # overshoot — notably on smooth clamp-mode PVRTC2 content); tracking
+    # the argmin makes the quality ladder monotone by construction (every
+    # higher quality evaluates a superset of candidate states).
+    best = (surface_err(mi, a_img, b_img), lo, hi, mi, a_img, b_img)
+
     if refines:
         # Footprint-aware refinement.  The decode is linear in the block
         # colors for fixed modulation: out(y,x) = (1-s)·Σφ_j A_j + s·Σφ_j B_j
@@ -328,6 +352,13 @@ def _encode_pvrtc(
             lo = jnp.clip(lo, 0.0, 1.0)
             hi = jnp.clip(hi, 0.0, 1.0)
             mi, a_img, b_img = modulate(lo, hi)
+            e = surface_err(mi, a_img, b_img)
+            keep = e < best[0]
+            best = tuple(
+                jnp.where(keep, new, old)
+                for new, old in zip((e, lo, hi, mi, a_img, b_img), best)
+            )
+        _, lo, hi, mi, a_img, b_img = best
 
     pa, _, pb, _ = quant_pair(lo, hi)
 
