@@ -187,6 +187,9 @@ class _FusedPyramid:
             srgb_to_linear_rgba,
         )
         from cuttlefish_tpu.image.resample import resample_weights
+        from cuttlefish_tpu.parallel import block_sharding, get_mesh
+
+        mesh = get_mesh()
 
         bw, bh = converter.block_w, converter.block_h
         dims = _mip_dims(h, w, levels)
@@ -258,6 +261,14 @@ class _FusedPyramid:
                     ],
                     axis=0,
                 )
+            if mesh is not None:
+                # Level 0 arrives replicated; the mip chain recomputes on
+                # every chip (cheap matmuls) and the block batch — where
+                # the work is — shards over the mesh, pure DP as in
+                # encode_many (the bucket is padded to a mesh multiple).
+                blocks = jax.lax.with_sharding_constraint(
+                    blocks, block_sharding(mesh)
+                )
             return converter.encode_blocks(blocks, params)
 
         self.fn = jax.jit(fn)
@@ -299,12 +310,15 @@ def _encode_pyramid(
         axis=0,
     )
     params = self.refine_params(lvl0_blocks, params)
+    from cuttlefish_tpu.parallel import get_mesh
+
     key = (
         type(self).__qualname__,
         tuple(sorted((k, repr(v)) for k, v in self.__dict__.items())),
         h, w, s, levels, filter_name, srgb, normal_opts,
         params.quality, params.alpha_type,
         repr(params.color_mask), params.color_space, params.content_gray,
+        repr(get_mesh()),
     )
     fused = _PYRAMID_FNS.get(key)
     if fused is None:

@@ -218,6 +218,16 @@ def load(source) -> tuple[np.ndarray, ImageFormat]:
     else:
         data = source.read()
 
+    if data[:4] in (b"DDS ", b"PVR\x03") or data.startswith(b"\xabKTX"):
+        # Texture containers as image inputs (FreeImage reads DDS/KTX too,
+        # Image.cpp:870-880): load + spec-decode the level-0 surface.
+        from cuttlefish_tpu.containers.load import load_texture
+
+        tex = load_texture(data)
+        img = tex.decode_image()
+        if img is None:
+            raise DecodeError("container has no decodable level-0 surface")
+        return img.array, ImageFormat.RGBAF
     if data.startswith(b"#?RADIANCE") or data.startswith(b"#?RGBE"):
         return decode_hdr(data), ImageFormat.RGBF
     if data[:2] in (b"PF", b"Pf") and data[2:3] in (b"\n", b" ", b"\r"):

@@ -58,6 +58,27 @@ class TestFusedPipeline:
             outs.append(t.save_to_bytes(ct.FileType.DDS)[1])
         assert outs[0] == outs[1]
 
+    @pytest.mark.parametrize("ndev", [4, 8])
+    def test_mesh_shard_equivalence(self, ndev):
+        """The fused pipeline shards its block batch over the active mesh
+        and must produce bytes identical to the single-device run."""
+        import jax
+        from jax.sharding import Mesh
+
+        from cuttlefish_tpu.parallel import BLOCK_AXIS, use_mesh
+
+        img = _img(64, 48, seed=5)
+
+        def run(mesh):
+            t = ct.Texture(ct.Dimension.Dim2D, 64, 48)
+            t.set_image(img)
+            with use_mesh(mesh):
+                assert t.convert_with_mips(F.BC3, T.UNorm, quality=Q.Low)
+            return t.save_to_bytes(ct.FileType.KTX)[1]
+
+        mesh = Mesh(np.asarray(jax.devices()[:ndev]), (BLOCK_AXIS,))
+        assert run(mesh) == run(None)
+
     def test_srgb_cube_astc(self):
         img = _img(16, 16, seed=5)
         tex = ct.Texture(ct.Dimension.Cube, 16, 16, color_space=ct.ColorSpace.sRGB)

@@ -175,6 +175,19 @@ def test_decode_image_loaded_from_container():
     assert np.array_equal(a, b)
 
 
+def test_image_load_reads_containers(tmp_path):
+    """Containers work as image inputs (FreeImage reads DDS/KTX in the
+    reference, Image.cpp:870-880): Image(path) decodes level 0 -> RGBAF,
+    so the whole CLI pipeline can transcode from a container."""
+    tex = _texture(ct.TextureFormat.BC1_RGB, w=16, h=16)
+    path = tmp_path / "t.dds"
+    assert tex.save(path) is ct.SaveResult.Success
+    img = ct.Image(str(path))
+    assert img.valid and img.format is ct.ImageFormat.RGBAF
+    assert (img.width, img.height) == (16, 16)
+    assert np.array_equal(img.array, tex.decode_image().array)
+
+
 def _valid_combos():
     """Every (format, type) the converter accepts, skipping UFloat ASTC
     (HDR compiles are heavy; covered by test_astc) and keeping one type
