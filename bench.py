@@ -309,6 +309,35 @@ def measure_full_matrix() -> dict:
         key = f"astc4x4_q{q}_kernel"
         out[key] = {"mtexels_per_s": round(1024 * 1024 / dt / 1e6, 2)}
         log(f"{key}: {out[key]}")
+    for bw, bh in ((6, 6), (8, 8)):
+        blocks_b, _, _ = extract_blocks(surf, bw, bh)
+        dt = _time_chained(
+            lambda b, bw=bw, bh=bh: kastc.encode_astc(
+                b, bw, bh, quality=2, gray=gray
+            ),
+            blocks_b, 4, chain=4,
+        )
+        key = f"astc{bw}x{bh}_q2_kernel"
+        out[key] = {"mtexels_per_s": round(1024 * 1024 / dt / 1e6, 2)}
+        log(f"{key}: {out[key]}")
+
+    # ETC2 RGB + EAC R11 kernel rows (quality Normal, 1024^2 batch).
+    dt = _time_chained(
+        lambda b: ketc.encode_etc_rgb(b, quality=2, etc2=True), blocks, 2,
+        chain=4,
+    )
+    out["etc2_rgb_q2_kernel"] = {
+        "mtexels_per_s": round(1024 * 1024 / dt / 1e6, 2)
+    }
+    log(f"etc2_rgb_q2_kernel: {out['etc2_rgb_q2_kernel']}")
+    dt = _time_chained(
+        lambda b: ketc.encode_eac_r11(b[..., 0], quality=2), blocks, 2,
+        chain=4,
+    )
+    out["eac_r11_q2_kernel"] = {
+        "mtexels_per_s": round(1024 * 1024 / dt / 1e6, 2)
+    }
+    log(f"eac_r11_q2_kernel: {out['eac_r11_q2_kernel']}")
 
     # PVRTC1 4bpp (whole-surface jnp; not block-local, so no Pallas path).
     # Throughput at 1024^2 plus PSNR at 256^2 via the spec decoder (the

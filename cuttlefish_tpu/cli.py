@@ -143,6 +143,8 @@ Output:
       --supercompression none|zstd|zlib
                                  KTX2 supercompression scheme, applied per
                                  mip level (KTX2 output only)
+      --texture-info file        print a DDS/KTX/KTX2/PVR container's
+                                 metadata and exit (extension)
 """
 
 
@@ -184,6 +186,7 @@ class Args:
         self.create_dir = False
         self.device_mips = False
         self.supercompression = "none"
+        self.texture_info = None  # --texture-info: print + exit
 
 
 def _err(msg: str) -> None:
@@ -637,6 +640,11 @@ def parse(argv: list[str]) -> Args | None:
                 else:
                     args.supercompression = sc
                     i += 1
+        elif a == "--texture-info":
+            ok = need(i, 1, a)
+            if ok:
+                args.texture_info = argv[i + 1]
+                i += 1
         else:
             _err(f"unknown option '{a}'")
             ok = False
@@ -651,6 +659,8 @@ def parse(argv: list[str]) -> Args | None:
 
 def validate(args: Args) -> bool:
     """Post-parse validation (CommandLine.cpp:624-793)."""
+    if args.texture_info is not None:
+        return True  # info mode needs no pipeline arguments
     if not args.images:
         _err("an input image must be provided")
         return False
@@ -817,10 +827,49 @@ def load_and_process_image(args: Args, path: str, size_box: list, mip_level: int
     return img
 
 
+def _texture_info(path: str) -> int:
+    """--texture-info: parse a DDS/KTX/KTX2/PVR container and print its
+    metadata (extension beyond the reference CLI; exit 2 on load errors,
+    the load-stage exit-code domain)."""
+    from cuttlefish_tpu.containers.load import LoadError, load_texture
+
+    try:
+        tex = load_texture(path)
+    except (OSError, LoadError) as e:
+        _err(f"cannot load '{path}': {e}")
+        return 2
+    dims = f"{tex.width()}x{tex.height()}"
+    if tex.dimension is Dimension.Dim3D:
+        dims += f"x{tex.depth()}"
+    print(f"file:       {path}")
+    print(f"dimension:  {tex.dimension.name}")
+    print(f"size:       {dims}")
+    if tex.is_array:
+        print(f"layers:     {tex.depth()}")
+    print(f"faces:      {tex.faces}")
+    print(f"mip levels: {tex.mip_levels}")
+    print(f"format:     {tex.format.name}")
+    print(f"type:       {tex.type.name}")
+    print(f"colorspace: {tex.color_space.name}")
+    print(f"alpha:      {tex.alpha_type.name}")
+    total = sum(
+        tex.data_size(CubeFace(f), m, d)
+        for m in range(tex.mip_levels)
+        for d in range(max(tex.depth(m), 1) if tex.dimension is Dimension.Dim3D
+                       else max(tex.depth(), 1))
+        for f in range(tex.faces)
+    )
+    print(f"data bytes: {total}")
+    return 0
+
+
 def run(argv: list[str]) -> int:
     args = parse(argv)
     if args is None:
         return 1
+
+    if args.texture_info is not None:
+        return _texture_info(args.texture_info)
 
     verbose = args.log == "verbose"
     size_box = [None, None]

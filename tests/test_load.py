@@ -188,6 +188,26 @@ def test_image_load_reads_containers(tmp_path):
     assert np.array_equal(img.array, tex.decode_image().array)
 
 
+def test_cli_texture_info_and_container_input(tmp_path, capsys):
+    """--texture-info prints container metadata; a container path as -i
+    input transcodes through the normal CLI pipeline."""
+    from cuttlefish_tpu.cli import run
+
+    tex = _texture(ct.TextureFormat.BC1_RGB, w=16, h=16, mips=True)
+    src = tmp_path / "in.dds"
+    assert tex.save(src) is ct.SaveResult.Success
+
+    assert run(["--texture-info", str(src)]) == 0
+    out = capsys.readouterr().out
+    assert "BC1_RGB" in out and "mip levels: 5" in out
+    assert run(["--texture-info", str(tmp_path / "missing.dds")]) == 2
+
+    dst = tmp_path / "out.ktx"
+    assert run(["-i", str(src), "-f", "ETC1", "-o", str(dst)]) == 0
+    loaded = ct.load_texture(dst)
+    assert loaded.format is ct.TextureFormat.ETC1
+
+
 def _valid_combos():
     """Every (format, type) the converter accepts, skipping UFloat ASTC
     (HDR compiles are heavy; covered by test_astc) and keeping one type
