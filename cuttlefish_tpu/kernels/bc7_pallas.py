@@ -614,7 +614,7 @@ def _mode5(px, iters: int, chw, rot=0):
     return pk.words, err
 
 
-def _mode4(px, iters: int, chw, rot=0):
+def _mode4(px, iters: int, chw, rot=0, idx_modes=(0, 1)):
     if isinstance(rot, int):
         perm = _rot_perm(rot)
         px = [px[p] for p in perm]
@@ -631,7 +631,7 @@ def _mode4(px, iters: int, chw, rot=0):
 
     best_words = None
     best_err = None
-    for idx_mode in (0, 1):
+    for idx_mode in idx_modes:
         clev = 4 if idx_mode == 0 else 8
         alev = 8 if idx_mode == 0 else 4
         (v0, v1, _, _), cidx, cerr = _fit(
@@ -1053,11 +1053,18 @@ def _kernel(x_ref, part2_ref, part2t_ref, anchors_ref, out_ref, *, quality,
         words = [jnp.where(take, a, b) for a, b in zip(w1, words)]
         err = jnp.minimum(e1, err)
     if quality >= 2:
-        for enc in (_mode5, _mode4):
-            w2, e2 = enc(px, iters, chw)
-            take = e2 < err
-            words = [jnp.where(take, a, b) for a, b in zip(w2, words)]
-            err = jnp.minimum(e2, err)
+        # Mode 4 runs only idx_mode 0 at Normal quality (2-bit color /
+        # 3-bit alpha): the alternate index mode wins <0.02 dB on the
+        # quality harness but costs ~10% of the whole kernel.  q3/q4
+        # evaluate both (see _kernel_hq).
+        w2, e2 = _mode5(px, iters, chw)
+        take = e2 < err
+        words = [jnp.where(take, a, b) for a, b in zip(w2, words)]
+        err = jnp.minimum(e2, err)
+        w2, e2 = _mode4(px, iters, chw, idx_modes=(0,))
+        take = e2 < err
+        words = [jnp.where(take, a, b) for a, b in zip(w2, words)]
+        err = jnp.minimum(e2, err)
 
     for w in range(4):
         out_ref[w : w + 1, :] = words[w]
