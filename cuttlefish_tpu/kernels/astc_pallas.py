@@ -118,10 +118,15 @@ def _pack_ise_pallas(words, values, levels, for_weights, start, reverse,
     """values: list of n [1,TN] int32 quantized values.  Mirrors
     kernels/astc.py:_pack_ise_jax, with the trit/quint pack-block gather
     as a one-hot matmul against the matching table of `pack_tbls`
-    (trit [1,243], quint [1,125] — kernel inputs)."""
+    (trit [1,243], quint [1,125] — kernel inputs).
+
+    The bit scatter is vectorized: a per-bit loop of [1,TN] ops (3+ narrow
+    vector ops per stream bit, hundreds per layout) becomes, per output
+    word, ONE static one-hot matmul gathering each bit's source row plus
+    row-constant shift/mask/shift ops on a [K,TN] tile and a disjoint-bit
+    sum (== OR) — the same mapping, bit-identical."""
     kind, b = range_info(levels, for_weights)
     n = len(values)
-    m = [v & ((1 << b) - 1) if b else jnp.zeros_like(v) for v in values]
     packed = []
     if kind != "b":
         per = 5 if kind == "t" else 3
@@ -146,16 +151,81 @@ def _pack_ise_pallas(words, values, levels, for_weights, start, reverse,
             packed.append(pk)
 
     layout = ise_sequence_layout(n, kind, b)
+    # (stream bit, source row, source bit) per emitted bit.  Extracting
+    # bit j < b from the raw value equals extracting it from the masked
+    # low bits, so no mask pass is needed.  The stream is built at
+    # ascending positions; the reversed weight stream is bit-reversed as
+    # a whole 128-bit block afterwards (tmp bit p -> block bit 127-p).
+    entries = []
+    srcs = values + packed
     for pos, (src, i, j) in enumerate(layout):
         if src == "m":
             if i < 0:
                 continue
-            bit = (m[i].astype(_U32) >> _U32(j)) & _U32(1)
+            row = i
         else:
-            bit = (packed[i].astype(_U32) >> _U32(j)) & _U32(1)
-        block_bit = (127 - pos) if reverse else (start + pos)
-        w, bo = divmod(block_bit, 32)
-        words[w] = words[w] | (bit << _U32(bo))
+            row = n + i
+        entries.append((pos if reverse else start + pos, row, j))
+
+    # Coalesce maximal runs: consecutive stream bits from consecutive bits
+    # of the same source (ISE stores each value's bits contiguously) pack
+    # as ONE shifted field instead of per-bit ops; runs never straddle a
+    # word boundary.
+    per_word: list[list] = [[], [], [], []]
+    run = None  # (bb0, row, j0, length)
+    for bb, row, j in entries + [(-99, -1, -1)]:
+        if (
+            run is not None
+            and row == run[1]
+            and j == run[2] + run[3]
+            and bb == run[0] + run[3]
+            and bb % 32 != 0
+        ):
+            run = (run[0], run[1], run[2], run[3] + 1)
+            continue
+        if run is not None:
+            bb0, r0, j0, ln = run
+            field = (srcs[r0].astype(_U32) >> _U32(j0)) & _U32(
+                (1 << ln) - 1
+            )
+            per_word[bb0 // 32].append(field << _U32(bb0 % 32))
+        run = (bb, row, j, 1) if row >= 0 else None
+
+    def _bitrev32(x):
+        x = ((x & _U32(0x55555555)) << _U32(1)) | (
+            (x >> _U32(1)) & _U32(0x55555555)
+        )
+        x = ((x & _U32(0x33333333)) << _U32(2)) | (
+            (x >> _U32(2)) & _U32(0x33333333)
+        )
+        x = ((x & _U32(0x0F0F0F0F)) << _U32(4)) | (
+            (x >> _U32(4)) & _U32(0x0F0F0F0F)
+        )
+        x = ((x & _U32(0x00FF00FF)) << _U32(8)) | (
+            (x >> _U32(8)) & _U32(0x00FF00FF)
+        )
+        return (x << _U32(16)) | (x >> _U32(16))
+
+    for w in range(4):
+        parts = per_word[w]
+        if not parts:
+            continue
+        # Disjoint bit fields: an unordered sum reduction equals OR (done
+        # in int32 — Mosaic has no unsigned reductions; two's-complement
+        # wraparound preserves the bits).
+        if len(parts) > 1:
+            stacked = jax.lax.bitcast_convert_type(
+                jnp.concatenate(parts, axis=0), jnp.int32
+            )
+            acc = jax.lax.bitcast_convert_type(
+                jnp.sum(stacked, axis=0, keepdims=True), _U32
+            )
+        else:
+            acc = parts[0]
+        if reverse:
+            words[3 - w] = words[3 - w] | _bitrev32(acc)
+        else:
+            words[w] = words[w] | acc
 
 
 # ---------------------------------------------------------------------------
