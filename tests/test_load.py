@@ -188,6 +188,31 @@ def test_image_load_reads_containers(tmp_path):
     assert np.array_equal(img.array, tex.decode_image().array)
 
 
+@pytest.mark.parametrize(
+    "ft", [ct.FileType.DDS, ct.FileType.KTX, ct.FileType.PVR]
+)
+def test_3d_texture_roundtrip(ft):
+    """3D textures use per-container surface orders (DDS element->face->
+    mip->volume with per-level depth; KTX/PVR mip->depth->face)."""
+    tex = ct.Texture(ct.Dimension.Dim3D, 16, 16, depth=4)
+    rng = np.random.default_rng(9)
+    for d in range(4):
+        arr = rng.random((16, 16, 4), np.float32)
+        assert tex.set_image(
+            ct.Image.from_array(arr, ct.ImageFormat.RGBAF), depth=d
+        )
+    assert tex.generate_mipmaps()
+    assert tex.convert(ct.TextureFormat.R8G8B8A8)
+    loaded = _roundtrip(tex, ft)
+    assert loaded.dimension is ct.Dimension.Dim3D
+    assert loaded.mip_levels == tex.mip_levels
+    for mip in range(tex.mip_levels):
+        for d in range(tex.depth(mip)):
+            assert loaded.data(mip_level=mip, depth=d) == tex.data(
+                mip_level=mip, depth=d
+            ), (ft, mip, d)
+
+
 def test_cli_texture_info_and_container_input(tmp_path, capsys):
     """--texture-info prints container metadata; a container path as -i
     input transcodes through the normal CLI pipeline."""
