@@ -66,6 +66,40 @@ def _finalize(v: jnp.ndarray, signed: bool) -> jnp.ndarray:
     return (v * 31) >> 6
 
 
+def _proxy_to_value(b: jnp.ndarray) -> jnp.ndarray:
+    """Half-bit proxy (float, possibly fractional/negative) -> f32 value.
+
+    Piecewise-exponential inverse of `_to_proxy`: exact for integer bit
+    patterns, monotone interpolation for fractional inputs.  Candidate
+    SELECTION runs in this (linear value) domain so the quality ladder is
+    monotone in the metric the harness measures (linear PSNR) — fitting
+    math stays in the well-conditioned proxy domain.  2^(e-25) via the f32
+    exponent field (ldexp) rather than transcendental exp2."""
+    a = jnp.abs(b)
+    e = jnp.minimum(jnp.floor(a * (1.0 / 1024.0)), 120.0)
+    p2 = jax.lax.bitcast_convert_type(
+        (e.astype(jnp.int32) + 102) << 23, jnp.float32
+    )  # 2^(e-25); e clamped so the exponent field cannot overflow
+    m = a - e * 1024.0
+    val = jnp.where(a < 1024.0, a * (2.0**-24), p2 * (1024.0 + m))
+    return jnp.where(b < 0, -val, val)
+
+
+def _proxy_scale(b: jnp.ndarray) -> jnp.ndarray:
+    """Per-texel d(value)/d(proxy bit): 2^(e-25) (2^-24 denormal segment).
+
+    The proxy->value map is piecewise linear in the mantissa, so
+    value-domain error is exactly (scale * proxy_diff)^2 within the texel's
+    exponent segment — candidate selection uses this linearization instead
+    of converting every palette candidate (mirrors bc6h_pallas)."""
+    a = jnp.abs(b)
+    e = jnp.minimum(jnp.floor(a * (1.0 / 1024.0)), 120.0)
+    p2 = jax.lax.bitcast_convert_type(
+        (e.astype(jnp.int32) + 102) << 23, jnp.float32
+    )
+    return jnp.where(a < 1024.0, 2.0**-24, p2)
+
+
 def _quant_candidates(target: jnp.ndarray, bits: int, signed: bool):
     """Best b-bit quantized endpoint for a proxy-domain target [.,3].
 
@@ -108,10 +142,13 @@ def _palette(q0, q1, bits: int, signed: bool) -> jnp.ndarray:
     return _finalize(interp, signed).astype(jnp.float32)
 
 
-def _fit_mode(proxy, bits: int, signed: bool, iters: int, delta_bits: int = 0):
+def _fit_mode(proxy, pxv, pxs, bits: int, signed: bool, iters: int,
+              delta_bits: int = 0):
     """One-region fit at `bits` precision; optional delta clamp for e1.
 
     Returns (q0, q1, idx, err); q1 is absolute (delta applied by packer).
+    Per-texel index choice uses the `pxs` linearization; the returned err
+    (all keep-best / cross-mode comparisons) is exact value-domain.
     """
 
     def candidate(e0, e1):
@@ -122,10 +159,13 @@ def _fit_mode(proxy, bits: int, signed: bool, iters: int, delta_bits: int = 0):
             d = jnp.clip(q1 - q0, -half, half - 1)
             q1 = q0 + d
         pal = _palette(q0, q1, bits, signed)
-        d2 = proxy[:, :, None, :] - pal[:, None, :, :]
+        d2 = (proxy[:, :, None, :] - pal[:, None, :, :]) * pxs[:, :, None, :]
         e = (d2 * d2).sum(-1)
         idx = e.argmin(-1).astype(jnp.int32)
-        return q0, q1, idx, e.min(-1).sum(-1)
+        oh = jax.nn.one_hot(idx, pal.shape[1], dtype=jnp.float32)
+        chosen = _proxy_to_value(jnp.einsum("ntk,nkc->ntc", oh, pal))
+        err = ((chosen - pxv) ** 2).sum((1, 2))
+        return q0, q1, idx, err
 
     mean = proxy.mean(1, keepdims=True)
     axis = _principal_axis(proxy - mean)
@@ -228,9 +268,14 @@ def _region_geometry(proxy, d):
     return mask, jax.nn.one_hot(anchor1, 16, dtype=jnp.float32)
 
 
-def _fit_regions_float(proxy, mask, anchor_oh, iters: int):
+def _fit_regions_float(proxy, pxs, mask, anchor_oh, iters: int):
     """Mode-independent float endpoint fit per region (shared across the
-    two-region modes; each mode then only quantizes + indexes once)."""
+    two-region modes; each mode then only quantizes + indexes once).
+
+    The refine loop keeps the BEST iterate by continuous assign-SSE (the
+    clipped-weight alternating LS can oscillate on noise content), so deeper
+    refinement never returns worse endpoints — the quality ladder is monotone
+    in the continuous metric by construction (same guard PVRTC got in r3)."""
     n = proxy.shape[0]
     cnt = mask.sum(-1)[..., None] + 1e-6
     mean = jnp.einsum("npt,ntc->npc", mask, proxy) / cnt
@@ -245,13 +290,25 @@ def _fit_regions_float(proxy, mask, anchor_oh, iters: int):
     e0 = mean + v * proj.min(-1)[..., None]
     e1 = mean + v * proj.max(-1)[..., None]
 
-    # refine with continuous weights (mode-independent)
-    for _ in range(max(0, iters - 1)):
+    def _texel_w(e0, e1):
+        """Per-texel clipped continuous weight for endpoints (e0,e1)."""
         e0t = jnp.einsum("npt,npc->ntc", mask, e0)
         e1t = jnp.einsum("npt,npc->ntc", mask, e1)
         dd = e1t - e0t
         denom = (dd * dd).sum(-1) + 1e-6
         w = jnp.clip(((proxy - e0t) * dd).sum(-1) / denom, 0.0, 1.0)
+        return w, e0t, dd
+
+    def _cont_sse(w, e0t, dd):
+        rec = e0t + w[..., None] * dd
+        return (((rec - proxy) * pxs) ** 2).sum((1, 2))
+
+    w, e0t, dd = _texel_w(e0, e1)
+    best_e0, best_e1 = e0, e1
+    best_sse = _cont_sse(w, e0t, dd)
+
+    # refine with continuous weights (mode-independent), keep-best guarded
+    for _ in range(max(0, iters - 1)):
         mw = mask * w[:, None, :]
         m1w = mask * (1.0 - w[:, None, :])
         a = (mw * w[:, None, :]).sum(-1)
@@ -266,6 +323,13 @@ def _fit_regions_float(proxy, mask, anchor_oh, iters: int):
         e0n = (a[..., None] * r0v - bq[..., None] * r1v) / det[..., None]
         e0 = jnp.where(safe[..., None], e0n, e0)
         e1 = jnp.where(safe[..., None], e1n, e1)
+        w, e0t, dd = _texel_w(e0, e1)
+        sse = _cont_sse(w, e0t, dd)
+        take = (sse < best_sse)[:, None, None]
+        best_e0 = jnp.where(take, e0, best_e0)
+        best_e1 = jnp.where(take, e1, best_e1)
+        best_sse = jnp.minimum(sse, best_sse)
+    e0, e1 = best_e0, best_e1
 
     # orient each region so its anchor texel is nearer e0 (keeps the
     # anchor's index MSB clear without endpoint swaps at pack time)
@@ -278,10 +342,12 @@ def _fit_regions_float(proxy, mask, anchor_oh, iters: int):
     return jnp.where(flip, e1, e0), jnp.where(flip, e0, e1)
 
 
-def _fit_two_region(proxy, mask, anchor_oh, e0, e1, mode_id: int, signed: bool):
+def _fit_two_region(proxy, pxv, pxs, mask, anchor_oh, e0, e1, mode_id: int,
+                    signed: bool):
     """Quantize + index the shared float fit for one two-region mode.
 
-    Returns (fields dict rw/rx/ry/rz [N,3] raw ints, idx [N,16], err [N]).
+    Returns (fields dict rw/rx/ry/rz [N,3] raw ints, idx [N,16], err [N]);
+    index choice and err are value-domain.
     """
     _, _, epbits, dbits, direct = TWO_REGION_MODES[mode_id]
     n = proxy.shape[0]
@@ -316,12 +382,15 @@ def _fit_two_region(proxy, mask, anchor_oh, e0, e1, mode_id: int, signed: bool):
 
     pal = jnp.stack([palette(rw, v01), palette(v10, v11)], 1)  # [N,2,8,3]
     pal_t = jnp.einsum("npt,npkc->ntkc", mask, pal)            # [N,16,8,3]
-    d2 = ((proxy[:, :, None, :] - pal_t) ** 2).sum(-1)
+    d2 = (
+        ((proxy[:, :, None, :] - pal_t) * pxs[:, :, None, :]) ** 2
+    ).sum(-1)
     idx = d2.argmin(-1).astype(jnp.int32)
     is_anchor = jnp.zeros((n, 16), bool).at[:, 0].set(True) | (anchor_oh > 0.5)
     idx = jnp.where(is_anchor, jnp.minimum(idx, 3), idx)
     oh = jax.nn.one_hot(idx, 8, dtype=jnp.float32)
-    err = ((jnp.einsum("ntk,ntkc->ntc", oh, pal_t) - proxy) ** 2).sum((1, 2))
+    chosen = _proxy_to_value(jnp.einsum("ntk,ntkc->ntc", oh, pal_t))
+    err = ((chosen - pxv) ** 2).sum((1, 2))
     return fields, idx, err
 
 
@@ -407,13 +476,17 @@ def _encode_bc6h_jnp(
 ) -> jnp.ndarray:
     """jnp reference path (all quality levels)."""
     proxy = _to_proxy(blocks.astype(jnp.float32), signed)
+    pxv = _proxy_to_value(proxy)
+    pxs = _proxy_scale(proxy)
     iters = _BC6H_ITERS[max(0, min(4, int(quality)))]
 
-    q0, q1, idx, best_err = _fit_mode(proxy, 10, signed, iters)
+    q0, q1, idx, best_err = _fit_mode(proxy, pxv, pxs, 10, signed, iters)
     words = _pack_mode11(q0, q1, idx, signed)
 
     if quality >= 2:
-        q0b, q1b, idxb, err12 = _fit_mode(proxy, 11, signed, iters, delta_bits=9)
+        q0b, q1b, idxb, err12 = _fit_mode(
+            proxy, pxv, pxs, 11, signed, iters, delta_bits=9
+        )
         w12 = _pack_mode12(q0b, q1b, idxb, signed)
         take = err12 < best_err
         words = jnp.where(take[:, None], w12, words)
@@ -423,10 +496,10 @@ def _encode_bc6h_jnp(
     if mode_ids:
         d = _screen_partitions2(proxy)
         mask, anchor_oh = _region_geometry(proxy, d)
-        e0, e1 = _fit_regions_float(proxy, mask, anchor_oh, iters)
+        e0, e1 = _fit_regions_float(proxy, pxs, mask, anchor_oh, iters)
         for mode_id in mode_ids:
             fields, idx2, err2 = _fit_two_region(
-                proxy, mask, anchor_oh, e0, e1, mode_id, signed
+                proxy, pxv, pxs, mask, anchor_oh, e0, e1, mode_id, signed
             )
             w2 = _pack_two_region(mode_id, fields, d, idx2)
             take = err2 < best_err

@@ -114,6 +114,37 @@ def _finalize(v, signed: bool):
     return (v * 31) >> 6
 
 
+def _proxy_to_value(b):
+    """Half-bit proxy (float, possibly fractional/negative) -> f32 value.
+
+    Exact piecewise-exponential inverse of `_to_proxy`; 2^(e-25) via the
+    f32 exponent field (ldexp) rather than transcendental exp2.  Used once
+    per texel and once per *selected* palette entry — the per-candidate
+    loops use the cheaper `_proxy_scale` linearization."""
+    a = jnp.abs(b)
+    e = jnp.minimum(jnp.floor(a * (1.0 / 1024.0)), 120.0)
+    p2 = jax.lax.bitcast_convert_type(
+        (e.astype(jnp.int32) + 102) << 23, jnp.float32
+    )  # 2^(e-25); e clamped so the exponent field cannot overflow
+    m = a - e * 1024.0
+    val = jnp.where(a < 1024.0, a * (2.0**-24), p2 * (1024.0 + m))
+    return jnp.where(b < 0, -val, val)
+
+
+def _proxy_scale(b):
+    """Per-texel d(value)/d(proxy bit): 2^(e-25) (2^-24 in the denormal
+    segment).  The proxy->value map is piecewise LINEAR in the mantissa, so
+    value-domain error is exactly (scale * proxy_diff)^2 while the candidate
+    stays inside the texel's exponent segment — this linearization keeps the
+    hot assign loops at one extra multiply instead of a full conversion."""
+    a = jnp.abs(b)
+    e = jnp.minimum(jnp.floor(a * (1.0 / 1024.0)), 120.0)
+    p2 = jax.lax.bitcast_convert_type(
+        (e.astype(jnp.int32) + 102) << 23, jnp.float32
+    )
+    return jnp.where(a < 1024.0, 2.0**-24, p2)
+
+
 def _quant_candidates(e, bits: int, signed: bool):
     """Channel list [1,TN] float proxy targets -> quantized ints."""
     if signed:
@@ -164,9 +195,13 @@ def _w64_dyn(kk, levels: int):
     return jnp.floor(num * (1.0 / (2 * (levels - 1)))).astype(jnp.int32)
 
 
-def _assign_full(px, q0, q1, bits: int, signed: bool, weights, mask=None):
-    """Nearest-palette index by line projection + 3-candidate exact check
-    (the BC7 kernels' O(1) assign instead of the full L-entry sweep).
+def _assign_full(px, pxv, pxs, q0, q1, bits: int, signed: bool, weights,
+                 mask=None):
+    """Nearest-palette index by line projection + 3-candidate check (the BC7
+    kernels' O(1) assign instead of the full L-entry sweep).  Per-texel
+    candidate choice uses the `pxs` linearization (cheap); the RETURNED err
+    — what every keep-best / cross-mode comparison consumes — is the exact
+    value-domain error of the selected entries (one conversion per texel).
     Returns (idx [16,TN], err [1,TN])."""
     levels = len(weights)
     unq = _unquant_signed if signed else _unquant_unsigned
@@ -189,16 +224,24 @@ def _assign_full(px, q0, q1, bits: int, signed: bool, weights, mask=None):
         e = jnp.zeros_like(px[0])
         for c in range(3):
             interp = (u0[c] * (64 - w) + u1[c] * w + 32) >> 6
-            e = e + (px[c] - _finalize(interp, signed).astype(jnp.float32)) ** 2
+            dec = _finalize(interp, signed).astype(jnp.float32)
+            e = e + ((px[c] - dec) * pxs[c]) ** 2
         if best_i is None:
             best_i, best_e = kk, e
         else:
             take = e < best_e
             best_i = jnp.where(take, kk, best_i)
             best_e = jnp.minimum(e, best_e)
+    # exact value-domain error of the selected entries
+    w = _w64_dyn(best_i, levels)
+    ev = jnp.zeros_like(px[0])
+    for c in range(3):
+        interp = (u0[c] * (64 - w) + u1[c] * w + 32) >> 6
+        dec = _proxy_to_value(_finalize(interp, signed).astype(jnp.float32))
+        ev = ev + (pxv[c] - dec) ** 2
     if mask is not None:
-        best_e = best_e * mask
-    return best_i, _rt(best_e)
+        ev = ev * mask
+    return best_i, _rt(ev)
 
 
 def _pca_seed(px, mask):
@@ -248,7 +291,8 @@ def _ls(px, w, mask):
 # ---------------------------------------------------------------------------
 
 
-def _fit_mode(px, bits: int, signed: bool, iters: int, delta_bits: int = 0):
+def _fit_mode(px, pxv, pxs, bits: int, signed: bool, iters: int,
+              delta_bits: int = 0):
     ones = jnp.ones_like(px[0])
     w4f = [float(w) / 64.0 for w in WEIGHTS4]
 
@@ -261,7 +305,7 @@ def _fit_mode(px, bits: int, signed: bool, iters: int, delta_bits: int = 0):
                 q0[c] + jnp.clip(q1[c] - q0[c], -half, half - 1)
                 for c in range(3)
             ]
-        idx, err = _assign_full(px, q0, q1, bits, signed, WEIGHTS4)
+        idx, err = _assign_full(px, pxv, pxs, q0, q1, bits, signed, WEIGHTS4)
         return q0, q1, idx, err
 
     hi, lo = _pca_seed(px, ones)
@@ -348,29 +392,53 @@ def _screen2(px, part32):
     return d  # [1,TN]
 
 
-def _fit_regions_float(px, masks, anchor_oh, iters: int):
-    """Shared float endpoint fit per region (mirrors bc6h.py)."""
+def _fit_regions_float(px, pxs, masks, anchor_oh, iters: int):
+    """Shared float endpoint fit per region (mirrors bc6h.py).
+
+    Keep-best guarded by continuous assign-SSE: the clipped-weight
+    alternating LS can oscillate on noise content, so deeper refinement
+    (higher quality) must never return worse endpoints."""
     e0s, e1s = [], []
     for m in masks:
         hi, lo = _pca_seed(px, m)
         e0s.append(lo)
         e1s.append(hi)
-    for _ in range(max(0, iters - 1)):
-        # continuous weights from the per-texel region endpoints
-        e0t = [
-            e0s[0][c] * masks[0] + e0s[1][c] * masks[1] for c in range(3)
-        ]
-        e1t = [
-            e1s[0][c] * masks[0] + e1s[1][c] * masks[1] for c in range(3)
-        ]
+
+    def _texel_w(e0s, e1s):
+        e0t = [e0s[0][c] * masks[0] + e0s[1][c] * masks[1] for c in range(3)]
+        e1t = [e1s[0][c] * masks[0] + e1s[1][c] * masks[1] for c in range(3)]
         dd = [e1t[c] - e0t[c] for c in range(3)]
         denom = sum(d * d for d in dd) + 1e-6
         w = jnp.clip(
             sum((px[c] - e0t[c]) * dd[c] for c in range(3)) / denom, 0.0, 1.0
         )
+        return w, e0t, dd
+
+    def _cont_sse(w, e0t, dd):
+        return _rt(
+            sum(
+                ((e0t[c] + w * dd[c] - px[c]) * pxs[c]) ** 2 for c in range(3)
+            )
+        )  # [1,B]
+
+    w, e0t, dd = _texel_w(e0s, e1s)
+    best_e0 = [[e0s[p][c] for c in range(3)] for p in range(2)]
+    best_e1 = [[e1s[p][c] for c in range(3)] for p in range(2)]
+    best_sse = _cont_sse(w, e0t, dd)
+
+    for _ in range(max(0, iters - 1)):
         for p in range(2):
             e1n, e0n = _ls(px, w, masks[p])
             e0s[p], e1s[p] = e0n, e1n
+        w, e0t, dd = _texel_w(e0s, e1s)
+        sse = _cont_sse(w, e0t, dd)
+        take = sse < best_sse
+        for p in range(2):
+            for c in range(3):
+                best_e0[p][c] = jnp.where(take, e0s[p][c], best_e0[p][c])
+                best_e1[p][c] = jnp.where(take, e1s[p][c], best_e1[p][c])
+        best_sse = jnp.minimum(sse, best_sse)
+    e0s, e1s = best_e0, best_e1
     # orient: anchor texel nearer e0
     out0, out1 = [], []
     for p in range(2):
@@ -386,7 +454,7 @@ def _fit_regions_float(px, masks, anchor_oh, iters: int):
     return out0, out1
 
 
-def _fit_two_region(px, masks, anchor_oh, e0, e1, mode_id, signed):
+def _fit_two_region(px, pxv, pxs, masks, anchor_oh, e0, e1, mode_id, signed):
     _, _, epbits, dbits, direct = TWO_REGION_MODES[mode_id]
     q0 = [_quant_candidates(e0[p], epbits, signed) for p in range(2)]
     q1 = [_quant_candidates(e1[p], epbits, signed) for p in range(2)]
@@ -436,7 +504,8 @@ def _fit_two_region(px, masks, anchor_oh, e0, e1, mode_id, signed):
         e = jnp.zeros_like(px[0])
         for c in range(3):
             interp = (u0t[c] * (64 - w) + u1t[c] * w + 32) >> 6
-            e = e + (px[c] - _finalize(interp, signed).astype(jnp.float32)) ** 2
+            dec = _finalize(interp, signed).astype(jnp.float32)
+            e = e + ((px[c] - dec) * pxs[c]) ** 2
         return e
 
     best_i = None
@@ -450,14 +519,17 @@ def _fit_two_region(px, masks, anchor_oh, e0, e1, mode_id, signed):
             take = e < best_e
             best_i = jnp.where(take, kk, best_i)
             best_e = jnp.minimum(e, best_e)
-    # Anchor texels clamp their 3-bit index to the 2-bit range; the exact
-    # error of a clamped texel is the k=3 entry's (no second sweep needed).
+    # Anchor texels clamp their 3-bit index to the 2-bit range; the final
+    # error is the exact value-domain error of the POST-clamp indices.
     is_anchor = (_iota16(px[0].shape) == 0) | (anchor_oh > 0.5)
-    clamped = is_anchor & (best_i > 3)
     idx = jnp.where(is_anchor, jnp.minimum(best_i, 3), best_i)
-    e3 = eval_at(jnp.full_like(best_i, 3))
-    err_t = jnp.where(clamped, e3, best_e)
-    return fields, idx, _rt(err_t)
+    w = _w64_dyn(idx, 8)
+    ev = jnp.zeros_like(px[0])
+    for c in range(3):
+        interp = (u0t[c] * (64 - w) + u1t[c] * w + 32) >> 6
+        dec = _proxy_to_value(_finalize(interp, signed).astype(jnp.float32))
+        ev = ev + (pxv[c] - dec) ** 2
+    return fields, idx, _rt(ev)
 
 
 def _pack_two_region(mode_id, fields, d, idx, anchor1):
@@ -496,13 +568,17 @@ def _pack_two_region(mode_id, fields, d, idx, anchor1):
 def _kernel(x_ref, part32_ref, part32t_ref, anchors_ref, out_ref, *, quality,
             signed):
     px = [x_ref[c] for c in range(3)]
+    pxv = [_proxy_to_value(px[c]) for c in range(3)]
+    pxs = [_proxy_scale(px[c]) for c in range(3)]
     iters = _BC6H_ITERS[quality]
 
-    q0, q1, idx, best_err = _fit_mode(px, 10, signed, iters)
+    q0, q1, idx, best_err = _fit_mode(px, pxv, pxs, 10, signed, iters)
     words = _pack_mode11(q0, q1, idx, signed)
 
     if quality >= 2:
-        q0b, q1b, idxb, err12 = _fit_mode(px, 11, signed, iters, delta_bits=9)
+        q0b, q1b, idxb, err12 = _fit_mode(
+            px, pxv, pxs, 11, signed, iters, delta_bits=9
+        )
         w12 = _pack_mode12(q0b, q1b, idxb, signed)
         take = err12 < best_err
         words = [jnp.where(take, a, b) for a, b in zip(w12, words)]
@@ -521,10 +597,10 @@ def _kernel(x_ref, part32_ref, part32t_ref, anchors_ref, out_ref, *, quality,
         ).astype(jnp.int32)
         anchor_oh = (_iota16(m1.shape) == anchor1).astype(jnp.float32)
         masks = (1.0 - m1, m1)
-        e0, e1 = _fit_regions_float(px, masks, anchor_oh, iters)
+        e0, e1 = _fit_regions_float(px, pxs, masks, anchor_oh, iters)
         for mode_id in mode_ids:
             fields, idx2, err2 = _fit_two_region(
-                px, masks, anchor_oh, e0, e1, mode_id, signed
+                px, pxv, pxs, masks, anchor_oh, e0, e1, mode_id, signed
             )
             w2 = _pack_two_region(mode_id, fields, d, idx2, anchor1)
             take = err2 < best_err
