@@ -210,6 +210,7 @@ def layout_menu(bw: int, bh: int):
         lay for lay in (
             best_for(1, 12, 64, 8),
             best_for(1, 12, 96, 12),
+            best_for(1, 12, 256, 4),   # full-precision colors, coarse grid
         ) if lay
     ]
     # CEM 0 (luminance direct): 2 color values leave nearly the whole
@@ -218,7 +219,12 @@ def layout_menu(bw: int, bh: int):
     # every CEM 8 layout.  CEM 4 adds direct alpha (L0,L1,A0,A1).
     menu[(0, 1)] = [lay for lay in (best_for(1, 0, 256, 32),) if lay]
     menu[(4, 1)] = [lay for lay in (best_for(1, 4, 64, 16),) if lay]
-    menu[(8, 2)] = [lay for lay in (best_for(2, 8, 20, 6),) if lay]
+    menu[(8, 2)] = [
+        lay for lay in (
+            best_for(2, 8, 20, 6),    # fine-ish weights
+            best_for(2, 8, 40, 4),    # finer colors (astc_cpu.cpp layout E)
+        ) if lay
+    ]
     menu[(12, 2)] = [lay for lay in (best_for(2, 12, 12, 4),) if lay]
     # 3-partition CEM 8 (18 endpoint values — the ISE ceiling): astcenc
     # searches up to 4 partitions at its higher presets.
@@ -269,6 +275,21 @@ def _weight_qlut(levels: int):
     dist = np.abs(w[:, None] - unq[None, :])
     q = np.argmin(dist, axis=1)
     return q.astype(np.int32), unq[q].astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def _weight_neighbors(levels: int):
+    """Per quantized weight value: the neighbors one step up/down the
+    UNQUANTIZED (w64) ladder.  ASTC quantized values are not stored in
+    increasing unquant order, so +-1 on the raw value is meaningless —
+    these tables give the true adjacent rungs for exact-error refinement."""
+    unq = weight_unquant(levels)
+    order = np.argsort(unq, kind="stable")  # ranks -> value
+    rank_of = np.empty(levels, np.int64)
+    rank_of[order] = np.arange(levels)
+    up = order[np.minimum(rank_of + 1, levels - 1)]
+    dn = order[np.maximum(rank_of - 1, 0)]
+    return up.astype(np.int32), dn.astype(np.int32)
 
 
 @functools.lru_cache(maxsize=None)
@@ -465,17 +486,50 @@ def _fit_layout(colors, lay: Layout, mask, iters):
         alpha = dt[..., 1:2] if lay.cem == 4 else jnp.full_like(lum, 255.0)
         return jnp.concatenate([lum, lum, lum, alpha], -1)
 
-    def eval_exact(d0, d1, gq_vals):
-        # d* [N,P,C] ints; per-texel endpoint select via mask
-        d0t = expand4(jnp.einsum("npt,npc->ntc", mask, d0.astype(jnp.float32)))
-        d1t = expand4(jnp.einsum("npt,npc->ntc", mask, d1.astype(jnp.float32)))
+    def texel_err(d0t, d1t, gq_vals):
+        # per-texel exact-model error [N,T] from expanded endpoints
         w64 = texel_w64_vals(gq_vals).astype(jnp.float32)[..., None]
         e0_16 = d0t * 257.0  # (x<<8)|x == x*257
         e1_16 = d1t * 257.0
         c16 = jnp.floor((e0_16 * (64.0 - w64) + e1_16 * w64 + 32.0) / 64.0)
         dec = jnp.floor(c16 / 256.0)
-        err = ((dec - colors) ** 2).sum((1, 2))
-        return err
+        return ((dec - colors) ** 2).sum(-1)
+
+    def eval_exact(d0, d1, gq_vals):
+        # d* [N,P,C] ints; per-texel endpoint select via mask
+        d0t = expand4(jnp.einsum("npt,npc->ntc", mask, d0.astype(jnp.float32)))
+        d1t = expand4(jnp.einsum("npt,npc->ntc", mask, d1.astype(jnp.float32)))
+        return texel_err(d0t, d1t, gq_vals).sum(-1)
+
+    up_np, dn_np = _weight_neighbors(lay.wlevels)
+    up_tab = jnp.asarray(up_np)
+    dn_tab = jnp.asarray(dn_np)
+    foot = jnp.asarray((a_mat_np > 0).astype(np.float32))  # [T,G]
+
+    def refine_weights(d0, d1, gq):
+        """Exact-error coordinate steps on the weight grid: for each grid
+        point try the adjacent unquant-ladder rungs (the nearest-w64
+        rounding in quant_grid is not the exact-error argmin because the
+        decode interpolates 16-bit-expanded endpoints with floors).  For
+        full-resolution grids the footprint is the identity so this IS the
+        per-texel exact sweep step the CPU reference encoder does; coarse
+        ladders (<= 8 rungs) get a second step so the reachable window
+        covers rounding misses of two rungs."""
+        d0t = expand4(jnp.einsum("npt,npc->ntc", mask, d0.astype(jnp.float32)))
+        d1t = expand4(jnp.einsum("npt,npc->ntc", mask, d1.astype(jnp.float32)))
+        steps = 3 if lay.wlevels <= 12 else (2 if lay.wlevels <= 24 else 1)
+        for _ in range(steps):
+            cands = [gq, jnp.take(up_tab, gq), jnp.take(dn_tab, gq)]
+            scores = [
+                jnp.einsum("tg,nt->ng", foot, texel_err(d0t, d1t, c))
+                for c in cands
+            ]
+            choice = jnp.argmin(jnp.stack(scores), axis=0)  # [N,G]
+            gq = jnp.where(
+                choice == 0, cands[0],
+                jnp.where(choice == 1, cands[1], cands[2]),
+            )
+        return gq
 
     def ideal_t(d0, d1):
         d0t = jnp.einsum("npt,npc->ntc", mask, d0.astype(jnp.float32))
@@ -497,6 +551,7 @@ def _fit_layout(colors, lay: Layout, mask, iters):
         q1, d1 = quant_colors(e1)
         q0, q1, d0, d1 = fix_order(q0, q1, d0, d1)
         gq = quant_grid(ideal_t(d0, d1))
+        gq = refine_weights(d0, d1, gq)
         err = eval_exact(d0, d1, gq)
         cand = (q0, q1, gq, err)
         if best is None:
@@ -719,7 +774,10 @@ def _void_extent(colors):
     mean = colors.mean(1)
     v16 = jnp.clip(jnp.round(mean * 257.0), 0, 65535).astype(jnp.uint32)
     dec8 = (v16 >> 8).astype(jnp.float32)
-    err = ((dec8[:, None, :] - colors) ** 2).sum((1, 2))
+    # Epsilon bias: ties between a regular layout and the void extent must
+    # deterministically pick the VE (jit fusion float noise otherwise
+    # breaks them either way); 1e-3 is far below half a quantization step.
+    err = ((dec8[:, None, :] - colors) ** 2).sum((1, 2)) - 1e-3
     w0 = jnp.full((m,), 0x1FC | (0b11 << 10), jnp.uint32)
     w0 = w0 | jnp.uint32(0xFFFFF000)
     w1 = jnp.full((m,), 0xFFFFFFFF, jnp.uint32)
@@ -792,13 +850,25 @@ _PLAN = {
     # is +1.7 dB on two-color content and the 2nd CEM12 layout +3.2 dB on
     # alpha ramps, for ~20% kernel time (480 -> ~385 MT/s) — ASTC 4x4 q2
     # then beats BC7 q2 on two-color content instead of trailing it.
-    2: dict(iters=2, seeds2=1, seeds3=0, seeds4=0, cem8_layouts=3,
-            cem12_layouts=2, cem0_layouts=1, cem4_layouts=1, dp_ccs=()),
-    3: dict(iters=3, seeds2=2, seeds3=1, seeds4=1, cem8_layouts=3,
-            cem12_layouts=2, cem0_layouts=1, cem4_layouts=1, dp_ccs=(3,)),
-    4: dict(iters=4, seeds2=4, seeds3=2, seeds4=2, cem8_layouts=3,
-            cem12_layouts=2, cem0_layouts=1, cem4_layouts=1,
-            dp_ccs=(0, 1, 2, 3)),
+    # Round 4: seeds2 deepened (estimate-then-refine makes extra seeds
+    # cheap) and a 2nd 2-partition layout added so the TPU path stays >=
+    # the astc_cpu.cpp reference encoder on two-population content
+    # (tests/test_cpu_reference.py).
+    # iters12: CEM 12 (alpha) layouts refine one level deeper — alpha
+    # ramps are the content class that needs it.  p2_iters: deep-fit
+    # depth for the ranked 2-partition seeds (the estimate pass already
+    # filtered them, so full depth buys little).
+    2: dict(iters=3, iters12=4, seeds2=6, seeds3=0, seeds4=0,
+            cem8_layouts=3, cem12_layouts=3, cem0_layouts=1,
+            cem4_layouts=1, dp_ccs=(), p2_layouts=2, keep2=2, p2_iters=2),
+    3: dict(iters=3, iters12=4, seeds2=8, seeds3=1, seeds4=1,
+            cem8_layouts=3, cem12_layouts=3, cem0_layouts=1,
+            cem4_layouts=1, dp_ccs=(3,), p2_layouts=2, keep2=2,
+            p2_iters=3),
+    4: dict(iters=4, iters12=5, seeds2=16, seeds3=2, seeds4=2,
+            cem8_layouts=3, cem12_layouts=3, cem0_layouts=1,
+            cem4_layouts=1, dp_ccs=(0, 1, 2, 3), p2_layouts=2, keep2=6,
+            p2_iters=5),
 }
 
 
@@ -854,22 +924,25 @@ def encode_astc(
     return _encode_astc_jnp(blocks, block_w, block_h, quality, gray)
 
 
-def _rank_seeds(colors, seeds, k, lay, bw, bh, nparts):
+def _rank_seeds(colors, seeds, k, lay, bw, bh, nparts, keep: int = 1):
     """Estimate-then-refine seed selection (the astcenc "find best
     partitioning" pass in role): rank the k screened partition seeds by
     ONE unrefined fit of `lay` (quantize + grid-quantize + exact eval, no
-    LS iterations) and return only the per-block winner for the full
-    iterated fit.  ~k-fold cheaper at quality 3-4 than deep-fitting every
-    seed, <0.05 dB on the quality harness."""
-    if k <= 1:
-        return [seeds[:, 0]]
+    LS iterations) and return the per-block top-`keep` for the full
+    iterated fit.  ~k/keep-fold cheaper at quality 3-4 than deep-fitting
+    every seed, <0.05 dB on the quality harness."""
+    if k <= keep:
+        return [seeds[:, kk] for kk in range(min(k, seeds.shape[1]))]
     est = []
     for kk in range(k):
         mask = _mask_for_seeds(seeds[:, kk], bw, bh, nparts=nparts)
         _, _, _, e = _fit_layout(colors, lay, mask, 1)
         est.append(e)
-    best = jnp.argmin(jnp.stack(est), axis=0)
-    return [jnp.take_along_axis(seeds, best[:, None], 1)[:, 0]]
+    order = jnp.argsort(jnp.stack(est, axis=1), axis=1)  # [N,k]
+    return [
+        jnp.take_along_axis(seeds, order[:, kk : kk + 1], 1)[:, 0]
+        for kk in range(keep)
+    ]
 
 
 @functools.partial(
@@ -901,7 +974,9 @@ def _encode_astc_jnp(
         consider(_pack_block(lay, q0, q1, gq), err)
 
     for lay in menu[(12, 1)][: plan["cem12_layouts"]]:
-        q0, q1, gq, err = _fit_layout(colors, lay, ones_mask, iters)
+        q0, q1, gq, err = _fit_layout(
+            colors, lay, ones_mask, plan.get("iters12", iters)
+        )
         consider(_pack_block(lay, q0, q1, gq), err)
 
     for ccs in plan["dp_ccs"]:
@@ -926,17 +1001,20 @@ def _encode_astc_jnp(
             consider(_pack_block(lay, q0, q1, gq), err + gray_inf)
 
     if plan["seeds2"] and menu[(8, 2)]:
-        lay2 = menu[(8, 2)][0]
+        lays2 = menu[(8, 2)][: plan.get("p2_layouts", 1)]
         lay12 = menu[(12, 2)][0] if menu[(12, 2)] else None
         seeds = _screen_partitions(colors, block_w, block_h, plan["seeds2"])
         for seed_k in _rank_seeds(
-            colors, seeds, plan["seeds2"], lay2, block_w, block_h, nparts=2
+            colors, seeds, plan["seeds2"], lays2[0], block_w, block_h,
+            nparts=2, keep=plan.get("keep2", 1),
         ):
             mask = _mask_for_seeds(seed_k, block_w, block_h)
-            q0, q1, gq, err = _fit_layout(colors, lay2, mask, iters)
-            consider(_pack_block(lay2, q0, q1, gq, seed_k), err)
+            p2i = plan.get("p2_iters", iters)
+            for lay2 in lays2:
+                q0, q1, gq, err = _fit_layout(colors, lay2, mask, p2i)
+                consider(_pack_block(lay2, q0, q1, gq, seed_k), err)
             if lay12 is not None and quality >= 3:
-                q0, q1, gq, err = _fit_layout(colors, lay12, mask, iters)
+                q0, q1, gq, err = _fit_layout(colors, lay12, mask, p2i)
                 consider(_pack_block(lay12, q0, q1, gq, seed_k), err)
 
     if plan["seeds3"] and menu[(8, 3)]:

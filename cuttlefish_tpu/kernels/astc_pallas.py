@@ -322,6 +322,88 @@ def _eval_exact(px, d0t, d1t, w64, nch):
     return err
 
 
+def _texel_werr(pxl, d0l, d1l, w64: int):
+    """Per-texel exact-model error for one ladder rung (static w64)."""
+    e = jnp.zeros_like(pxl[0])
+    for c in range(len(pxl)):
+        c16 = (d0l[c] * (257 * (64 - w64)) + d1l[c] * (257 * w64) + 32) >> 6
+        dec = (c16 >> 8).astype(jnp.float32)
+        e = e + (dec - pxl[c]) ** 2
+    return e
+
+
+def _wquant_exact(pxl, d0l, d1l, levels: int):
+    """Per-texel weight choice by EXACT decode error (identity weight
+    grids only).  This is the astc_cpu.cpp reference encoder's weight
+    assignment — two-stage w64 rounding (round to 0..64, then nearest
+    rung) loses ~0.1-0.4 dB to it on fine-weight layouts.
+
+    Coarse ladders (<= 8 rungs) run the full sweep; finer ladders seed
+    with the nearest rung to the continuous projection and take one
+    exact-error step to the adjacent rungs (the rounding is off by more
+    than one rung only in degenerate cases).  pxl/d0l/d1l are aligned
+    channel lists ([T,TN] float / [*,TN] int); channels whose decode is
+    weight-independent (CEM8's implicit alpha) are omitted.
+    Returns (gq, unq) [T,TN] int32."""
+    unq_tab = weight_unquant(levels)
+    if levels <= 8:
+        best_q = None
+        best_u = None
+        best_e = None
+        for q in range(levels):
+            w64 = int(unq_tab[q])
+            e = _texel_werr(pxl, d0l, d1l, w64)
+            if best_q is None:
+                best_q = jnp.full_like(pxl[0], q).astype(jnp.int32)
+                best_u = jnp.full_like(best_q, w64)
+                best_e = e
+            else:
+                take = e < best_e
+                best_q = jnp.where(take, q, best_q)
+                best_u = jnp.where(take, w64, best_u)
+                best_e = jnp.minimum(e, best_e)
+        return best_q, best_u
+
+    # Fine ladder: nearest-rung seed from the continuous projection ...
+    df = [(d1l[c] - d0l[c]).astype(jnp.float32) for c in range(len(pxl))]
+    denom = sum(f * f for f in df) + 1e-6
+    proj = sum(
+        (pxl[c] - d0l[c].astype(jnp.float32)) * df[c]
+        for c in range(len(pxl))
+    )
+    t = jnp.clip(proj / denom, 0.0, 1.0)
+    w64i = jnp.clip(jnp.round(t * 64.0), 0, 64).astype(jnp.int32)
+    gq, unq = _wquant_levels(w64i, levels)
+    # ... then one exact-error step to the adjacent unquant-ladder rungs.
+    order = np.argsort(np.asarray(unq_tab), kind="stable")
+    rank_of = np.empty(levels, np.int64)
+    rank_of[order] = np.arange(levels)
+    up_tab = order[np.minimum(rank_of + 1, levels - 1)]
+    dn_tab = order[np.maximum(rank_of - 1, 0)]
+    def dyn_err(cu):
+        e = jnp.zeros_like(pxl[0])
+        for c in range(len(pxl)):
+            c16 = (d0l[c] * 257 * (64 - cu) + d1l[c] * 257 * cu + 32) >> 6
+            dec = (c16 >> 8).astype(jnp.float32)
+            e = e + (dec - pxl[c]) ** 2
+        return e
+
+    best_q, best_u = gq, unq
+    best_e = dyn_err(unq)
+    for tab in (up_tab, dn_tab):
+        cq = jnp.zeros_like(gq)
+        cu = jnp.zeros_like(gq)
+        for v in range(levels):
+            cq = jnp.where(gq == v, int(tab[v]), cq)
+            cu = jnp.where(gq == v, int(unq_tab[tab[v]]), cu)
+        e = dyn_err(cu)
+        take = e < best_e
+        best_q = jnp.where(take, cq, best_q)
+        best_u = jnp.where(take, cu, best_u)
+        best_e = jnp.minimum(e, best_e)
+    return best_q, best_u
+
+
 def _grid_quant(t, lay, grid):
     """Per-texel ideal weights t [T,TN] in [0,1] -> (gq [G,TN] quantized
     grid values, w64t [T,TN] decoded texel weights).  grid is None for an
@@ -381,14 +463,22 @@ def _fit_1part(px, lay: Layout, iters: int, clut, grid=None):
             swap = sum(d0[:3]) > sum(d1[:3])
             q0, q1 = _sel(swap, q1, q0), _sel(swap, q0, q1)
             d0, d1 = _sel(swap, d1, d0), _sel(swap, d0, d1)
-        # ideal per-texel weight.
-        df = [(d1[c] - d0[c]).astype(jnp.float32) for c in range(nch)]
-        denom = sum(f * f for f in df) + 1e-6
-        proj = sum((pxf[c] - d0[c].astype(jnp.float32)) * df[c] for c in range(nch))
-        t = jnp.clip(proj / denom, 0.0, 1.0)
-        gq, unq = _grid_quant(t, lay, grid)
         d0x, nche = expand4(d0)
         d1x, _ = expand4(d1)
+        if grid is None:
+            gq, unq = _wquant_exact(
+                px[:nche], d0x[:nche], d1x[:nche], lay.wlevels
+            )
+        else:
+            # ideal per-texel weight, projected onto the decimated grid.
+            df = [(d1[c] - d0[c]).astype(jnp.float32) for c in range(nch)]
+            denom = sum(f * f for f in df) + 1e-6
+            proj = sum(
+                (pxf[c] - d0[c].astype(jnp.float32)) * df[c]
+                for c in range(nch)
+            )
+            t = jnp.clip(proj / denom, 0.0, 1.0)
+            gq, unq = _grid_quant(t, lay, grid)
         err = _eval_exact(px, d0x, d1x, unq, nche)
         cand = (q0, q1, gq, unq, err)
         if best is None:
@@ -485,8 +575,19 @@ def _fit_dual(px, lay: Layout, ccs: int, iters: int, clut, grid=None):
         t1 = jnp.clip(
             (px[ccs] - d0[ccs].astype(jnp.float32)) / dasafe, 0.0, 1.0
         )
-        gq0, unq0 = _grid_quant(t0, lay, grid)
-        gq1, unq1 = _grid_quant(t1, lay, grid)
+        if grid is None:
+            gq0, unq0 = _wquant_exact(
+                [px[c] for c in rest],
+                [d0[c] for c in rest],
+                [d1[c] for c in rest],
+                lay.wlevels,
+            )
+            gq1, unq1 = _wquant_exact(
+                [px[ccs]], [d0[ccs]], [d1[ccs]], lay.wlevels
+            )
+        else:
+            gq0, unq0 = _grid_quant(t0, lay, grid)
+            gq1, unq1 = _grid_quant(t1, lay, grid)
         # eval: per-channel plane select
         err = jnp.zeros_like(px[0][0:1, :])
         for c in range(4):
@@ -540,6 +641,7 @@ def _void_extent(px, t_count):
     for c in range(4):
         dec8 = (v16[c] >> 8).astype(jnp.float32)
         err = err + _rt((dec8 - px[c]) ** 2)
+    err = err - 1e-3  # tie-break toward the VE (see astc.py:_void_extent)
     w0 = jnp.full(shape, (0x1FC | (0b11 << 10)) | 0xFFFFF000, _U32)
     w1 = jnp.full(shape, 0xFFFFFFFF, _U32)
     w2 = (v16[0] | (v16[1] << 16)).astype(_U32)
@@ -633,12 +735,15 @@ def _kernel_a(x_ref, *refs, quality, clut_levels, bw, bh, grid_keys,
     px = [x_ref[c] for c in range(4)]
     iters = _PLAN[quality]["iters"]
 
+    iters12 = _PLAN[quality].get("iters12", iters)
+
     def run(tasks, words, err, mask=None):
         for lay, ccs in tasks:
             clut = cluts.get(lay.clevels)
             grid = grids.get((lay.gw, lay.gh))
+            it_n = iters12 if (lay.cem == 12 and ccs is None) else iters
             if ccs is None:
-                q0, q1, gq, lerr = _fit_1part(px, lay, iters, clut, grid)
+                q0, q1, gq, lerr = _fit_1part(px, lay, it_n, clut, grid)
                 lwords = _pack_1part(lay, q0, q1, gq, lerr.shape, pack_tbls)
             else:
                 q0, q1, gq, lerr = _fit_dual(px, lay, ccs, iters, clut, grid)
@@ -682,10 +787,9 @@ def _kernel_a(x_ref, *refs, quality, clut_levels, bw, bh, grid_keys,
 
 
 def _layouts_b(bw, bh, quality):
+    plan = _PLAN[quality]
     menu = layout_menu(bw, bh)
-    lays = []
-    if menu[(8, 2)]:
-        lays.append(menu[(8, 2)][0])
+    lays = list(menu[(8, 2)][: plan.get("p2_layouts", 1)])
     if quality >= 3 and menu[(12, 2)]:
         lays.append(menu[(12, 2)][0])
     return lays
@@ -745,15 +849,20 @@ def _fit_2part(px, masks, lay, iters, clut, grid):
                 for p in range(nparts))
             for c in range(nch)
         ]
-        df = [d1t[c] - d0t[c] for c in range(nch)]
-        denom = sum(f * f for f in df) + 1e-6
-        proj = sum((pxf[c] - d0t[c]) * df[c] for c in range(nch))
-        t = jnp.clip(proj / denom, 0.0, 1.0)
-        gq, unq = _grid_quant(t, lay, grid)
         d0x, nche = expand4(d0t)
         d1x, _ = expand4(d1t)
         d0i = [d.astype(jnp.int32) for d in d0x]
         d1i = [d.astype(jnp.int32) for d in d1x]
+        if grid is None:
+            gq, unq = _wquant_exact(
+                px[:nche], d0i[:nche], d1i[:nche], lay.wlevels
+            )
+        else:
+            df = [d1t[c] - d0t[c] for c in range(nch)]
+            denom = sum(f * f for f in df) + 1e-6
+            proj = sum((pxf[c] - d0t[c]) * df[c] for c in range(nch))
+            t = jnp.clip(proj / denom, 0.0, 1.0)
+            gq, unq = _grid_quant(t, lay, grid)
         err = _eval_exact(px, d0i, d1i, unq, nche)
         cand = (qs, gq, unq, err)
         if best is None:
@@ -847,11 +956,12 @@ def _kernel_b(x_ref, pt_ref, ptt_ref, trit_ref, quint_ref, *rest,
         )
         sse = jnp.where(iota == seed, jnp.inf, sse)
         seeds_l.append(seed)
-    if topk > 1:
+    keep = min(max(1, plan.get("keep2", 1)), topk)
+    if topk > keep:
         # Estimate-then-refine (mirrors kernels/astc.py:_rank_seeds): one
         # unrefined fit of the first layout per seed, deep-fit only the
-        # per-block winner.
-        bs, be = None, None
+        # per-block top-`keep` ranked seeds.
+        ests = []
         for seed in seeds_l:
             onehot = (iota == seed).astype(jnp.float32)
             m1 = _mm(ptt_ref[:], onehot)
@@ -859,22 +969,38 @@ def _kernel_b(x_ref, pt_ref, ptt_ref, trit_ref, quint_ref, *rest,
                 px, (1.0 - m1, m1), lays[0], 1,
                 cluts.get(lays[0].clevels), grids.get(0),
             )
-            if bs is None:
-                bs, be = seed, e
-            else:
-                take = e < be
-                bs = jnp.where(take, seed, bs)
-                be = jnp.minimum(e, be)
-        seeds_l = [bs]
+            ests.append(e)
+        chosen = [jnp.zeros_like(e, jnp.bool_) for e in ests]
+        winners = []
+        for _ in range(keep):
+            bi = None
+            be = None
+            bseed = None
+            for i, (seed, e) in enumerate(zip(seeds_l, ests)):
+                ee = jnp.where(chosen[i], jnp.inf, e)
+                if bi is None:
+                    bi = jnp.zeros_like(e, jnp.int32)
+                    be = ee
+                    bseed = seed
+                else:
+                    take = ee < be
+                    bi = jnp.where(take, i, bi)
+                    be = jnp.minimum(ee, be)
+                    bseed = jnp.where(take, seed, bseed)
+            winners.append(bseed)
+            for i in range(len(ests)):
+                chosen[i] = chosen[i] | (bi == i)
+        seeds_l = winners
 
     words = None
     err = None
+    p2_iters = plan.get("p2_iters", iters)
     for seed in seeds_l:
         onehot = (iota == seed).astype(jnp.float32)  # [1024,TN]
         m1 = _mm(ptt_ref[:], onehot)  # [T,TN]
         for li, lay in enumerate(lays):
             qs, gq, lerr = _fit_2part(
-                px, (1.0 - m1, m1), lay, iters,
+                px, (1.0 - m1, m1), lay, p2_iters,
                 cluts.get(lay.clevels), grids.get(li),
             )
             lwords = _pack_2part(lay, qs, gq, seed, lerr.shape, pack_tbls)
