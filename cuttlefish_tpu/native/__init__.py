@@ -20,6 +20,8 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "src", "codec.cpp")
 _SRC_JPEG = os.path.join(_DIR, "src", "jpeg.cpp")
 _SRC_BC7 = os.path.join(_DIR, "src", "bc7_cpu.cpp")
+_SRC_ASTC = os.path.join(_DIR, "src", "astc_cpu.cpp")
+_SRC_ETC2 = os.path.join(_DIR, "src", "etc2_cpu.cpp")
 
 _lib = None
 _load_error: str | None = None
@@ -31,7 +33,7 @@ def _build_and_load():
         return
     try:
         h = hashlib.sha256()
-        for src in (_SRC, _SRC_JPEG, _SRC_BC7):
+        for src in (_SRC, _SRC_JPEG, _SRC_BC7, _SRC_ASTC, _SRC_ETC2):
             with open(src, "rb") as f:
                 h.update(f.read())
         digest = h.hexdigest()[:16]
@@ -47,8 +49,8 @@ def _build_and_load():
                 subprocess.run(
                     [
                         "g++", "-O2", "-shared", "-fPIC", "-std=c++17",
-                        _SRC, _SRC_JPEG, _SRC_BC7, "-lz", "-pthread",
-                        "-o", tmp,
+                        _SRC, _SRC_JPEG, _SRC_BC7, _SRC_ASTC, _SRC_ETC2,
+                        "-lz", "-pthread", "-o", tmp,
                     ],
                     check=True,
                     capture_output=True,
@@ -92,6 +94,15 @@ def _configure(lib):
     ]
     lib.ctpu_bc7_encode.argtypes = [
         c.POINTER(c.c_float), c.c_int, c.c_int, c.c_int, c.POINTER(c.c_uint32),
+    ]
+    lib.ctpu_astc4x4_encode.argtypes = [
+        c.POINTER(c.c_float), c.c_int, c.c_int, c.c_int, u8p,
+    ]
+    lib.ctpu_etc2_rgb_encode.argtypes = [
+        c.POINTER(c.c_float), c.c_int, c.c_int, c.c_int, c.c_int, u8p,
+    ]
+    lib.ctpu_eac_a8_encode.argtypes = [
+        c.POINTER(c.c_float), c.c_int, c.c_int, c.c_int, u8p,
     ]
 
 
@@ -296,5 +307,72 @@ def bc7_encode_cpu(blocks, quality: int = 2, threads: int = 0):
     _lib.ctpu_bc7_encode(
         blocks.ctypes.data_as(c.POINTER(c.c_float)), n, int(quality),
         int(threads), out.ctypes.data_as(c.POINTER(c.c_uint32)),
+    )
+    return out
+
+
+def astc4x4_encode_cpu(blocks, quality: int = 2, threads: int = 0):
+    """CPU ASTC 4x4 encode (astcenc-"fast"-class quality baseline).
+
+    blocks: [N,16,4] float32 in [0,1] -> [N,16] uint8 ASTC blocks.  See
+    native/src/astc_cpu.cpp; used by tests/test_cpu_reference.py to back
+    the BASELINE.md north-star PSNR claim for ASTC.
+    """
+    import ctypes as c
+
+    import numpy as np
+
+    _build_and_load()
+    if _lib is None:
+        raise RuntimeError(f"native codec unavailable: {_load_error}")
+    blocks = np.ascontiguousarray(blocks, np.float32)
+    n = blocks.shape[0]
+    out = np.zeros((n, 16), np.uint8)
+    _lib.ctpu_astc4x4_encode(
+        blocks.ctypes.data_as(c.POINTER(c.c_float)), n, int(quality),
+        int(threads), out.ctypes.data_as(c.POINTER(c.c_uint8)),
+    )
+    return out
+
+
+def etc2_rgb_encode_cpu(blocks, quality: int = 2, etc2: bool = True,
+                        threads: int = 0):
+    """CPU ETC1/ETC2 RGB encode (etc2comp-"basic"-class quality baseline).
+
+    blocks: [N,16,4] float32 in [0,1] -> [N,8] uint8 big-endian blocks.
+    """
+    import ctypes as c
+
+    import numpy as np
+
+    _build_and_load()
+    if _lib is None:
+        raise RuntimeError(f"native codec unavailable: {_load_error}")
+    blocks = np.ascontiguousarray(blocks, np.float32)
+    n = blocks.shape[0]
+    out = np.zeros((n, 8), np.uint8)
+    _lib.ctpu_etc2_rgb_encode(
+        blocks.ctypes.data_as(c.POINTER(c.c_float)), n, int(quality),
+        1 if etc2 else 0, int(threads),
+        out.ctypes.data_as(c.POINTER(c.c_uint8)),
+    )
+    return out
+
+
+def eac_a8_encode_cpu(blocks, quality: int = 2, threads: int = 0):
+    """CPU EAC A8 encode over the alpha channel of [N,16,4] blocks."""
+    import ctypes as c
+
+    import numpy as np
+
+    _build_and_load()
+    if _lib is None:
+        raise RuntimeError(f"native codec unavailable: {_load_error}")
+    blocks = np.ascontiguousarray(blocks, np.float32)
+    n = blocks.shape[0]
+    out = np.zeros((n, 8), np.uint8)
+    _lib.ctpu_eac_a8_encode(
+        blocks.ctypes.data_as(c.POINTER(c.c_float)), n, int(quality),
+        int(threads), out.ctypes.data_as(c.POINTER(c.c_uint8)),
     )
     return out

@@ -1,0 +1,766 @@
+// CPU ASTC 4x4 encoder: independent reference-class quality baseline.
+//
+// An original implementation in the astcenc-"fast" algorithm class (the
+// reference drives astcenc via /root/reference/lib/src/AstcConverter.cpp;
+// its effort ladder at 174-195 maps quality to search breadth).  Used by
+// tests/test_cpu_reference.py to back the BASELINE.md north-star claim
+// ("per-image PSNR >= reference at matching quality") for ASTC the same
+// way native/src/bc7_cpu.cpp backs it for BC7.
+//
+// Search space (all 4x4 weight grid, single plane, LDR):
+//   A: 1-partition CEM 8 (RGB direct),  8-level weights, 256-level color
+//   B: 1-partition CEM 8,              16-level weights, 192-level color
+//   C: 1-partition CEM 12 (RGBA),       4-level weights, 256-level color
+//   D: 1-partition CEM 12,              8-level weights, 192-level color
+//   E: 2-partition CEM 8,               4-level weights,  40-level color
+//   F: 2-partition CEM 12,              4-level weights,  16-level color
+//   G: 2-partition CEM 8,               8-level weights,  16-level color
+// Color ranges are the ones the ASTC implied-range rule derives from each
+// layout's leftover bit budget (spec C.2.22), so every emitted block is
+// conformant and decodes identically under decode/astc.py and Mesa GL.
+// Partition search screens all 1024 seeds by cluster SSE and deep-fits the
+// top K.  Per-layout fitting is PCA seed + least-squares refinement with
+// exact-decode-model candidate selection (keep-best across iterations).
+//
+// ISE (spec C.2.12): trit/quint packed blocks are inverted by brute force
+// from the spec decode functions at init; pack tables prefer the smallest
+// block value so truncated final groups stay consistent.
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// ISE: trit/quint blocks (spec C.2.12)
+// ---------------------------------------------------------------------------
+
+void decode_trit_block(int t, int* out) {
+  int c, t4, t3;
+  if (((t >> 2) & 0x7) == 0x7) {
+    c = (((t >> 5) & 0x7) << 2) | (t & 0x3);
+    t4 = t3 = 2;
+  } else {
+    c = t & 0x1F;
+    if (((t >> 5) & 0x3) == 0x3) {
+      t4 = 2;
+      t3 = (t >> 7) & 1;
+    } else {
+      t4 = (t >> 7) & 1;
+      t3 = (t >> 5) & 0x3;
+    }
+  }
+  int t2, t1, t0;
+  if ((c & 0x3) == 0x3) {
+    t2 = 2;
+    t1 = (c >> 4) & 1;
+    t0 = (((c >> 3) & 1) << 1) | ((c >> 2) & 1 & ~((c >> 3) & 1));
+  } else if (((c >> 2) & 0x3) == 0x3) {
+    t2 = 2;
+    t1 = 2;
+    t0 = c & 0x3;
+  } else {
+    t2 = (c >> 4) & 1;
+    t1 = (c >> 2) & 0x3;
+    t0 = (c & 0x2) | ((c & 1) & ~((c >> 1) & 1));
+  }
+  out[0] = t0; out[1] = t1; out[2] = t2; out[3] = t3; out[4] = t4;
+}
+
+void decode_quint_block(int q, int* out) {
+  int q2, q1, q0;
+  if (((q >> 1) & 0x3) == 0x3 && ((q >> 5) & 0x3) == 0x0) {
+    q2 = ((q & 1) << 2) | (((q >> 4) & 1 & ~(q & 1)) << 1) |
+         ((q >> 3) & 1 & ~(q & 1));
+    q1 = 4;
+    q0 = 4;
+  } else {
+    int c;
+    if (((q >> 1) & 0x3) == 0x3) {
+      q2 = 4;
+      c = (((q >> 3) & 0x3) << 3) | ((~(q >> 5) & 0x3) << 1) | (q & 1);
+    } else {
+      q2 = (q >> 5) & 0x3;
+      c = q & 0x1F;
+    }
+    if ((c & 0x7) == 0x5) {
+      q1 = 4;
+      q0 = (c >> 3) & 0x3;
+    } else {
+      q1 = (c >> 3) & 0x3;
+      q0 = c & 0x7;
+    }
+  }
+  out[0] = q0; out[1] = q1; out[2] = q2;
+}
+
+struct IseTables {
+  int trit_pack[3][3][3][3][3];
+  int quint_pack[5][5][5];
+  IseTables() {
+    for (auto& a : trit_pack)
+      for (auto& b : a)
+        for (auto& c : b)
+          for (auto& d : c)
+            for (int& e : d) e = -1;
+    for (auto& a : quint_pack)
+      for (auto& b : a)
+        for (int& c : b) c = -1;
+    for (int t = 0; t < 256; ++t) {
+      int tr[5];
+      decode_trit_block(t, tr);
+      int& slot = trit_pack[tr[0]][tr[1]][tr[2]][tr[3]][tr[4]];
+      if (slot < 0) slot = t;  // smallest block value first
+    }
+    for (int q = 0; q < 128; ++q) {
+      int qu[3];
+      decode_quint_block(q, qu);
+      int& slot = quint_pack[qu[0]][qu[1]][qu[2]];
+      if (slot < 0) slot = q;
+    }
+  }
+};
+const IseTables& ise_tables() {
+  static IseTables t;
+  return t;
+}
+
+// kind: 0 = bits, 1 = trit, 2 = quint
+int ise_bits(int n, int kind, int b) {
+  if (kind == 0) return n * b;
+  if (kind == 1) return (8 * n + 4) / 5 + n * b;
+  return (7 * n + 2) / 3 + n * b;
+}
+
+// Append the ISE stream for n quantized values to `bits` (LSB-first vector
+// of 0/1), matching the spec interleave (m bits then packed T/Q slots).
+void ise_encode(const int* vals, int n, int kind, int b,
+                std::vector<uint8_t>* bits) {
+  const int trit_slots[5][2] = {{0, 2}, {2, 2}, {4, 1}, {5, 2}, {7, 1}};
+  const int quint_slots[3][2] = {{0, 3}, {3, 2}, {5, 2}};
+  int total = ise_bits(n, kind, b);
+  size_t base = bits->size();
+  if (kind == 0) {
+    for (int i = 0; i < n; ++i)
+      for (int j = 0; j < b; ++j) bits->push_back((vals[i] >> j) & 1);
+    return;
+  }
+  int per = kind == 1 ? 5 : 3;
+  auto slots = kind == 1 ? trit_slots : quint_slots;
+  int ngroups = (n + per - 1) / per;
+  for (int g = 0; g < ngroups; ++g) {
+    int digits[5] = {0, 0, 0, 0, 0};
+    for (int k = 0; k < per; ++k) {
+      int i = g * per + k;
+      if (i < n) digits[k] = vals[i] >> b;
+    }
+    int packed = kind == 1 ? ise_tables().trit_pack[digits[0]][digits[1]]
+                                 [digits[2]][digits[3]][digits[4]]
+                           : ise_tables().quint_pack[digits[0]][digits[1]]
+                                 [digits[2]];
+    for (int k = 0; k < per; ++k) {
+      int i = g * per + k;
+      int m = i < n ? (vals[i] & ((1 << b) - 1)) : 0;
+      for (int j = 0; j < b; ++j) bits->push_back((m >> j) & 1);
+      for (int j = slots[k][0]; j < slots[k][0] + slots[k][1]; ++j)
+        bits->push_back((packed >> j) & 1);
+    }
+  }
+  bits->resize(base + total);  // truncate the final partial group
+}
+
+// ---------------------------------------------------------------------------
+// Unquantization (spec C.2.13/C.2.17; trit/quint color tables are the
+// public spec constants, Mesa-validated in tests/test_gl_parity.py)
+// ---------------------------------------------------------------------------
+
+// Weight unquant (spec C.2.17): bit-only ranges replicate to 6 bits and
+// bump past the midpoint; trit/quint ranges use the A/B/C scheme.
+struct WRange {
+  int levels;
+  int kind;  // 0 bits / 1 trit / 2 quint
+  int bits;
+  int unq[32];
+};
+
+int weight_B(int kind, int b, int m) {
+  if (b <= 1) return 0;
+  int x = (m >> 1) & 1;
+  if (b == 2 && kind == 1) return (x << 6) | (x << 2) | x;
+  if (b == 2 && kind == 2) return (x << 6) | (x << 1);
+  if (b == 3 && kind == 1) {
+    int y = (m >> 2) & 1;
+    return (y << 6) | (x << 5) | (y << 1) | x;
+  }
+  return 0;
+}
+
+void build_weight_range(int levels, WRange* r) {
+  r->levels = levels;
+  int C = 0;
+  switch (levels) {
+    case 2: r->kind = 0; r->bits = 1; break;
+    case 4: r->kind = 0; r->bits = 2; break;
+    case 8: r->kind = 0; r->bits = 3; break;
+    case 16: r->kind = 0; r->bits = 4; break;
+    case 32: r->kind = 0; r->bits = 5; break;
+    case 3: r->kind = 1; r->bits = 0; break;
+    case 6: r->kind = 1; r->bits = 1; C = 50; break;
+    case 12: r->kind = 1; r->bits = 2; C = 23; break;
+    case 24: r->kind = 1; r->bits = 3; C = 11; break;
+    case 5: r->kind = 2; r->bits = 0; break;
+    case 10: r->kind = 2; r->bits = 1; C = 28; break;
+    case 20: r->kind = 2; r->bits = 2; C = 13; break;
+  }
+  for (int v = 0; v < levels; ++v) {
+    int w;
+    if (r->kind == 0) {
+      int x = 0, shift = 6;
+      while (shift > 0) {
+        shift -= r->bits;
+        x |= shift >= 0 ? (v << shift) : (v >> -shift);
+      }
+      x &= 0x3F;
+      if (x > 32) x += 1;
+      w = x;
+    } else if (r->bits == 0) {
+      static const int t0[3] = {0, 32, 64};
+      static const int q0[5] = {0, 16, 32, 48, 64};
+      w = r->kind == 1 ? t0[v] : q0[v];
+    } else {
+      int d = v >> r->bits, m = v & ((1 << r->bits) - 1);
+      int A = (m & 1) ? 0x7F : 0;
+      int T = d * C + weight_B(r->kind, r->bits, m);
+      T ^= A;
+      T = (A & 0x20) | (T >> 2);
+      if (T > 32) T += 1;
+      w = T;
+    }
+    r->unq[v] = w;
+  }
+}
+
+const int kColor40[40] = {
+    0, 255, 32, 223, 65, 190, 97, 158, 6, 249, 39, 216, 71, 184, 104, 151,
+    13, 242, 45, 210, 78, 177, 110, 145, 19, 236, 52, 203, 84, 171, 117, 138,
+    26, 229, 58, 197, 91, 164, 123, 132};
+const int kColor24[24] = {
+    0, 255, 33, 222, 66, 189, 99, 156, 11, 244, 44, 211, 77, 178, 110, 145,
+    22, 233, 55, 200, 88, 167, 121, 134};
+const int kColor192[192] = {
+    0, 255, 4, 251, 8, 247, 12, 243, 16, 239, 20, 235, 24, 231, 28, 227,
+    32, 223, 36, 219, 40, 215, 44, 211, 48, 207, 52, 203, 56, 199, 60, 195,
+    64, 191, 68, 187, 72, 183, 76, 179, 80, 175, 84, 171, 88, 167, 92, 163,
+    96, 159, 100, 155, 104, 151, 108, 147, 112, 143, 116, 139, 120, 135, 124, 131,
+    1, 254, 5, 250, 9, 246, 13, 242, 17, 238, 21, 234, 25, 230, 29, 226,
+    33, 222, 37, 218, 41, 214, 45, 210, 49, 206, 53, 202, 57, 198, 61, 194,
+    65, 190, 69, 186, 73, 182, 77, 178, 81, 174, 85, 170, 89, 166, 93, 162,
+    97, 158, 101, 154, 105, 150, 109, 146, 113, 142, 117, 138, 121, 134, 125, 130,
+    2, 253, 6, 249, 10, 245, 14, 241, 18, 237, 22, 233, 26, 229, 30, 225,
+    34, 221, 38, 217, 42, 213, 46, 209, 50, 205, 54, 201, 58, 197, 62, 193,
+    66, 189, 70, 185, 74, 181, 78, 177, 82, 173, 86, 169, 90, 165, 94, 161,
+    98, 157, 102, 153, 106, 149, 110, 145, 114, 141, 118, 137, 122, 133, 126, 129,
+};
+const int kColor96[96] = {
+    0, 255, 8, 247, 16, 239, 24, 231, 32, 223, 40, 215, 48, 207, 56, 199,
+    64, 191, 72, 183, 80, 175, 88, 167, 96, 159, 104, 151, 112, 143, 120,
+    135, 2, 253, 10, 245, 18, 237, 26, 229, 35, 220, 43, 212, 51, 204, 59,
+    196, 67, 188, 75, 180, 83, 172, 91, 164, 99, 156, 107, 148, 115, 140,
+    123, 132, 5, 250, 13, 242, 21, 234, 29, 226, 37, 218, 45, 210, 53, 202,
+    61, 194, 70, 185, 78, 177, 86, 169, 94, 161, 102, 153, 110, 145, 118,
+    137, 126, 129};
+
+struct ColorRange {
+  int levels;
+  int kind;  // 0 bits / 1 trit / 2 quint
+  int bits;
+  int unq[256];  // quantized value -> 0..255
+  int nearest[256];  // 0..255 -> quantized value minimizing |unq - x|
+};
+
+void build_color_range(int levels, ColorRange* r) {
+  r->levels = levels;
+  if (levels == 256) {
+    r->kind = 0; r->bits = 8;
+    for (int v = 0; v < 256; ++v) r->unq[v] = v;
+  } else if (levels == 16) {
+    r->kind = 0; r->bits = 4;
+    for (int v = 0; v < 16; ++v) r->unq[v] = (v << 4) | v;
+  } else if (levels == 32) {
+    r->kind = 0; r->bits = 5;
+    for (int v = 0; v < 32; ++v) r->unq[v] = (v << 3) | (v >> 2);
+  } else if (levels == 64) {
+    r->kind = 0; r->bits = 6;
+    for (int v = 0; v < 64; ++v) r->unq[v] = (v << 2) | (v >> 4);
+  } else if (levels == 24) {
+    r->kind = 1; r->bits = 3;
+    for (int v = 0; v < 24; ++v) r->unq[v] = kColor24[v];
+  } else if (levels == 40) {
+    r->kind = 2; r->bits = 3;
+    for (int v = 0; v < 40; ++v) r->unq[v] = kColor40[v];
+  } else if (levels == 96) {
+    r->kind = 1; r->bits = 5;
+    for (int v = 0; v < 96; ++v) r->unq[v] = kColor96[v];
+  } else if (levels == 192) {
+    r->kind = 1; r->bits = 6;
+    for (int v = 0; v < 192; ++v) r->unq[v] = kColor192[v];
+  }
+  for (int x = 0; x < 256; ++x) {
+    int best = 0, bd = 1 << 30;
+    for (int v = 0; v < r->levels; ++v) {
+      int d = r->unq[v] - x;
+      d *= d;
+      if (d < bd) { bd = d; best = v; }
+    }
+    r->nearest[x] = best;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Partition function (spec C.2.21)
+// ---------------------------------------------------------------------------
+
+uint32_t hash52(uint32_t p) {
+  p ^= p >> 15;
+  p -= p << 17;
+  p += p << 7;
+  p += p << 4;
+  p ^= p >> 5;
+  p += p << 16;
+  p ^= p >> 7;
+  p ^= p >> 3;
+  p ^= p << 6;
+  p ^= p >> 17;
+  return p;
+}
+
+int select_partition(int seed, int x, int y, int partition_count) {
+  // 4x4: small block -> coordinates doubled
+  x <<= 1;
+  y <<= 1;
+  seed += (partition_count - 1) * 1024;
+  uint32_t rnum = hash52((uint32_t)seed);
+  int s[12];
+  for (int i = 0; i < 8; ++i) s[i] = (rnum >> (4 * i)) & 0xF;
+  s[8] = (rnum >> 18) & 0xF;
+  s[9] = (rnum >> 22) & 0xF;
+  s[10] = (rnum >> 26) & 0xF;
+  s[11] = ((rnum >> 30) | (rnum << 2)) & 0xF;
+  for (int& v : s) v *= v;
+  int sh1, sh2;
+  if (seed & 1) {
+    sh1 = (seed & 2) ? 4 : 5;
+    sh2 = partition_count == 3 ? 6 : 5;
+  } else {
+    sh1 = partition_count == 3 ? 6 : 5;
+    sh2 = (seed & 2) ? 4 : 5;
+  }
+  int sh3 = (seed & 0x10) ? sh1 : sh2;
+  int sd[12] = {s[0] >> sh1, s[1] >> sh2, s[2] >> sh1, s[3] >> sh2,
+                s[4] >> sh1, s[5] >> sh2, s[6] >> sh1, s[7] >> sh2,
+                s[8] >> sh3, s[9] >> sh3, s[10] >> sh3, s[11] >> sh3};
+  int a = (sd[0] * x + sd[1] * y + (int)(rnum >> 14)) & 0x3F;
+  int b = (sd[2] * x + sd[3] * y + (int)(rnum >> 10)) & 0x3F;
+  int c = (sd[4] * x + sd[5] * y + (int)(rnum >> 6)) & 0x3F;
+  int d = (sd[6] * x + sd[7] * y + (int)(rnum >> 2)) & 0x3F;
+  if (partition_count < 4) d = 0;
+  if (partition_count < 3) c = 0;
+  if (partition_count < 2) b = 0;
+  if (a >= b && a >= c && a >= d) return 0;
+  if (b >= c && b >= d) return 1;
+  if (c >= d) return 2;
+  return 3;
+}
+
+struct PartTables {
+  uint8_t part2[1024][16];
+  PartTables() {
+    for (int seed = 0; seed < 1024; ++seed)
+      for (int t = 0; t < 16; ++t)
+        part2[seed][t] =
+            (uint8_t)select_partition(seed, t % 4, t / 4, 2);
+  }
+};
+const PartTables& part_tables() {
+  static PartTables t;
+  return t;
+}
+
+// ---------------------------------------------------------------------------
+// Layout fitting
+// ---------------------------------------------------------------------------
+
+struct Layout {
+  int block_mode;   // 11-bit field (4x4 grid, single plane)
+  const WRange* w;  // weight range
+  int cem;          // 8 or 12
+  int nparts;       // 1 or 2
+  const ColorRange* color;
+};
+
+struct Fitted {
+  double err;
+  int q[2][8];    // per-partition quantized color values (v0..)
+  int wq[16];     // quantized weights per texel
+};
+
+inline int decode_texel(int e0, int e1, int w64) {
+  int v0 = (e0 << 8) | e0;
+  int v1 = (e1 << 8) | e1;
+  return (((v0 * (64 - w64) + v1 * w64 + 32) >> 6) >> 8);
+}
+
+// Fit one layout for one block; px = 16*4 floats (0..255).
+// part_of: texel -> partition (all zero for 1-partition).
+double fit_layout(const float* px, const Layout& L, const uint8_t* part_of,
+                  int iters, Fitted* out) {
+  int nch = L.cem == 12 ? 4 : 3;
+  // per-partition float endpoints
+  float e0[2][4], e1[2][4];
+  for (int p = 0; p < L.nparts; ++p) {
+    // PCA seed
+    float mean[4] = {0, 0, 0, 0};
+    int cnt = 0;
+    for (int t = 0; t < 16; ++t) {
+      if (part_of[t] != p) continue;
+      ++cnt;
+      for (int c = 0; c < nch; ++c) mean[c] += px[t * 4 + c];
+    }
+    if (!cnt) cnt = 1;
+    for (int c = 0; c < nch; ++c) mean[c] /= cnt;
+    double cov[4][4] = {};
+    for (int t = 0; t < 16; ++t) {
+      if (part_of[t] != p) continue;
+      for (int c = 0; c < nch; ++c)
+        for (int d = 0; d < nch; ++d)
+          cov[c][d] += (px[t * 4 + c] - mean[c]) * (px[t * 4 + d] - mean[d]);
+    }
+    double axis[4] = {1, 1, 1, 1};
+    for (int it = 0; it < 4; ++it) {
+      double nv[4] = {}, nn = 0;
+      for (int c = 0; c < nch; ++c)
+        for (int d = 0; d < nch; ++d) nv[c] += cov[c][d] * axis[d];
+      for (int c = 0; c < nch; ++c) nn += nv[c] * nv[c];
+      nn = std::sqrt(nn);
+      if (nn < 1e-10) break;
+      for (int c = 0; c < nch; ++c) axis[c] = nv[c] / nn;
+    }
+    float tmin = 1e30f, tmax = -1e30f;
+    for (int t = 0; t < 16; ++t) {
+      if (part_of[t] != p) continue;
+      float tt = 0;
+      for (int c = 0; c < nch; ++c)
+        tt += (px[t * 4 + c] - mean[c]) * (float)axis[c];
+      tmin = std::min(tmin, tt);
+      tmax = std::max(tmax, tt);
+    }
+    for (int c = 0; c < 4; ++c) {
+      e0[p][c] = c < nch
+                     ? std::min(255.f, std::max(0.f, mean[c] + (float)axis[c] * tmin))
+                     : 255.f;
+      e1[p][c] = c < nch
+                     ? std::min(255.f, std::max(0.f, mean[c] + (float)axis[c] * tmax))
+                     : 255.f;
+    }
+  }
+
+  double best_err = 1e30;
+  for (int it = 0; it <= iters; ++it) {
+    // quantize endpoints; enforce no-blue-contract ordering (s0 <= s1)
+    int d0[2][4], d1[2][4], qv[2][8];
+    for (int p = 0; p < L.nparts; ++p) {
+      for (int c = 0; c < nch; ++c) {
+        int x0 = (int)std::lround(e0[p][c]);
+        int x1 = (int)std::lround(e1[p][c]);
+        x0 = std::min(255, std::max(0, x0));
+        x1 = std::min(255, std::max(0, x1));
+        int q0 = L.color->nearest[x0], q1 = L.color->nearest[x1];
+        d0[p][c] = L.color->unq[q0];
+        d1[p][c] = L.color->unq[q1];
+        if (L.cem == 8) {
+          qv[p][2 * c] = q0;
+          qv[p][2 * c + 1] = q1;
+        } else {  // CEM 12: r0 r1 g0 g1 b0 b1 a0 a1
+          qv[p][2 * c] = q0;
+          qv[p][2 * c + 1] = q1;
+        }
+      }
+      if (L.cem == 8) {  // implicit opaque alpha
+        d0[p][3] = 255;
+        d1[p][3] = 255;
+      }
+      int s0 = d0[p][0] + d0[p][1] + d0[p][2];
+      int s1 = d1[p][0] + d1[p][1] + d1[p][2];
+      if (s0 > s1) {  // swap to dodge blue-contract; weights re-chosen below
+        for (int c = 0; c < 4; ++c) std::swap(d0[p][c], d1[p][c]);
+        for (int c = 0; c < nch; ++c) std::swap(qv[p][2 * c], qv[p][2 * c + 1]);
+      }
+    }
+    // exact per-texel weight sweep
+    double err = 0;
+    int wq[16];
+    float wfrac[16];
+    for (int t = 0; t < 16; ++t) {
+      int p = part_of[t];
+      double be = 1e30;
+      int bw = 0;
+      for (int w = 0; w < L.w->levels; ++w) {
+        int w64 = L.w->unq[w];
+        double e = 0;
+        for (int c = 0; c < 4; ++c) {
+          int dc = decode_texel(d0[p][c], d1[p][c], w64);
+          double d = px[t * 4 + c] - dc;
+          e += d * d;
+        }
+        if (e < be) { be = e; bw = w; }
+      }
+      wq[t] = bw;
+      wfrac[t] = L.w->unq[bw] / 64.0f;
+      err += be;
+    }
+    if (err < best_err) {
+      best_err = err;
+      std::memcpy(out->wq, wq, sizeof wq);
+      for (int p = 0; p < L.nparts; ++p)
+        std::memcpy(out->q[p], qv[p], sizeof qv[p]);
+    }
+    if (it == iters) break;
+    // LS refine per partition from the weight fractions
+    for (int p = 0; p < L.nparts; ++p) {
+      double a = 0, b = 0, c2 = 0, r0[4] = {}, r1[4] = {};
+      for (int t = 0; t < 16; ++t) {
+        if (part_of[t] != p) continue;
+        double w = wfrac[t];
+        a += w * w;
+        b += w * (1 - w);
+        c2 += (1 - w) * (1 - w);
+        for (int c = 0; c < nch; ++c) {
+          r1[c] += w * px[t * 4 + c];
+          r0[c] += (1 - w) * px[t * 4 + c];
+        }
+      }
+      double det = a * c2 - b * b;
+      if (std::fabs(det) < 1e-6) continue;
+      for (int c = 0; c < nch; ++c) {
+        double n1 = (c2 * r1[c] - b * r0[c]) / det;
+        double n0 = (a * r0[c] - b * r1[c]) / det;
+        e1[p][c] = (float)std::min(255.0, std::max(0.0, n1));
+        e0[p][c] = (float)std::min(255.0, std::max(0.0, n0));
+      }
+    }
+  }
+  out->err = best_err;
+  return best_err;
+}
+
+// ---------------------------------------------------------------------------
+// Block assembly
+// ---------------------------------------------------------------------------
+
+void set_bit(uint8_t* blk, int pos, int v) {
+  if (v) blk[pos >> 3] |= (uint8_t)(1 << (pos & 7));
+}
+
+void pack_block(const Layout& L, const Fitted& f, int seed, uint8_t* blk) {
+  std::memset(blk, 0, 16);
+  for (int i = 0; i < 11; ++i) set_bit(blk, i, (L.block_mode >> i) & 1);
+  set_bit(blk, 11, (L.nparts - 1) & 1);
+  set_bit(blk, 12, ((L.nparts - 1) >> 1) & 1);
+  int color_start;
+  if (L.nparts == 1) {
+    for (int i = 0; i < 4; ++i) set_bit(blk, 13 + i, (L.cem >> i) & 1);
+    color_start = 17;
+  } else {
+    for (int i = 0; i < 10; ++i) set_bit(blk, 13 + i, (seed >> i) & 1);
+    int cem_field = L.cem << 2;  // all-same-CEM encoding (low bits 0)
+    for (int i = 0; i < 6; ++i) set_bit(blk, 23 + i, (cem_field >> i) & 1);
+    color_start = 29;
+  }
+  // color ISE
+  int nper = 2 * ((L.cem >> 2) + 1);
+  int vals[16];
+  for (int p = 0; p < L.nparts; ++p)
+    for (int i = 0; i < nper; ++i) vals[p * nper + i] = f.q[p][i];
+  std::vector<uint8_t> cbits;
+  ise_encode(vals, nper * L.nparts, L.color->kind, L.color->bits, &cbits);
+  for (size_t i = 0; i < cbits.size(); ++i)
+    set_bit(blk, color_start + (int)i, cbits[i]);
+  // weights: stream bit j at block bit 127-j
+  std::vector<uint8_t> wbits;
+  ise_encode(f.wq, 16, L.w->kind, L.w->bits, &wbits);
+  for (size_t i = 0; i < wbits.size(); ++i)
+    set_bit(blk, 127 - (int)i, wbits[i]);
+}
+
+// ---------------------------------------------------------------------------
+// Per-block encode
+// ---------------------------------------------------------------------------
+
+struct Ranges {
+  ColorRange c256, c192, c96, c64, c40, c24, c16;
+  WRange w4, w6, w8, w12, w16, w24;
+  Ranges() {
+    build_color_range(256, &c256);
+    build_color_range(192, &c192);
+    build_color_range(96, &c96);
+    build_color_range(64, &c64);
+    build_color_range(40, &c40);
+    build_color_range(24, &c24);
+    build_color_range(16, &c16);
+    build_weight_range(4, &w4);
+    build_weight_range(6, &w6);
+    build_weight_range(8, &w8);
+    build_weight_range(12, &w12);
+    build_weight_range(16, &w16);
+    build_weight_range(24, &w24);
+  }
+};
+const Ranges& ranges() {
+  static Ranges r;
+  return r;
+}
+
+void encode_block(const float* px, int quality, uint8_t* out_blk) {
+  const Ranges& R = ranges();
+  // 4x4-grid block modes (cfg 00, bb=0 -> gw=4, a=2 -> gh=4; mode bits
+  // [1:0]=r[2:1], [4]=r[0], [6:5]=a, [9]=h): each weight range's (r, h)
+  // per the spec ladder in decode/astc.py `_WEIGHT_RANGE_FROM_RH`.
+  const int bm4 = 2 | (2 << 5);                 // (100, 0) ->  4 levels
+  const int bm6 = 3 | (2 << 5);                 // (110, 0) ->  6
+  const int bm8 = 3 | (1 << 4) | (2 << 5);      // (111, 0) ->  8
+  const int bm12 = 1 | (1 << 4) | (2 << 5) | (1 << 9);  // (011,1) -> 12
+  const int bm16 = 2 | (2 << 5) | (1 << 9);     // (100, 1) -> 16
+  const int bm24 = 3 | (2 << 5) | (1 << 9);     // (110, 1) -> 24
+
+  bool has_alpha = false;
+  for (int t = 0; t < 16; ++t)
+    if (px[t * 4 + 3] < 254.5f) { has_alpha = true; break; }
+
+  std::vector<Layout> layouts;
+  int iters = quality <= 0 ? 1 : (quality >= 4 ? 5 : quality + 1);
+  layouts.push_back({bm8, &R.w8, 8, 1, &R.c256});              // A
+  if (quality >= 1)
+    layouts.push_back({bm12, &R.w12, 8, 1, &R.c256});          // A2
+  if (quality >= 2) {
+    layouts.push_back({bm16, &R.w16, 8, 1, &R.c192});          // B
+    layouts.push_back({bm24, &R.w24, 8, 1, &R.c64});           // B2
+  }
+  if (has_alpha) {
+    layouts.push_back({bm4, &R.w4, 12, 1, &R.c256});           // C
+    if (quality >= 2) {
+      layouts.push_back({bm8, &R.w8, 12, 1, &R.c192});         // D
+      layouts.push_back({bm12, &R.w12, 12, 1, &R.c96});        // C2
+    }
+  }
+
+  uint8_t part0[16] = {};
+  Fitted f, best_f;
+  double best = 1e30;
+  Layout best_L = layouts[0];
+  int best_seed = 0;
+  for (const Layout& L : layouts) {
+    if (fit_layout(px, L, part0, iters, &f) < best) {
+      best = f.err;
+      best_f = f;
+      best_L = L;
+    }
+  }
+
+  if (quality >= 2) {
+    // 2-partition: screen all 1024 seeds by cluster SSE, deep-fit top K.
+    // Partition-index limits per preset class (astcenc's
+    // tune_2partition_index_limit role: fast / medium / thorough).
+    int K = quality >= 4 ? 16 : (quality >= 3 ? 8 : 4);
+    struct Scored { double sse; int seed; };
+    std::vector<Scored> scored;
+    scored.reserve(1024);
+    for (int seed = 0; seed < 1024; ++seed) {
+      const uint8_t* po = part_tables().part2[seed];
+      double sum[2][4] = {}, sq = 0;
+      int cnt[2] = {};
+      for (int t = 0; t < 16; ++t) {
+        int p = po[t];
+        ++cnt[p];
+        for (int c = 0; c < 4; ++c) {
+          sum[p][c] += px[t * 4 + c];
+          sq += px[t * 4 + c] * px[t * 4 + c];
+        }
+      }
+      if (!cnt[0] || !cnt[1]) continue;
+      double expl = 0;
+      for (int p = 0; p < 2; ++p) {
+        double m2 = 0;
+        for (int c = 0; c < 4; ++c) m2 += sum[p][c] * sum[p][c];
+        expl += m2 / cnt[p];
+      }
+      scored.push_back({sq - expl, seed});
+    }
+    std::partial_sort(
+        scored.begin(), scored.begin() + std::min<size_t>(K, scored.size()),
+        scored.end(), [](const Scored& a, const Scored& b) {
+          return a.sse < b.sse;
+        });
+    std::vector<Layout> plays;
+    plays.push_back({bm4, &R.w4, 8, 2, &R.c40});            // E
+    plays.push_back({bm6, &R.w6, 8, 2, &R.c24});            // E2
+    if (quality >= 4) {
+      plays.push_back({bm8, &R.w8, 8, 2, &R.c16});          // G
+      if (has_alpha) plays.push_back({bm4, &R.w4, 12, 2, &R.c16});  // F
+    }
+    for (int k = 0; k < (int)std::min<size_t>(K, scored.size()); ++k) {
+      int seed = scored[k].seed;
+      const uint8_t* po = part_tables().part2[seed];
+      for (const Layout& L : plays) {
+        if (fit_layout(px, L, po, iters, &f) < best) {
+          best = f.err;
+          best_f = f;
+          best_L = L;
+          best_seed = seed;
+        }
+      }
+    }
+  }
+  pack_block(best_L, best_f, best_seed, out_blk);
+}
+
+}  // namespace
+
+extern "C" {
+
+// rgba: N * 16 * 4 floats in [0,1]; out: N * 16 bytes (ASTC 4x4 blocks).
+void ctpu_astc4x4_encode(const float* rgba, int n, int quality, int threads,
+                         uint8_t* out) {
+  ranges();
+  part_tables();
+  ise_tables();
+  if (threads <= 0) threads = (int)std::thread::hardware_concurrency();
+  std::atomic<int> counter{0};
+  const int kChunk = 32;
+  auto worker = [&]() {
+    float px[64];
+    for (;;) {
+      int start = counter.fetch_add(kChunk);
+      if (start >= n) break;
+      int end = std::min(n, start + kChunk);
+      for (int b = start; b < end; ++b) {
+        for (int i = 0; i < 64; ++i)
+          px[i] = std::min(255.0f, std::max(0.0f, rgba[b * 64 + i] * 255.0f));
+        encode_block(px, quality, out + b * 16);
+      }
+    }
+  };
+  if (threads <= 1) {
+    worker();
+    return;
+  }
+  std::vector<std::thread> pool;
+  for (int t = 0; t < threads; ++t) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
+}
+
+}  // extern "C"

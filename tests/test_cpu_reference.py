@@ -1,0 +1,182 @@
+"""North-star quality checks vs independent reference-class CPU encoders.
+
+BASELINE.md's quality target is "per-image PSNR >= Cuttlefish at matching
+quality".  The reference's encoder brains are vendored submodules
+(astcenc via /root/reference/lib/src/AstcConverter.cpp, etc2comp via
+EtcConverter.cpp, bc7enc via S3tcConverter.cpp) that cannot be built in
+this environment, so the bar is independent from-scratch CPU encoders of
+the same algorithm class (native/src/astc_cpu.cpp, etc2_cpu.cpp; BC7 is
+covered by tests/test_native.py::TestQualityVsCpuReference).  The TPU
+path must score >= the CPU encoder at the same quality level on every
+content class the quality harness tracks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from cuttlefish_tpu import native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native toolchain unavailable"
+)
+
+
+def content_blocks(name: str, n: int = 256, seed: int = 7) -> np.ndarray:
+    """Named [N,16,4] float32 block batches (tools/quality_check.py classes)."""
+    rng = np.random.default_rng(seed)
+    if name == "two_lerp":
+        c0 = rng.random((n, 1, 4), np.float32)
+        c1 = rng.random((n, 1, 4), np.float32)
+        t = rng.random((n, 16, 1), np.float32)
+        out = c0 + (c1 - c0) * t
+        out[..., 3] = 1.0
+    elif name == "two_pop":
+        pick = rng.random((n, 16, 1)) < 0.5
+        ca = rng.random((n, 1, 4)).astype(np.float32)
+        cb = rng.random((n, 1, 4)).astype(np.float32)
+        out = np.where(pick, ca, cb).astype(np.float32)
+        out += rng.normal(0, 0.02, out.shape).astype(np.float32)
+        out[..., 3] = 1.0
+    elif name == "gradient":
+        y, x = np.mgrid[0:4, 0:4].astype(np.float32) / 4.0
+        phase = rng.random((n, 1, 1, 3)).astype(np.float32)
+        g = 0.5 + 0.5 * np.sin(
+            3.0 * (x + y)[None, :, :, None] + phase * 6.28
+        )
+        out = np.concatenate(
+            [g, np.ones((n, 4, 4, 1), np.float32)], axis=-1
+        ).reshape(n, 16, 4)
+    elif name == "alpha_ramp":
+        c0 = rng.random((n, 1, 4), np.float32)
+        c1 = rng.random((n, 1, 4), np.float32)
+        t = rng.random((n, 16, 1), np.float32)
+        out = c0 + (c1 - c0) * t
+        out[..., 3] = (0.2 + 0.7 * rng.random((n, 16), np.float32))
+    elif name == "noise":
+        out = rng.random((n, 16, 4)).astype(np.float32)
+        out[..., 3] = 1.0
+    else:  # pragma: no cover
+        raise ValueError(name)
+    return np.clip(out, 0.0, 1.0).astype(np.float32)
+
+
+CLASSES = ["two_lerp", "two_pop", "gradient", "alpha_ramp", "noise"]
+
+# Per-class tie tolerance: the TPU and CPU encoders are the same algorithm
+# class, so on classes where both saturate the format they land within a
+# few hundredths of a dB of each other and which one "wins" is seed-ranking
+# noise (the TPU's estimate-then-refine pass deep-fits the top-k ranked
+# partition seeds instead of all of them, trading <=0.05 dB for ~k-fold
+# throughput).  Real regressions are an order of magnitude larger (the
+# pre-round-4 gaps this suite was built to catch were 0.3-0.8 dB).  The
+# mean margin across classes must still be >= 0: the TPU path wins on
+# average at every quality level.
+TIE_DB = 0.05
+
+
+def _psnr(dec: np.ndarray, ref: np.ndarray) -> float:
+    mse = ((dec.astype(np.float64) - ref.astype(np.float64)) ** 2).mean()
+    return 10 * np.log10(255.0**2 / max(mse, 1e-12))
+
+
+def _astc_margin(content: str, quality: int) -> tuple[float, float]:
+    from cuttlefish_tpu.decode.astc import decode_astc
+    from cuttlefish_tpu.kernels.astc import encode_astc
+
+    blocks = content_blocks(content)
+    ref = blocks * 255.0
+    wt = np.asarray(encode_astc(blocks, 4, 4, quality=quality))
+    p_tpu = _psnr(
+        decode_astc(
+            np.ascontiguousarray(wt.astype("<u4")).view(np.uint8), 4, 4
+        ),
+        ref,
+    )
+    wc = native.astc4x4_encode_cpu(blocks, quality=quality)
+    p_cpu = _psnr(decode_astc(wc.reshape(-1), 4, 4), ref)
+    return p_tpu, p_cpu
+
+
+def _etc2_margin(content: str, quality: int) -> tuple[float, float]:
+    from cuttlefish_tpu.decode.etc import decode_etc_rgb
+    from cuttlefish_tpu.kernels.etc import encode_etc_rgb
+
+    blocks = content_blocks(content)
+    ref = blocks[..., :3] * 255.0
+    wt = np.asarray(encode_etc_rgb(blocks, quality=quality, etc2=True))
+    p_tpu = _psnr(
+        decode_etc_rgb(
+            np.ascontiguousarray(wt.astype("<u4")).view(np.uint8), etc2=True
+        ),
+        ref,
+    )
+    wc = native.etc2_rgb_encode_cpu(blocks, quality=quality)
+    p_cpu = _psnr(decode_etc_rgb(wc.reshape(-1), etc2=True), ref)
+    return p_tpu, p_cpu
+
+
+class TestAstcVsCpuReference:
+    """TPU-path ASTC 4x4 >= the astcenc-fast-class CPU encoder."""
+
+    @pytest.mark.parametrize("content", CLASSES)
+    @pytest.mark.parametrize(
+        "quality",
+        [2, pytest.param(4, marks=pytest.mark.slow)],
+    )
+    def test_astc_psnr_not_below_cpu_reference(self, content, quality):
+        p_tpu, p_cpu = _astc_margin(content, quality)
+        assert p_tpu >= p_cpu - TIE_DB, (content, quality, p_tpu, p_cpu)
+
+    @pytest.mark.slow
+    @pytest.mark.parametrize("quality", [2, 4])
+    def test_astc_mean_margin_nonnegative(self, quality):
+        margins = [
+            (lambda t: t[0] - t[1])(_astc_margin(c, quality)) for c in CLASSES
+        ]
+        assert float(np.mean(margins)) >= 0.0, (quality, margins)
+
+
+class TestEtc2VsCpuReference:
+    """TPU-path ETC2 RGB >= the etc2comp-basic-class CPU encoder."""
+
+    @pytest.mark.parametrize("content", CLASSES)
+    @pytest.mark.parametrize(
+        "quality",
+        [2, pytest.param(4, marks=pytest.mark.slow)],
+    )
+    def test_etc2_psnr_not_below_cpu_reference(self, content, quality):
+        p_tpu, p_cpu = _etc2_margin(content, quality)
+        assert p_tpu >= p_cpu - TIE_DB, (content, quality, p_tpu, p_cpu)
+
+    @pytest.mark.slow
+    @pytest.mark.parametrize("quality", [2, 4])
+    def test_etc2_mean_margin_nonnegative(self, quality):
+        margins = [
+            (lambda t: t[0] - t[1])(_etc2_margin(c, quality)) for c in CLASSES
+        ]
+        assert float(np.mean(margins)) >= 0.0, (quality, margins)
+
+
+class TestEacVsCpuReference:
+    """TPU-path EAC A8 >= the CPU base/multiplier/table sweep."""
+
+    @pytest.mark.parametrize("quality", [2, 4])
+    def test_eac_a8_psnr_not_below_cpu_reference(self, quality):
+        from cuttlefish_tpu.decode.etc import decode_eac_alpha
+        from cuttlefish_tpu.kernels.etc import encode_eac_alpha
+
+        blocks = content_blocks("alpha_ramp")
+        refa = blocks[..., 3] * 255.0
+
+        wt = np.asarray(encode_eac_alpha(blocks[..., 3], quality=quality))
+        dect = decode_eac_alpha(
+            np.ascontiguousarray(wt.astype("<u4")).view(np.uint8)
+        )
+        p_tpu = _psnr(dect, refa)
+
+        wc = native.eac_a8_encode_cpu(blocks, quality=quality)
+        decc = decode_eac_alpha(wc.reshape(-1))
+        p_cpu = _psnr(decc, refa)
+        assert p_tpu >= p_cpu - 1e-6, (quality, p_tpu, p_cpu)
