@@ -835,7 +835,9 @@ def _texture_info(path: str) -> int:
 
     try:
         tex = load_texture(path)
-    except (OSError, LoadError) as e:
+    except (OSError, ValueError, NotImplementedError) as e:
+        # ValueError covers LoadError and malformed-stream struct errors;
+        # NotImplementedError covers decode-scope limits on foreign files.
         _err(f"cannot load '{path}': {e}")
         return 2
     dims = f"{tex.width()}x{tex.height()}"

@@ -1,14 +1,19 @@
 """ASTC LDR block decoder (numpy/python, per the Khronos ASTC spec).
 
 Full ISE (bits / trits / quints) for weights and colors, weight-grid
-decimation, 1-4 partitions (seed-hash assignment, shared-CEM encoding),
-dual-plane, void extents, and LDR color endpoint modes 0/4/6/8/12
-including blue-contract.  Mixed per-partition CEMs and the HDR endpoint
-modes raise NotImplementedError (the encoder never emits them; HDR is
-decoded by decode_astc_hdr below once emitted).
+decimation incl. the extended block-mode rows (12xN / Nx12 / 6x10 / 10x6
+/ (A+6)x(B+6)), 1-4 partitions (seed-hash assignment, shared-CEM and
+per-partition CEM variation), dual-plane, void extents, and ALL LDR
+color endpoint modes (0/1/4/5/6/8/9/10/12/13) including blue-contract
+and bit_transfer_signed.  Illegal encodings decode to the error color
+(opaque magenta, spec C.2.24) like Mesa/hardware.  The HDR endpoint
+submodes the encoder never emits raise NotImplementedError, caught as a
+load failure at the Image/container boundary.
 
 Validated against Mesa llvmpipe's independent decoder in
-tests/test_gl_parity.py (random full blocks across every emitted config).
+tests/test_gl_parity.py (every emitted config) and
+tests/test_foreign_decode.py (hand-assembled foreign bitstreams:
+offset CEMs, per-partition CEMs, extended modes, illegal encodings).
 """
 
 from __future__ import annotations
@@ -39,34 +44,68 @@ _COLOR_LADDER = [
 ]
 
 
+class IllegalBlockError(ValueError):
+    """Illegal ASTC encoding (spec C.2.24) — decodes to the error color."""
+
+
 def implied_color_range(n_vals: int, budget: int) -> int:
     for levels in _COLOR_LADDER:
         kind, b = range_info(levels, False)
         if ise_bits(n_vals, kind, b) <= budget:
             return levels
-    raise ValueError("no color range fits")
+    raise IllegalBlockError("no color range fits")
 
 
 def _parse_block_mode(mode: int):
-    """11-bit field -> (gw, gh, weight_levels, dual)."""
+    """11-bit field -> (gw, gh, weight_levels, dual) per spec C.2.10.
+
+    Covers both halves of the block-mode table: the primary rows
+    (bits[1:0] != 00) and the extended rows (bits[1:0] == 00: the 12xN /
+    Nx12 / 6x10 / 10x6 / (A+6)x(B+6) grids astcenc uses on large block
+    sizes)."""
     d = (mode >> 10) & 1
     h = (mode >> 9) & 1
-    bb = (mode >> 7) & 0x3
-    a = (mode >> 5) & 0x3
-    r = ((mode & 0x3) << 1) | ((mode >> 4) & 1)
-    cfg = (mode >> 2) & 0x3
     if (mode & 0x3) == 0:
-        raise NotImplementedError("extended block-mode rows not supported")
-    if cfg == 0b00:
-        gw, gh = bb + 4, a + 2
-    elif cfg == 0b01:
-        gw, gh = bb + 8, a + 2
-    elif cfg == 0b10:
-        gw, gh = a + 2, bb + 8
+        # Extended rows: R[0] = bit 4, R[2:1] = bits[3:2].
+        r = (((mode >> 2) & 0x3) << 1) | ((mode >> 4) & 1)
+        a = (mode >> 5) & 0x3
+        sel = (mode >> 7) & 0x3
+        if sel == 0b00:
+            gw, gh = 12, a + 2
+        elif sel == 0b01:
+            gw, gh = a + 2, 12
+        elif sel == 0b10:
+            # (A+6)x(B+6): B = bits[10:9]; D and H are not present.
+            b2 = (mode >> 9) & 0x3
+            gw, gh = a + 6, b2 + 6
+            d, h = 0, 0
+        else:
+            if a == 0b00:
+                gw, gh = 6, 10
+            elif a == 0b01:
+                gw, gh = 10, 6
+            else:
+                raise IllegalBlockError("reserved extended block mode")
     else:
-        raise NotImplementedError("block-mode config 11 not supported")
+        bb = (mode >> 7) & 0x3
+        a = (mode >> 5) & 0x3
+        r = ((mode & 0x3) << 1) | ((mode >> 4) & 1)
+        cfg = (mode >> 2) & 0x3
+        if cfg == 0b00:
+            gw, gh = bb + 4, a + 2
+        elif cfg == 0b01:
+            gw, gh = bb + 8, a + 2
+        elif cfg == 0b10:
+            gw, gh = a + 2, bb + 8
+        else:
+            # cfg 11: bit 8 selects (A+2)x(B+6) vs (B+2)x(A+2), B = bit 7.
+            b1 = (mode >> 7) & 1
+            if (mode >> 8) & 1:
+                gw, gh = b1 + 2, a + 2
+            else:
+                gw, gh = a + 2, b1 + 6
     if r < 2:
-        raise ValueError("reserved weight range")
+        raise IllegalBlockError("reserved weight range")
     return gw, gh, _WEIGHT_RANGE_FROM_RH[(r, h)], d
 
 
@@ -128,12 +167,73 @@ def _decode_hdr_rgb(v: list[int]) -> tuple[list[int], list[int]]:
     return e0, e1
 
 
+def _clamp8(x: int) -> int:
+    return 0 if x < 0 else (255 if x > 255 else x)
+
+
+def _bit_transfer_signed(a: int, b: int) -> tuple[int, int]:
+    """Spec C.2.14 bit_transfer_signed: (a, b) -> (a', b') where a becomes
+    a 6-bit signed delta and b inherits a's low bit as its MSB."""
+    b = (b >> 1) | (a & 0x80)
+    a = (a >> 1) & 0x3F
+    if a & 0x20:
+        a -= 0x40
+    return a, b
+
+
 def _decode_endpoints(cem: int, v: list[int]) -> tuple[tuple, tuple]:
     """LDR CEMs -> (e0, e1) 8-bit RGBA tuples (spec C.2.14)."""
     if cem == 0:  # luminance direct
         return (v[0], v[0], v[0], 255), (v[1], v[1], v[1], 255)
+    if cem == 1:  # luminance base + offset
+        l0 = (v[0] >> 2) | (v[1] & 0xC0)
+        l1 = min(l0 + (v[1] & 0x3F), 255)
+        return (l0, l0, l0, 255), (l1, l1, l1, 255)
     if cem == 4:  # luminance + alpha direct
         return (v[0], v[0], v[0], v[2]), (v[1], v[1], v[1], v[3])
+    if cem == 5:  # luminance + alpha base + offset
+        d_l, l0 = _bit_transfer_signed(v[1], v[0])
+        d_a, a0 = _bit_transfer_signed(v[3], v[2])
+        l1 = _clamp8(l0 + d_l)
+        a1 = _clamp8(a0 + d_a)
+        l0, a0 = _clamp8(l0), _clamp8(a0)
+        return (l0, l0, l0, a0), (l1, l1, l1, a1)
+    if cem == 9:  # RGB base + offset
+        d_r, r0 = _bit_transfer_signed(v[1], v[0])
+        d_g, g0 = _bit_transfer_signed(v[3], v[2])
+        d_b, b0 = _bit_transfer_signed(v[5], v[4])
+        if d_r + d_g + d_b >= 0:
+            e0 = (_clamp8(r0), _clamp8(g0), _clamp8(b0), 255)
+            e1 = (_clamp8(r0 + d_r), _clamp8(g0 + d_g), _clamp8(b0 + d_b),
+                  255)
+            return e0, e1
+        # blue-contract first, clamp after (spec order)
+        e0 = tuple(
+            _clamp8(x)
+            for x in _blue_contract(r0 + d_r, g0 + d_g, b0 + d_b, 255)
+        )
+        e1 = tuple(_clamp8(x) for x in _blue_contract(r0, g0, b0, 255))
+        return e0, e1
+    if cem == 13:  # RGBA base + offset
+        d_r, r0 = _bit_transfer_signed(v[1], v[0])
+        d_g, g0 = _bit_transfer_signed(v[3], v[2])
+        d_b, b0 = _bit_transfer_signed(v[5], v[4])
+        d_a, a0 = _bit_transfer_signed(v[7], v[6])
+        a1 = _clamp8(a0 + d_a)
+        a0 = _clamp8(a0)
+        if d_r + d_g + d_b >= 0:
+            e0 = (_clamp8(r0), _clamp8(g0), _clamp8(b0), a0)
+            e1 = (_clamp8(r0 + d_r), _clamp8(g0 + d_g), _clamp8(b0 + d_b),
+                  a1)
+            return e0, e1
+        # blue-contract first, clamp after (spec order); alpha follows the
+        # endpoint swap but is never blue-contracted.
+        e0 = tuple(
+            _clamp8(x)
+            for x in _blue_contract(r0 + d_r, g0 + d_g, b0 + d_b, a1)
+        )
+        e1 = tuple(_clamp8(x) for x in _blue_contract(r0, g0, b0, a0))
+        return e0, e1
     if cem == 6:  # RGB scale
         e1 = (v[0], v[1], v[2], 255)
         e0 = ((v[0] * v[3]) >> 8, (v[1] * v[3]) >> 8, (v[2] * v[3]) >> 8, 255)
@@ -185,24 +285,50 @@ def _decode_block(block: int, bw: int, bh: int) -> np.ndarray:
     wkind, wb = range_info(wlevels, True)
     nweights = gw * gh * (1 + dual)
     wbits = ise_bits(nweights, wkind, wb)
+    # Illegal encodings (spec C.2.24): out-of-range weight grid/bit count
+    # or dual-plane with 4 partitions.  Conformant decoders return the
+    # error color for these, they are not load failures.
+    if gw > bw or gh > bh:
+        raise IllegalBlockError("weight grid exceeds block footprint")
+    if nweights > 64 or not (24 <= wbits <= 96):
+        raise IllegalBlockError("weight bit count out of range")
+    if dual and nparts == 4:
+        raise IllegalBlockError("dual-plane with 4 partitions")
 
+    extra_cem = 0
     if nparts == 1:
-        cem = (block >> 13) & 0xF
         color_start = 17
         part_of = np.zeros(bw * bh, np.int64)
-        cems = [cem]
+        cems = [(block >> 13) & 0xF]
     else:
         seed = (block >> 13) & 0x3FF
         cem_field = (block >> 23) & 0x3F
-        if cem_field & 0x3:
-            raise NotImplementedError("per-partition CEM variation")
-        cem = cem_field >> 2
         color_start = 29
         part_of = partition_table(bw, bh, nparts)[seed].astype(np.int64)
-        cems = [cem] * nparts
+        if (cem_field & 0x3) == 0:
+            cems = [cem_field >> 2] * nparts
+        else:
+            # Per-partition CEM variation (spec C.2.11): base class from
+            # the 2-bit mode, then C_i (class +0/+1) and M_i (2 low CEM
+            # bits) per partition — packed into field bits [5:2] first,
+            # overflowing into extra bits directly below the weight data.
+            base_class = (cem_field & 0x3) - 1
+            extra_cem = max(0, 3 * nparts - 4)
+            stream = 0
+            for i in range(4):
+                stream |= ((cem_field >> (2 + i)) & 1) << i
+            hi = (block >> (128 - wbits - extra_cem)) & ((1 << extra_cem) - 1)
+            stream |= hi << 4
+            cems = []
+            for i in range(nparts):
+                ci = (stream >> i) & 1
+                mi = (stream >> (nparts + 2 * i)) & 0x3
+                cems.append(((base_class + ci) << 2) | mi)
 
     nvals = sum(2 * ((c >> 2) + 1) for c in cems)
-    budget = 128 - color_start - wbits - (2 if dual else 0)
+    if nvals > 18:
+        raise IllegalBlockError("more than 18 color endpoint integers")
+    budget = 128 - color_start - wbits - extra_cem - (2 if dual else 0)
     clevels = implied_color_range(nvals, budget)
     ckind, cb = range_info(clevels, False)
     cbits_arr = _bits_of(block >> color_start, ise_bits(nvals, ckind, cb))
@@ -218,7 +344,8 @@ def _decode_block(block: int, bw: int, bh: int) -> np.ndarray:
         off += k
 
     if dual:
-        ccs_pos = 128 - wbits - 2
+        # CCS sits directly below the weights, after any extra CEM bits.
+        ccs_pos = 128 - wbits - extra_cem - 2
         ccs = (block >> ccs_pos) & 0x3
     wq = ise_decode(_bits_of(block, wbits, reverse=True), nweights, wlevels, True)[0]
     unq_w = weight_unquant(wlevels)
@@ -343,9 +470,14 @@ def decode_astc(data: np.ndarray, block_w: int, block_h: int) -> np.ndarray:
     data = np.asarray(data, np.uint8).reshape(-1, 16)
     out = np.zeros((data.shape[0], block_w * block_h, 4), np.uint8)
     for n in range(data.shape[0]):
-        out[n] = _decode_block(
-            int.from_bytes(data[n].tobytes(), "little"), block_w, block_h
-        )
+        try:
+            out[n] = _decode_block(
+                int.from_bytes(data[n].tobytes(), "little"), block_w, block_h
+            )
+        except IllegalBlockError:
+            # Spec C.2.24: illegal encodings decode to the error color
+            # (opaque magenta), matching Mesa and hardware decoders.
+            out[n] = np.asarray([255, 0, 255, 255], np.uint8)
     return out
 
 

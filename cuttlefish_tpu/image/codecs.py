@@ -221,10 +221,16 @@ def load(source) -> tuple[np.ndarray, ImageFormat]:
     if data[:4] in (b"DDS ", b"PVR\x03") or data.startswith(b"\xabKTX"):
         # Texture containers as image inputs (FreeImage reads DDS/KTX too,
         # Image.cpp:870-880): load + spec-decode the level-0 surface.
+        # Foreign files may exercise features outside the decode scope
+        # (HDR CEM submodes, exotic formats) — those must surface as a
+        # DecodeError (-> invalid image / CLI exit 2), never a traceback.
         from cuttlefish_tpu.containers.load import load_texture
 
-        tex = load_texture(data)
-        img = tex.decode_image()
+        try:
+            tex = load_texture(data)
+            img = tex.decode_image()
+        except (ValueError, NotImplementedError) as e:
+            raise DecodeError(str(e)) from e
         if img is None:
             raise DecodeError("container has no decodable level-0 surface")
         return img.array, ImageFormat.RGBAF

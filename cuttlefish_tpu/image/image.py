@@ -82,7 +82,12 @@ class Image:
         """Load from path / bytes / stream; invalid image on failure."""
         try:
             data, fmt = codecs.load(source)
-        except (codecs.DecodeError, OSError):
+        except (OSError, ValueError, NotImplementedError):
+            # ValueError covers DecodeError / LoadError / malformed-stream
+            # struct errors; NotImplementedError covers decode-scope limits
+            # on foreign container features.  A bad input file is an
+            # invalid image, never a traceback (the reference's FreeImage
+            # ingest has the same contract, Image.cpp:870-922).
             self._data = None
             self._format = ImageFormat.Invalid
             return False
