@@ -239,7 +239,11 @@ class Image:
         return to_rgbad(self.array, self._format).astype(np.float32)
 
     def get_pixel(self, x: int, y: int) -> tuple[float, float, float, float]:
-        return tuple(self.rgbad()[y, x])
+        if self._data is None or not (0 <= x < self.width and 0 <= y < self.height):
+            return (0.0, 0.0, 0.0, 0.0)
+        # Convert just this pixel (a 1x1 surface), not the whole image.
+        px = to_rgbad(self._data[y : y + 1, x : x + 1], self._format)
+        return tuple(px[0, 0])
 
     def set_pixel(self, x: int, y: int, color) -> bool:
         if self._data is None:

@@ -1,4 +1,4 @@
-"""BC7 block encoder as a Pallas TPU kernel (quality 0-2).
+"""BC7 block encoder as a Pallas TPU kernel (every quality level).
 
 The jnp encoder (kernels/bc7.py) carries every intermediate as [N,16,4]
 tensors whose minor dims map to (sublane, lane) = (16, 4) — 4 of 128 lanes
@@ -18,8 +18,10 @@ recovered with a second (16,64)x(64,TN) matmul against the one-hot winner
 
 The arithmetic is the exact integer decode model of kernels/bc7.py; the
 emitted bitstream is decode-valid (tests assert parity through
-decode/bc7.py and the Mesa GL oracle).  Quality 3-4 (multi-partition
-refines, rotations, 3-subset modes) stays on the jnp path.
+decode/bc7.py and the Mesa GL oracle).  Quality 3-4 extends the sweep
+in-kernel with modes 0/2/3/7, estimate-then-refine top-k partition
+selection, and rotation screening — on TPU the Pallas path runs at EVERY
+quality level (dispatch: kernels/bc7.py:encode_bc7).
 """
 
 from __future__ import annotations
