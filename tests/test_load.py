@@ -296,3 +296,37 @@ def test_every_format_roundtrips_through_containers():
                 assert (res2, blob2) == (ct.SaveResult.Success, blob), (
                     fmt, t, ft,
                 )
+
+
+@pytest.mark.parametrize(
+    "fmt,quality",
+    [
+        (ct.TextureFormat.R8G8B8A8, None),
+        (ct.TextureFormat.BC1_RGB, ct.Quality.Lowest),
+    ],
+)
+@pytest.mark.parametrize(
+    "file_type",
+    [ct.FileType.DDS, ct.FileType.KTX, ct.FileType.KTX2, ct.FileType.PVR],
+)
+def test_1d_texture_roundtrip(fmt, quality, file_type):
+    """Dim1D end-to-end through every writer: save -> load -> byte-identical
+    re-save, with mips, compressed + uncompressed (VERDICT r3 item 7).
+    Height semantics per writer: DDS TEXTURE1D resourceDimension, KTX/KTX2
+    height 0 (SaveKtx.cpp:1207-1220), PVR 'DIM1' CTFS metadata."""
+    rng = np.random.default_rng(11)
+    arr = rng.random((1, 32, 4), np.float32)
+    img = ct.Image.from_array(arr, ct.ImageFormat.RGBAF)
+    tex = ct.Texture(ct.Dimension.Dim1D, 32, 1)
+    assert tex.set_image(img)
+    assert tex.generate_mipmaps()
+    kw = {} if quality is None else {"quality": quality}
+    assert tex.convert(fmt, ct.TextureType.UNorm, **kw)
+    assert tex.mip_levels == 6  # 32 -> 1
+
+    loaded = _roundtrip(tex, file_type)
+    assert loaded.dimension is ct.Dimension.Dim1D
+    assert (loaded.width(), loaded.height()) == (32, 1)
+    assert loaded.mip_levels == tex.mip_levels
+    for mip in range(tex.mip_levels):
+        assert loaded.data(mip_level=mip) == tex.data(mip_level=mip)
