@@ -576,6 +576,7 @@ def _etc2_h_candidate(colors, ch_w, alpha_mask=None):
 # ladder is the analog of etc2comp's effort 0..100 mapping
 # (`EtcConverter.cpp:34-54`): Lowest additionally skips the individual-mode
 # candidates, and candidate count grows 2/4/12/20/28 from Lowest to Highest.
+# (Still used by the punch-through A1 path.)
 _ETC_SHIFTS = {
     0: (0.0,),
     1: (0.0,),
@@ -583,6 +584,89 @@ _ETC_SHIFTS = {
     3: (-12.0, -6.0, 0.0, 6.0, 12.0),
     4: (-16.0, -10.0, -5.0, 0.0, 5.0, 10.0, 16.0),
 }
+
+# Per-channel quant-index neighborhood for the RGB path (round-4): the
+# etc2comp/etc2_cpu.cpp-class breadth.  Per-channel rounding interacts
+# with the modifier-table fit, so scalar luma shifts systematically lose
+# ~0.2-0.3 dB on real content (tests/test_corpus.py) — sweep the quant
+# lattice instead.  ("floor", {0,1}^3) = per-channel floor/ceil of the
+# unrounded mean; ("round", {-1,0,1}^3) = the CPU reference's nbh=1 cube.
+def _offset_cube(lo, hi):
+    return tuple(
+        (a, b, c)
+        for a in range(lo, hi + 1)
+        for b in range(lo, hi + 1)
+        for c in range(lo, hi + 1)
+    )
+
+
+_ETC_OFFSETS = {
+    0: ("round", ((0, 0, 0),)),
+    1: ("round", ((0, 0, 0),)),
+    2: ("round", _offset_cube(-1, 1)),
+    3: ("round", _offset_cube(-1, 1)),
+    4: ("round", _offset_cube(-1, 1) + ((-2, -2, -2), (2, 2, 2),
+                                        (-3, -3, -3), (3, 3, 3))),
+}
+
+
+def _ind_subfit(colors, ch_w, subm, mean, offsets, floor_mode):
+    """Individual-mode per-subblock search: best (b4 [M,3], table, idx,
+    err) over the quant-offset cube.  Sub-blocks are independent in
+    individual mode, so the caller combines two independent winners
+    (covering |offsets|^2 pairings with |offsets| evals each)."""
+    qf = jnp.floor if floor_mode else jnp.round
+    base_q = qf(mean * (15.0 / 255.0))
+    best = None
+    for o in offsets:
+        b = jnp.clip(
+            base_q + jnp.asarray(o, base_q.dtype), 0, 15
+        ).astype(jnp.int32)
+        dec = _expand4(b).astype(jnp.float32)
+        t, idx, err = _best_table_fit(colors, dec, subm, ch_w)
+        cand = (b, t, idx, err)
+        if best is None:
+            best = cand
+        else:
+            take = cand[3] < best[3]
+            best = (
+                jnp.where(take[:, None], cand[0], best[0]),
+                jnp.where(take, cand[1], best[1]),
+                jnp.where(take[:, None], cand[2], best[2]),
+                jnp.minimum(cand[3], best[3]),
+            )
+    return best
+
+
+def _diff_fit(colors, ch_w, sub1b, sub2b, mean1, mean2, offsets, floor_mode):
+    """Differential-mode joint search: sweep base-1's quant cube, re-derive
+    the clamped base-2 delta per candidate (etc2_cpu.cpp's joint sweep —
+    the delta clamp must see each base-1 candidate)."""
+    qf = jnp.floor if floor_mode else jnp.round
+    base1_q = qf(mean1 * (31.0 / 255.0))
+    b2n = jnp.clip(jnp.round(mean2 * (31.0 / 255.0)), 0, 31).astype(jnp.int32)
+    best = None
+    for o in offsets:
+        b1 = jnp.clip(
+            base1_q + jnp.asarray(o, base1_q.dtype), 0, 31
+        ).astype(jnp.int32)
+        d = jnp.clip(b2n - b1, -4, 3)
+        b2 = b1 + d
+        dec1 = _expand5(b1).astype(jnp.float32)
+        dec2 = _expand5(b2).astype(jnp.float32)
+        t1, idx1, e1 = _best_table_fit(colors, dec1, sub1b, ch_w)
+        t2, idx2, e2 = _best_table_fit(colors, dec2, sub2b, ch_w)
+        err = e1 + e2
+        cand = (b1, d, t1, t2, idx1, idx2, err)
+        if best is None:
+            best = cand
+        else:
+            take = cand[6] < best[6]
+            best = tuple(
+                jnp.where(take[(...,) + (None,) * (c.ndim - 1)], c, b)
+                for c, b in zip(cand, best)
+            )
+    return best
 
 
 
@@ -639,16 +723,37 @@ def _encode_etc_rgb_jnp(
 
     best_err = None
     best = None
+    floor_mode = _ETC_OFFSETS[quality][0] == "floor"
+    offsets = _ETC_OFFSETS[quality][1]
     for flip in (0, 1):
-        for diff in ((True,) if quality == 0 else (True, False)):
-            for shift in _ETC_SHIFTS[quality]:
-                err, words = _etc1_candidate(colors, ch_w, diff, flip, shift)
-                if best_err is None:
-                    best_err, best = err, words
-                else:
-                    take = err < best_err
-                    best = tuple(jnp.where(take, w, b) for w, b in zip(words, best))
-                    best_err = jnp.where(take, err, best_err)
+        sub2 = _SUB2[flip][None, :]
+        sub1 = 1.0 - sub2
+        sub1b = jnp.broadcast_to(sub1, colors.shape[:2])
+        sub2b = jnp.broadcast_to(sub2, colors.shape[:2])
+        mean1 = jnp.einsum("npc,np->nc", colors, sub1b) / sub1.sum()
+        mean2 = jnp.einsum("npc,np->nc", colors, sub2b) / sub2.sum()
+
+        b1, d, t1, t2, idx1, idx2, derr = _diff_fit(
+            colors, ch_w, sub1b, sub2b, mean1, mean2, offsets, floor_mode
+        )
+        idx = jnp.where(sub2b > 0, idx2, idx1)
+        words = _pack_etc1((b1, d), True, flip, t1, t2, idx)
+        if best_err is None:
+            best_err, best = derr, words
+        else:
+            take = derr < best_err
+            best = tuple(jnp.where(take, w, b) for w, b in zip(words, best))
+            best_err = jnp.where(take, derr, best_err)
+
+        if quality >= 1:
+            i1 = _ind_subfit(colors, ch_w, sub1b, mean1, offsets, floor_mode)
+            i2 = _ind_subfit(colors, ch_w, sub2b, mean2, offsets, floor_mode)
+            ierr = i1[3] + i2[3]
+            idx = jnp.where(sub2b > 0, i2[2], i1[2])
+            words = _pack_etc1((i1[0], i2[0]), False, flip, i1[1], i2[1], idx)
+            take = ierr < best_err
+            best = tuple(jnp.where(take, w, b) for w, b in zip(words, best))
+            best_err = jnp.where(take, ierr, best_err)
 
     if etc2:
         err_px, fields = _planar_candidate(colors)

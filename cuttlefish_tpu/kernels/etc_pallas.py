@@ -1,4 +1,4 @@
-"""ETC1/ETC2/EAC block encoders as Pallas TPU kernels (quality 0-2).
+"""ETC1/ETC2/EAC block encoders as Pallas TPU kernels (every quality).
 
 Blocks-on-lanes layout (texels on sublanes, [16,TN] tiles, channels
 unrolled) like bc7_pallas.py / astc_pallas.py.  Mirrors kernels/etc.py's
@@ -194,6 +194,72 @@ def _etc1_candidate(px, chw, diff: bool, flip: int, shift: float):
     idx = jnp.where(sub2 > 0, idx2, idx1)
     hi, lo = _pack_etc1(fields, diff, flip, t1, t2, idx)
     return err1 + err2, (hi, lo)
+
+
+def _ind_subfit(px, chw, subm, mean, offsets, floor_mode):
+    """Individual-mode per-subblock quant-cube search (mirror of
+    kernels/etc.py:_ind_subfit, channel-list layout)."""
+    qf = jnp.floor if floor_mode else jnp.round
+    base_q = [qf(m * (15.0 / 255.0)) for m in mean]
+    best = None
+    for o in offsets:
+        b = [
+            jnp.clip(base_q[c] + float(o[c]), 0, 15).astype(jnp.int32)
+            for c in range(3)
+        ]
+        dec = [_expand4(bc) for bc in b]
+        t, idx, err = _best_table_fit(px, dec, subm, chw, _ETC1_MODS_NP)
+        if best is None:
+            best = (b, t, idx, err)
+        else:
+            take = err < best[3]
+            best = (
+                [jnp.where(take, b[c], best[0][c]) for c in range(3)],
+                jnp.where(take, t, best[1]),
+                jnp.where(take, idx, best[2]),
+                jnp.minimum(err, best[3]),
+            )
+    return best
+
+
+def _diff_fit(px, chw, sub1, sub2, mean1, mean2, offsets, floor_mode):
+    """Differential-mode joint quant-cube search (mirror of
+    kernels/etc.py:_diff_fit)."""
+    qf = jnp.floor if floor_mode else jnp.round
+    base1_q = [qf(m * (31.0 / 255.0)) for m in mean1]
+    b2n = [
+        jnp.clip(jnp.round(m * (31.0 / 255.0)), 0, 31).astype(jnp.int32)
+        for m in mean2
+    ]
+    best = None
+    for o in offsets:
+        b1 = [
+            jnp.clip(base1_q[c] + float(o[c]), 0, 31).astype(jnp.int32)
+            for c in range(3)
+        ]
+        d = [jnp.clip(b2n[c] - b1[c], -4, 3) for c in range(3)]
+        b2 = [b1[c] + d[c] for c in range(3)]
+        t1, idx1, e1 = _best_table_fit(
+            px, [_expand5(b) for b in b1], sub1, chw, _ETC1_MODS_NP
+        )
+        t2, idx2, e2 = _best_table_fit(
+            px, [_expand5(b) for b in b2], sub2, chw, _ETC1_MODS_NP
+        )
+        err = e1 + e2
+        if best is None:
+            best = (b1, d, t1, t2, idx1, idx2, err)
+        else:
+            take = err < best[6]
+            best = (
+                [jnp.where(take, b1[c], best[0][c]) for c in range(3)],
+                [jnp.where(take, d[c], best[1][c]) for c in range(3)],
+                jnp.where(take, t1, best[2]),
+                jnp.where(take, t2, best[3]),
+                jnp.where(take, idx1, best[4]),
+                jnp.where(take, idx2, best[5]),
+                jnp.minimum(err, best[6]),
+            )
+    return best
 
 
 # ---------------------------------------------------------------------------
@@ -727,20 +793,42 @@ def encode_eac_rg11_pallas(blocks, quality=2, signed=False, interpret=False):
 
 def _rgb_words(px, quality, etc2, chw):
     """Full ETC1/ETC2 RGB candidate sweep -> (hi, lo) un-swapped words."""
+    from cuttlefish_tpu.kernels.etc import _ETC_OFFSETS
+
     best_err = None
     best = None
+    floor_mode = _ETC_OFFSETS[quality][0] == "floor"
+    offsets = _ETC_OFFSETS[quality][1]
     for flip in (0, 1):
-        for diff in ((True,) if quality == 0 else (True, False)):
-            for shift in _ETC_SHIFTS[quality]:
-                err, words = _etc1_candidate(px, chw, diff, flip, shift)
-                if best_err is None:
-                    best_err, best = err, words
-                else:
-                    take = err < best_err
-                    best = tuple(
-                        jnp.where(take, w, b) for w, b in zip(words, best)
-                    )
-                    best_err = jnp.minimum(err, best_err)
+        sub1, sub2 = _sub_masks(px[0].shape, flip)
+        n1 = _rt(sub1)
+        n2 = _rt(sub2)
+        mean1 = [_rt(px[c] * sub1) / n1 for c in range(3)]
+        mean2 = [_rt(px[c] * sub2) / n2 for c in range(3)]
+
+        b1, d, t1, t2, idx1, idx2, derr = _diff_fit(
+            px, chw, sub1, sub2, mean1, mean2, offsets, floor_mode
+        )
+        idx = jnp.where(sub2 > 0, idx2, idx1)
+        words = _pack_etc1((b1, d), True, flip, t1, t2, idx)
+        if best_err is None:
+            best_err, best = derr, words
+        else:
+            take = derr < best_err
+            best = tuple(jnp.where(take, w, b) for w, b in zip(words, best))
+            best_err = jnp.minimum(derr, best_err)
+
+        if quality >= 1:
+            i1 = _ind_subfit(px, chw, sub1, mean1, offsets, floor_mode)
+            i2 = _ind_subfit(px, chw, sub2, mean2, offsets, floor_mode)
+            ierr = i1[3] + i2[3]
+            idx = jnp.where(sub2 > 0, i2[2], i1[2])
+            words = _pack_etc1(
+                (i1[0], i2[0]), False, flip, i1[1], i2[1], idx
+            )
+            take = ierr < best_err
+            best = tuple(jnp.where(take, w, b) for w, b in zip(words, best))
+            best_err = jnp.minimum(ierr, best_err)
     if etc2:
         perr, fields = _planar_candidate(px, chw)
         hi, lo = _pack_planar(fields)
@@ -772,9 +860,12 @@ def _kernel_rgba(x_ref, out_ref, *, quality, chw):
     out_ref[3:4, :] = _bswap(lo)
 
 
-def _run(kernel, blocks, nwords, nch, interpret):
+def _run(kernel, blocks, nwords, nch, interpret, tn=None):
     n = blocks.shape[0]
-    tn = TN if n >= TN else -(-n // 128) * 128
+    tn = tn or TN
+    # The quality>=2 offset-cube sweep (27 candidates) keeps more live
+    # temporaries; halve the tile so the scoped-VMEM stack fits.
+    tn = tn if n >= tn else -(-n // 128) * 128
     npad = -(-n // tn) * tn
     x = jnp.clip(blocks[..., :nch].astype(jnp.float32), 0.0, 1.0) * 255.0
     x = jnp.pad(x, ((0, npad - n), (0, 0), (0, 0)))
@@ -819,6 +910,7 @@ def encode_etc_rgb_pallas(
         2,
         3,
         interpret,
+        tn=256 if quality >= 2 else None,
     )
 
 
@@ -834,6 +926,7 @@ def encode_etc2_rgba_pallas(
         4,
         4,
         interpret,
+        tn=256 if quality >= 2 else None,
     )
 
 
