@@ -1,0 +1,255 @@
+"""Real-image quality corpus (VERDICT r3 item 6).
+
+Synthetic block batches flatter index-quantizer encoders; these tests
+score the encoders on real content — a photo (grace_hopper), a UI atlas
+(vector art + flat fills + text strokes), a terrain normal map, and an
+HDR radiance probe (see tools/make_corpus.py for provenance) — and
+assert (a) the TPU path stays >= the independent reference-class CPU
+encoders (the BASELINE.md north star on real images, not just synthetic
+blocks), and (b) absolute PSNR floors per (family, image) so quality
+regressions fail loudly.
+
+Reference role being matched: Cuttlefish's converters run astcenc /
+etc2comp / bc7enc on arbitrary user images
+(/root/reference/lib/src/AstcConverter.cpp, EtcConverter.cpp,
+S3tcConverter.cpp); quality on real content is the product metric.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+FIX = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures",
+                   "corpus")
+
+
+def _load_png(name: str) -> np.ndarray:
+    from cuttlefish_tpu.image.image import Image
+
+    img = Image(os.path.join(FIX, name))
+    assert img.valid
+    rgba = img.rgbaf()
+    return np.asarray(rgba, np.float32)
+
+
+@pytest.fixture(scope="module")
+def photo():
+    return _load_png("photo.png")
+
+
+@pytest.fixture(scope="module")
+def ui_atlas():
+    return _load_png("ui_atlas.png")
+
+
+@pytest.fixture(scope="module")
+def normal_map():
+    return _load_png("normal.png")
+
+
+@pytest.fixture(scope="module")
+def hdr_probe():
+    return np.load(os.path.join(FIX, "hdr_probe.npy"))
+
+
+def _blocks(surface: np.ndarray, bw: int = 4, bh: int = 4) -> np.ndarray:
+    h, w, c = surface.shape
+    nby, nbx = h // bh, w // bw
+    return (
+        surface.reshape(nby, bh, nbx, bw, c)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(nby * nbx, bh * bw, c)
+    )
+
+
+def _psnr(dec: np.ndarray, ref: np.ndarray) -> float:
+    mse = ((dec.astype(np.float64) - ref.astype(np.float64)) ** 2).mean()
+    return 10 * np.log10(1.0 / max(mse, 1e-12))
+
+
+def _u32_bytes(words) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(words).astype("<u4")).view(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Absolute floors: catch quality regressions on real content
+# ---------------------------------------------------------------------------
+
+# Measured on the round-4 encoders (TPU Pallas path; the jnp path lands
+# within ~0.1 dB), minus a ~0.4 dB safety margin.  A failing floor means
+# a real regression, not noise.
+FLOORS_Q2 = {
+    ("bc7", "photo"): 41.0,
+    ("bc7", "ui_atlas"): 47.5,
+    ("bc7", "normal"): 33.4,
+    ("astc", "photo"): 40.2,
+    ("astc", "ui_atlas"): 47.3,
+    ("astc", "normal"): 33.0,
+    ("etc2", "photo"): 33.5,
+    ("etc2", "ui_atlas"): 38.4,
+    ("etc2", "normal"): 26.8,
+}
+
+
+def _encode_decode(family: str, blocks4: np.ndarray, quality: int = 2):
+    if family == "bc7":
+        from cuttlefish_tpu.decode.bc7 import decode_bc7
+        from cuttlefish_tpu.kernels.bc7 import encode_bc7
+
+        w = encode_bc7(blocks4, quality=quality)
+        return decode_bc7(_u32_bytes(w)) / 255.0
+    if family == "astc":
+        from cuttlefish_tpu.decode.astc import decode_astc
+        from cuttlefish_tpu.kernels.astc import encode_astc
+
+        w = encode_astc(blocks4, 4, 4, quality=quality)
+        return decode_astc(_u32_bytes(w), 4, 4) / 255.0
+    if family == "etc2":
+        from cuttlefish_tpu.decode.etc import decode_etc_rgb
+        from cuttlefish_tpu.kernels.etc import encode_etc_rgb
+
+        w = encode_etc_rgb(blocks4, quality=quality, etc2=True)
+        dec = decode_etc_rgb(_u32_bytes(w), etc2=True) / 255.0
+        return np.concatenate(
+            [dec, np.ones((*dec.shape[:-1], 1), dec.dtype)], -1
+        )
+    raise ValueError(family)
+
+
+@pytest.mark.parametrize("family", ["bc7", "astc", "etc2"])
+@pytest.mark.parametrize("image", ["photo", "ui_atlas", "normal"])
+def test_corpus_floor_q2(family, image, request):
+    surface = request.getfixturevalue(
+        {"photo": "photo", "ui_atlas": "ui_atlas", "normal": "normal_map"}[
+            image
+        ]
+    )
+    blocks = _blocks(surface)
+    dec = _encode_decode(family, blocks, quality=2)
+    ref = blocks[..., :3] if family == "etc2" else blocks
+    got = dec[..., :3] if family == "etc2" else dec
+    p = _psnr(got, ref)
+    assert p >= FLOORS_Q2[(family, image)], (family, image, p)
+
+
+# ---------------------------------------------------------------------------
+# North star on real images: TPU >= reference-class CPU encoders
+# ---------------------------------------------------------------------------
+
+TIE_DB = 0.05
+
+
+@pytest.mark.parametrize("image", ["photo", "ui_atlas", "normal"])
+def test_astc_vs_cpu_reference_on_corpus(image, request):
+    from cuttlefish_tpu import native
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    from cuttlefish_tpu.decode.astc import decode_astc
+    from cuttlefish_tpu.kernels.astc import encode_astc
+
+    surface = request.getfixturevalue(
+        {"photo": "photo", "ui_atlas": "ui_atlas", "normal": "normal_map"}[
+            image
+        ]
+    )
+    blocks = _blocks(surface)
+    wt = encode_astc(blocks, 4, 4, quality=2)
+    p_tpu = _psnr(decode_astc(_u32_bytes(wt), 4, 4) / 255.0, blocks)
+    wc = native.astc4x4_encode_cpu(blocks, quality=2)
+    p_cpu = _psnr(decode_astc(wc.reshape(-1), 4, 4) / 255.0, blocks)
+    assert p_tpu >= p_cpu - TIE_DB, (image, p_tpu, p_cpu)
+
+
+@pytest.mark.parametrize("image", ["photo", "ui_atlas", "normal"])
+def test_etc2_vs_cpu_reference_on_corpus(image, request):
+    from cuttlefish_tpu import native
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    from cuttlefish_tpu.decode.etc import decode_etc_rgb
+    from cuttlefish_tpu.kernels.etc import encode_etc_rgb
+
+    surface = request.getfixturevalue(
+        {"photo": "photo", "ui_atlas": "ui_atlas", "normal": "normal_map"}[
+            image
+        ]
+    )
+    blocks = _blocks(surface)
+    ref = blocks[..., :3]
+    wt = np.asarray(encode_etc_rgb(blocks, quality=2, etc2=True))
+    p_tpu = _psnr(decode_etc_rgb(_u32_bytes(wt), etc2=True) / 255.0, ref)
+    wc = native.etc2_rgb_encode_cpu(blocks, quality=2)
+    p_cpu = _psnr(decode_etc_rgb(wc.reshape(-1), etc2=True) / 255.0, ref)
+    assert p_tpu >= p_cpu - TIE_DB, (image, p_tpu, p_cpu)
+
+
+@pytest.mark.parametrize("image", ["photo", "normal"])
+def test_bc7_vs_cpu_reference_on_corpus(image, request):
+    from cuttlefish_tpu import native
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    from cuttlefish_tpu.decode.bc7 import decode_bc7
+    from cuttlefish_tpu.kernels.bc7 import encode_bc7
+
+    surface = request.getfixturevalue(
+        {"photo": "photo", "normal": "normal_map"}[image]
+    )
+    blocks = _blocks(surface)
+    wt = encode_bc7(blocks, quality=2)
+    p_tpu = _psnr(decode_bc7(_u32_bytes(wt)) / 255.0, blocks)
+    wc = native.bc7_encode_cpu(blocks, quality=2)
+    p_cpu = _psnr(decode_bc7(_u32_bytes(wc)) / 255.0, blocks)
+    assert p_tpu >= p_cpu - TIE_DB, (image, p_tpu, p_cpu)
+
+
+# ---------------------------------------------------------------------------
+# HDR probe: BC6H on real radiance data (log-domain PSNR)
+# ---------------------------------------------------------------------------
+
+
+def test_bc6h_hdr_probe(hdr_probe):
+    from cuttlefish_tpu.decode.bc6h import decode_bc6h_f32
+    from cuttlefish_tpu.kernels.bc6h import encode_bc6h
+
+    surface = np.concatenate(
+        [hdr_probe, np.ones((*hdr_probe.shape[:2], 1), np.float32)], -1
+    )
+    blocks = _blocks(surface)[..., :3]
+    w2 = np.asarray(encode_bc6h(blocks, quality=2))
+    w4 = np.asarray(encode_bc6h(blocks, quality=4))
+
+    def log_psnr(words):
+        dec = decode_bc6h_f32(_u32_bytes(words))
+        a = np.log2(np.maximum(dec[..., :3], 1e-6))
+        b = np.log2(np.maximum(blocks, 1e-6))
+        mse = ((a - b) ** 2).mean()
+        # range-normalized over the probe's ~11.8-stop span
+        span = b.max() - b.min()
+        return 10 * np.log10(span**2 / max(mse, 1e-12))
+
+    p2, p4 = log_psnr(w2), log_psnr(w4)
+    assert p2 >= 30.0, p2
+    # monotone ladder on real HDR content (VERDICT r3 item 4)
+    assert p4 >= p2 - 1e-9, (p2, p4)
+
+
+# ---------------------------------------------------------------------------
+# UI atlas alpha: punch-through formats keep the mask exact
+# ---------------------------------------------------------------------------
+
+
+def test_bc1a_ui_atlas_alpha_mask(ui_atlas):
+    from cuttlefish_tpu.decode.s3tc import decode_bc1
+    from cuttlefish_tpu.kernels.bc import encode_bc1
+
+    blocks = _blocks(ui_atlas)
+    w = np.asarray(encode_bc1(blocks, quality=2, punch_through=True))
+    dec = decode_bc1(_u32_bytes(w)) / 255.0
+    want = blocks[..., 3] >= 0.5
+    got = dec[..., 3] >= 0.5
+    assert np.array_equal(want, got)
