@@ -858,17 +858,24 @@ _PLAN = {
     # ramps are the content class that needs it.  p2_iters: deep-fit
     # depth for the ranked 2-partition seeds (the estimate pass already
     # filtered them, so full depth buys little).
+    # Depths tuned on-TPU (chained-dispatch protocol; final 133/89/34
+    # MT/s at q2/q3/q4): q2 two_pop 37.33 ties BC7 q2 (seeds2=6+keep2=2
+    # is the knee — seeds2=3 drops to 37.24; iters=2 is 11% faster but
+    # falls below the astc_cpu.cpp bar on two_lerp/alpha_ramp, so q2
+    # keeps full refine depth).  q4 needs seeds2=16/keep2=5/p2_iters=4 to
+    # stay >= the CPU reference's K=16 deep-fit on two_pop; lighter plans
+    # (keep2=3/4) fall 0.06-0.07 dB short.
     2: dict(iters=3, iters12=4, seeds2=6, seeds3=0, seeds4=0,
             cem8_layouts=3, cem12_layouts=3, cem0_layouts=1,
             cem4_layouts=1, dp_ccs=(), p2_layouts=2, keep2=2, p2_iters=2),
-    3: dict(iters=3, iters12=4, seeds2=8, seeds3=1, seeds4=1,
+    3: dict(iters=3, iters12=4, seeds2=6, seeds3=1, seeds4=1,
             cem8_layouts=3, cem12_layouts=3, cem0_layouts=1,
             cem4_layouts=1, dp_ccs=(3,), p2_layouts=2, keep2=2,
-            p2_iters=3),
+            p2_iters=2),
     4: dict(iters=4, iters12=5, seeds2=16, seeds3=2, seeds4=2,
             cem8_layouts=3, cem12_layouts=3, cem0_layouts=1,
-            cem4_layouts=1, dp_ccs=(0, 1, 2, 3), p2_layouts=2, keep2=6,
-            p2_iters=5),
+            cem4_layouts=1, dp_ccs=(0, 1, 2, 3), p2_layouts=2, keep2=5,
+            p2_iters=4),
 }
 
 

@@ -135,6 +135,84 @@ def check_bc6h(qualities=(2, 4)):
         print(f"bc6h {name}: " + " ".join(row), flush=True)
 
 
+def check_etc(qualities=(2, 4)):
+    from cuttlefish_tpu.decode.etc import decode_eac_alpha, decode_etc_rgb
+    from cuttlefish_tpu.kernels.etc_pallas import (
+        encode_eac_alpha_pallas,
+        encode_etc_rgb_pallas,
+    )
+
+    for name, blocks in content_sets(nblocks=2048).items():
+        row = []
+        for q in qualities:
+            words = np.asarray(encode_etc_rgb_pallas(blocks, q, True))
+            sub = np.ascontiguousarray(words[::8].astype("<u4")).view(
+                np.uint8
+            )
+            dec = decode_etc_rgb(sub, etc2=True)
+            row.append(f"q{q}={psnr(dec / 255.0, blocks[::8, :, :3]):.3f}")
+        print(f"etc2 {name}: " + " ".join(row), flush=True)
+
+    al = content_sets(nblocks=2048)["alpha_ramp"][..., 3]
+    row = []
+    for q in qualities:
+        words = np.asarray(encode_eac_alpha_pallas(al, q))
+        sub = np.ascontiguousarray(words[::8].astype("<u4")).view(np.uint8)
+        dec = decode_eac_alpha(sub)
+        row.append(f"q{q}={psnr(dec / 255.0, al[::8]):.3f}")
+    print("eac_a8 alpha_ramp: " + " ".join(row), flush=True)
+
+
+def check_corpus(qualities=(2,)):
+    """Real-image corpus rows (tests/fixtures/corpus, tools/make_corpus.py)."""
+    from cuttlefish_tpu.decode.astc import decode_astc
+    from cuttlefish_tpu.decode.bc7 import decode_bc7
+    from cuttlefish_tpu.decode.etc import decode_etc_rgb
+    from cuttlefish_tpu.image.image import Image
+    from cuttlefish_tpu.kernels.astc import encode_astc
+    from cuttlefish_tpu.kernels.bc7 import encode_bc7
+    from cuttlefish_tpu.kernels.etc import encode_etc_rgb
+
+    fix = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "fixtures", "corpus",
+    )
+
+    def blocks_of(name):
+        img = Image(os.path.join(fix, name))
+        s = np.asarray(img.rgbaf(), np.float32)
+        h, w, c = s.shape
+        return (
+            s.reshape(h // 4, 4, w // 4, 4, c)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(-1, 16, c)
+        )
+
+    for img_name in ("photo.png", "ui_atlas.png", "normal.png"):
+        blocks = blocks_of(img_name)
+        for q in qualities:
+            wb = np.asarray(encode_bc7(blocks, quality=q))
+            db = decode_bc7(
+                np.ascontiguousarray(wb.astype("<u4")).view(np.uint8)
+            )
+            wa = np.asarray(encode_astc(blocks, 4, 4, quality=q))
+            da = decode_astc(
+                np.ascontiguousarray(wa.astype("<u4")).view(np.uint8), 4, 4
+            )
+            we = np.asarray(encode_etc_rgb(blocks, quality=q, etc2=True))
+            de = decode_etc_rgb(
+                np.ascontiguousarray(we.astype("<u4")).view(np.uint8),
+                etc2=True,
+            )
+            print(
+                f"corpus {img_name[:-4]} q{q}: "
+                f"bc7={psnr(db / 255.0, blocks):.3f} "
+                f"astc={psnr(da / 255.0, blocks):.3f} "
+                f"etc2={psnr(de / 255.0, blocks[..., :3]):.3f}",
+                flush=True,
+            )
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     print(f"devices: {jax.devices()}", flush=True)
@@ -144,3 +222,7 @@ if __name__ == "__main__":
         check_astc()
     if which in ("bc6h", "all"):
         check_bc6h()
+    if which in ("etc", "all"):
+        check_etc()
+    if which in ("corpus", "all"):
+        check_corpus()
