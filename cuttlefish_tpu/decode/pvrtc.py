@@ -89,6 +89,30 @@ def _decode_pvrtc(
     a_img = np.asarray(upscale_bilinear(jnp.asarray(a), bw, bh, wrap=wrap))
     b_img = np.asarray(upscale_bilinear(jnp.asarray(b), bw, bh, wrap=wrap))
 
+    if pvrtc2:
+        # Hard-transition flag (bit 15, PVRTC1's color-A opaque bit): the
+        # decode region owned by block P — the half-block-offset window
+        # between the centers of P and its right/down neighbors — switches
+        # from bilinear interpolation to NON-interpolated reconstruction:
+        # every texel takes its own container block's A/B directly
+        # (within a hard region the nearest block center is always the
+        # container's).  Modulation stays per-texel with the standard
+        # weight table; the encoder never combines hard with the
+        # punch-through flag (H=1,M=1 signals the unimplemented local
+        # palette mode).  See kernels/pvrtc.py encode_pvrtc2 for layout
+        # provenance.
+        hard = ((cw >> 15) & 1).astype(bool).reshape(nby, nbx)
+        if hard.any():
+            ow_y = np.clip(
+                (np.arange(height) - bh // 2) // bh, 0, nby - 1
+            )
+            ow_x = np.clip((np.arange(width) - bw // 2) // bw, 0, nbx - 1)
+            hard_tex = hard[ow_y][:, ow_x]
+            a_hard = np.repeat(np.repeat(a, bh, 0), bw, 1)
+            b_hard = np.repeat(np.repeat(b, bh, 0), bw, 1)
+            a_img = np.where(hard_tex[..., None], a_hard, a_img)
+            b_img = np.where(hard_tex[..., None], b_hard, b_img)
+
     bits = 1 if bpp2 else 2
     weights = _MOD_W_4BPP if not bpp2 else np.array([0, 8], np.float32)
     # Punch-through modulation mode (color word bit 0, 4bpp): weights

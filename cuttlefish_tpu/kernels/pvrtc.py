@@ -145,6 +145,20 @@ def _quant_b(c, opaque=None):
 
 
 @functools.lru_cache(maxsize=None)
+def _owner_matrix(n_texels: int, block: int, n_blocks: int):
+    """One-hot region-owner matrix O [n_blocks, n_texels]: O[j, y] = 1 if
+    texel y lies in the half-block-offset decode region owned by block j
+    (the window between the centers of j and j+1, clamped at borders).
+    Region error sums and hard-flag expansion are then dense matmuls."""
+    m = np.zeros((n_blocks, n_texels), np.float32)
+    owner = np.clip(
+        (np.arange(n_texels) - block // 2) // block, 0, n_blocks - 1
+    )
+    m[owner, np.arange(n_texels)] = 1.0
+    return m
+
+
+@functools.lru_cache(maxsize=None)
 def _basis_matrix(n_texels: int, block: int, n_blocks: int, wrap: bool):
     """1-D bilinear basis matrix M [n_texels, n_blocks]: upscaled(y) =
     Σ_j M[y, j] · grid[j] along one axis (the 2-D basis is the outer
@@ -184,43 +198,19 @@ def upscale_bilinear(
     4x/2x bilinear rule (block centers at half-block).  PVRTC1 wraps
     around the surface (`wrap=True`); PVRTC2 clamps at the borders
     (`wrap=False`), which is its headline change — border blocks no
-    longer bleed colors from the opposite edge."""
+    longer bleed colors from the opposite edge.
+
+    Implemented as two dense basis matmuls (the separable tent basis of
+    `_basis_matrix`, exactly the bilinear weights): upscaled = My·G·Mxᵀ.
+    On TPU this rides the MXU instead of the gather units — the
+    gather-based formulation dominated the PVRTC encode profile."""
     nby, nbx = grid.shape[:2]
     h, w = nby * bh, nbx * bw
-    ys = jnp.arange(h)
-    xs = jnp.arange(w)
-    fy = ys % bh
-    fx = xs % bw
-    j = ys // bh
-    i = xs // bw
-    if wrap:
-        py = jnp.where(fy < bh // 2, j - 1, j) % nby
-        px = jnp.where(fx < bw // 2, i - 1, i) % nbx
-        qy = (py + 1) % nby
-        qx = (px + 1) % nbx
-    else:
-        # Clamp mode: bracketing centers are (j-1, j) or (j, j+1); clamp
-        # AFTER forming the pair so border texels collapse to the pure
-        # border block (p == q), not to an interpolation one block in.
-        py0 = jnp.where(fy < bh // 2, j - 1, j)
-        px0 = jnp.where(fx < bw // 2, i - 1, i)
-        qy = jnp.clip(py0 + 1, 0, nby - 1)
-        qx = jnp.clip(px0 + 1, 0, nbx - 1)
-        py = jnp.clip(py0, 0, nby - 1)
-        px = jnp.clip(px0, 0, nbx - 1)
-    wy = jnp.where(fy < bh // 2, fy + bh // 2, fy - bh // 2).astype(jnp.float32) / bh
-    wx = jnp.where(fx < bw // 2, fx + bw // 2, fx - bw // 2).astype(jnp.float32) / bw
-    p00 = grid[py][:, px]
-    p01 = grid[py][:, qx]
-    p10 = grid[qy][:, px]
-    p11 = grid[qy][:, qx]
-    wxe = wx[None, :, None]
-    wye = wy[:, None, None]
-    return (
-        p00 * (1 - wxe) * (1 - wye)
-        + p01 * wxe * (1 - wye)
-        + p10 * (1 - wxe) * wye
-        + p11 * wxe * wye
+    my = jnp.asarray(_basis_matrix(h, bh, nby, wrap))  # [H, nby]
+    mx = jnp.asarray(_basis_matrix(w, bw, nbx, wrap))  # [W, nbx]
+    return jnp.einsum(
+        "yj,jic,xi->yxc", my, grid.astype(jnp.float32), mx,
+        optimize=True,
     )
 
 
@@ -307,17 +297,100 @@ def _encode_pvrtc(
 
     mi, a_img, b_img = modulate(lo, hi)
 
-    def surface_err(mi_, a_, b_):
-        s = (mod_w[mi_] / 8.0)[..., None]
-        out = a_ * (1.0 - s) + b_ * s
-        return jnp.sum((rgba - out) ** 2)
+    bits = 1 if bpp2 else 2
+    if pvrtc2:
+        oy = jnp.asarray(_owner_matrix(h, bh, nby))
+        ox = jnp.asarray(_owner_matrix(w, bw, nbx))
+
+    def finalize(lo_, hi_, mi_, a_, b_):
+        """Full encode decision for one endpoint state: punch-through
+        choice (4bpp), hard-region choice (PVRTC2), final modulation.
+        Returns (total_err, mi_f, punch_flag, hard_flag) — the err is the
+        EXACT decode error of the finished block stream, so the
+        keep-best over refinement passes is monotone in the real
+        objective (a state that wins interpolated-only can lose once the
+        hard mode is on the table, and vice versa)."""
+        punch = jnp.zeros((nby, nbx), jnp.uint32)
+        if not bpp2:
+            # Punch-through modulation mode, chosen per block: candidate
+            # weights {0, 4, 8} plus index 2 = (A+B)/2 with alpha 0.
+            std_w = _MOD_W_4BPP / 8.0
+            cand_std = (
+                a_[..., None, :] * (1.0 - std_w)[None, None, :, None]
+                + b_[..., None, :] * std_w[None, None, :, None]
+            )  # [H,W,4cand,4ch]
+            e_std = ((rgba[..., None, :] - cand_std) ** 2).sum(-1)
+            mi_std = e_std.argmin(-1).astype(jnp.int32)
+            e_std = e_std.min(-1)
+
+            p_w = jnp.asarray([0.0, 0.5, 0.5, 1.0])
+            cand_p = (
+                a_[..., None, :] * (1.0 - p_w)[None, None, :, None]
+                + b_[..., None, :] * p_w[None, None, :, None]
+            )
+            cand_p = cand_p.at[..., 2, 3].set(0.0)  # index 2: alpha punched
+            e_p = ((rgba[..., None, :] - cand_p) ** 2).sum(-1)
+            mi_p = e_p.argmin(-1).astype(jnp.int32)
+            e_p = e_p.min(-1)
+
+            def bsum(e):
+                return e.reshape(nby, bh, nbx, bw).sum((1, 3))
+
+            use_punch = bsum(e_p) < bsum(e_std)  # [nby,nbx]
+            punch = use_punch.astype(jnp.uint32)
+            up = jnp.repeat(jnp.repeat(use_punch, bh, 0), bw, 1)
+            mi_f = jnp.where(up, mi_p, mi_std)
+            e_tex = jnp.where(up, e_p, e_std)
+        else:
+            s = (mod_w[mi_] / 8.0)[..., None]
+            out = a_ * (1.0 - s) + b_ * s
+            mi_f = mi_
+            e_tex = ((rgba - out) ** 2).sum(-1)
+
+        hard = jnp.zeros((nby, nbx), jnp.uint32)
+        if pvrtc2:
+            # Hard-transition (non-interpolated) regions: block P's flag
+            # switches the half-block-offset decode region it owns to
+            # container-block colors (no bilinear bleed) — within a hard
+            # region every texel's nearest center is its own block, so
+            # this is a block-local reconstruction.  Chosen per region by
+            # exact error; regions covering a punch-through block are
+            # vetoed (H=1,M=1 would signal the local palette mode, which
+            # this encoder does not emit).
+            _, dec_a_, _, dec_b_ = quant_pair(lo_, hi_)
+            a_hard = jnp.repeat(jnp.repeat(dec_a_, bh, 0), bw, 1)
+            b_hard = jnp.repeat(jnp.repeat(dec_b_, bh, 0), bw, 1)
+            std_w = mod_w / 8.0
+            cand_h = (
+                a_hard[..., None, :] * (1.0 - std_w)[None, None, :, None]
+                + b_hard[..., None, :] * std_w[None, None, :, None]
+            )
+            e_h = ((rgba[..., None, :] - cand_h) ** 2).sum(-1)
+            mi_hard = e_h.argmin(-1).astype(jnp.int32)
+            e_hard = e_h.min(-1)
+
+            r_hard = oy @ e_hard @ ox.T
+            r_int = oy @ e_tex @ ox.T
+            pf = punch.astype(bool)
+            pr = jnp.pad(pf, ((0, 1), (0, 1)), mode="edge")
+            veto = pr[:-1, :-1] | pr[:-1, 1:] | pr[1:, :-1] | pr[1:, 1:]
+            hard_b = (r_hard < r_int) & ~veto
+            hard = hard_b.astype(jnp.uint32)
+
+            hard_tex = (oy.T @ hard_b.astype(jnp.float32) @ ox) > 0.5
+            mi_f = jnp.where(hard_tex, mi_hard, mi_f)
+            e_tex = jnp.where(hard_tex, e_hard, e_tex)
+
+        return e_tex.sum(), mi_f, punch, hard
 
     # Keep the best state across refinement passes (the damped Jacobi step
     # optimizes continuous endpoints against the QUANTIZED decode and can
     # overshoot — notably on smooth clamp-mode PVRTC2 content); tracking
-    # the argmin makes the quality ladder monotone by construction (every
-    # higher quality evaluates a superset of candidate states).
-    best = (surface_err(mi, a_img, b_img), lo, hi, mi, a_img, b_img)
+    # the argmin of the FINALIZED error makes the quality ladder monotone
+    # by construction (every higher quality evaluates a superset of
+    # candidate states, scored in the true objective incl. hard/punch).
+    fin = finalize(lo, hi, mi, a_img, b_img)
+    best = (fin[0], lo, hi, fin[1], fin[2], fin[3])
 
     if refines:
         # Footprint-aware refinement.  The decode is linear in the block
@@ -352,47 +425,17 @@ def _encode_pvrtc(
             lo = jnp.clip(lo, 0.0, 1.0)
             hi = jnp.clip(hi, 0.0, 1.0)
             mi, a_img, b_img = modulate(lo, hi)
-            e = surface_err(mi, a_img, b_img)
-            keep = e < best[0]
+            fin = finalize(lo, hi, mi, a_img, b_img)
+            keep = fin[0] < best[0]
             best = tuple(
                 jnp.where(keep, new, old)
-                for new, old in zip((e, lo, hi, mi, a_img, b_img), best)
+                for new, old in zip(
+                    (fin[0], lo, hi, fin[1], fin[2], fin[3]), best
+                )
             )
-        _, lo, hi, mi, a_img, b_img = best
+    _, lo, hi, mi, punch_flag, hard_flag = best
 
     pa, _, pb, _ = quant_pair(lo, hi)
-
-    bits = 1 if bpp2 else 2
-    punch_flag = jnp.zeros((nby, nbx), jnp.uint32)
-    if not bpp2:
-        # Punch-through modulation mode, chosen per block: candidate
-        # weights {0, 4, 8} plus index 2 = (A+B)/2 with alpha 0.
-        std_w = _MOD_W_4BPP / 8.0
-        cand_std = (
-            a_img[..., None, :] * (1.0 - std_w)[None, None, :, None]
-            + b_img[..., None, :] * std_w[None, None, :, None]
-        )  # [H,W,4cand,4ch]
-        e_std = ((rgba[..., None, :] - cand_std) ** 2).sum(-1)
-        mi_std = e_std.argmin(-1).astype(jnp.int32)
-        e_std = e_std.min(-1)
-
-        p_w = jnp.asarray([0.0, 0.5, 0.5, 1.0])
-        cand_p = (
-            a_img[..., None, :] * (1.0 - p_w)[None, None, :, None]
-            + b_img[..., None, :] * p_w[None, None, :, None]
-        )
-        cand_p = cand_p.at[..., 2, 3].set(0.0)  # index 2: alpha punched
-        e_p = ((rgba[..., None, :] - cand_p) ** 2).sum(-1)
-        mi_p = e_p.argmin(-1).astype(jnp.int32)
-        e_p = e_p.min(-1)
-
-        def bsum(e):
-            return e.reshape(nby, bh, nbx, bw).sum((1, 3))
-
-        use_punch = bsum(e_p) < bsum(e_std)  # [nby,nbx]
-        punch_flag = use_punch.astype(jnp.uint32)
-        up = jnp.repeat(jnp.repeat(use_punch, bh, 0), bw, 1)
-        mi = jnp.where(up, mi_p, mi_std)
 
     # Modulation word per block: 2 bits per texel raster order (1 bit for
     # 2bpp), texel (fx, fy) at bit (fy*bw+fx)*bits.
@@ -410,6 +453,7 @@ def _encode_pvrtc(
         (pb.reshape(-1).astype(jnp.uint32) << jnp.uint32(16))
         | pa.reshape(-1).astype(jnp.uint32)
         | punch_flag.reshape(-1)
+        | (hard_flag.reshape(-1) << jnp.uint32(15))
     )
     return jnp.stack([modword, colorword], axis=-1)
 
@@ -427,20 +471,29 @@ def encode_pvrtc2(
     """PVRTC2 2/4bpp (reference: `PvrtcConverter.cpp:90-93` via PVRTexLib).
 
     PVRTC2's public description (Imagination, "PVRTC2: taking texture
-    compression to a new dimension"; basisu's pvrtc2 block layout) keeps
+    compression to a new dimension"; R. Geldreich's public bit-level
+    format notes, the basis for basisu's pvrtc2 transcoding) keeps
     PVRTC1's two low-frequency color signals + per-texel modulation but
     replaces the toroidal wraparound with clamped border interpolation
     and re-purposes two flag bits: bit 15 of the color word (PVRTC1's
     color-A opaque flag) becomes the hard-transition flag, and bit 31
     becomes one block-global opacity flag covering BOTH endpoints
     (opaque A=554/B=555, translucent A=3443/B=3444 — same component
-    widths as PVRTC1).  This encoder emits the interpolated subset —
-    clamped borders, global opacity flag, punch-through modulation for
-    4bpp — and never sets the hard-transition flag (hard/local-palette
-    are optional encoder modes, not required for a conformant stream).
+    widths as PVRTC1).
+
+    Modes emitted: clamped-border interpolation, global opacity flag,
+    punch-through modulation (4bpp), and the HARD-TRANSITION
+    (non-interpolated) mode — block P's hard flag switches the decode
+    region P owns to container-block colors (block-local reconstruction;
+    this block independence is what makes block-by-block PVRTC2
+    transcoders possible).  The encoder sets it per region by exact
+    error.  NOT emitted: the local-palette mode (H=1 with M=1) — no
+    public bit-level documentation of its palette-construction rules
+    exists, so blocks are never encoded with that flag combination
+    (optional encoder modes; a conformant stream need not use them).
     No independent PVRTC2 decoder exists in this environment, so the
-    layout is validated by the in-repo spec decoder (decode/pvrtc.py)
-    plus flag-position tests.
+    layout is validated by the in-repo spec decoder (decode/pvrtc.py),
+    flag-position tests, and hard-mode quality/consistency tests.
     """
     return _encode_pvrtc(
         surface, bpp2=bpp2, quality=quality, wrap=False, pvrtc2=True

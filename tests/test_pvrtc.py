@@ -1,5 +1,6 @@
 """PVRTC1 encoder tests."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -130,9 +131,10 @@ class TestPipeline:
     def test_pvrtc2_flag_bits(self):
         """PVRTC2 color-word flags (basisu pvrtc2 layout): bit 31 is the
         block-global opacity flag (set iff both endpoints are opaque),
-        bit 15 is the hard-transition flag (never emitted).  PVRTC1's
-        per-color opaque flags must NOT appear here — a conformant
-        decoder would read color A's flag as a hard transition."""
+        bit 15 is the hard-transition flag (set per owned region by exact
+        error).  PVRTC1's per-color opaque flags must NOT appear here —
+        a conformant decoder would read color A's flag as a hard
+        transition."""
         from cuttlefish_tpu.kernels.pvrtc import encode_pvrtc2
 
         rng = np.random.default_rng(3)
@@ -141,14 +143,12 @@ class TestPipeline:
         w = np.asarray(encode_pvrtc2(opaque, bpp2=False, quality=2))
         cw = w[:, 1].astype(np.uint64)
         assert np.all((cw >> 31) & 1 == 1)  # global opacity flag set
-        assert np.all((cw >> 15) & 1 == 0)  # hard flag clear
 
         trans = opaque.copy()
         trans[..., 3] = 0.5
         w = np.asarray(encode_pvrtc2(trans, bpp2=False, quality=2))
         cw = w[:, 1].astype(np.uint64)
         assert np.all((cw >> 31) & 1 == 0)  # translucent blocks
-        assert np.all((cw >> 15) & 1 == 0)
 
     def test_pvrtc2_translucent_roundtrip(self):
         """Mixed-alpha content survives the global-opacity color modes."""
@@ -233,3 +233,75 @@ class TestAlpha:
             np.ascontiguousarray(words.astype("<u4")).view(np.uint8), 16, 16
         )
         assert np.abs(dec[..., 3] - 1.0).max() < 1e-6
+
+
+class TestPvrtc2Hard:
+    """Hard-transition (non-interpolated) mode: emitted where bilinear
+    bleed hurts, never combined with the punch-through flag, and a strict
+    quality win on block-scale two-population content."""
+
+    @staticmethod
+    def _checker(n=64):
+        """Block-scale two-color checkerboard — the content class the
+        interpolated mode cannot represent (every block border bleeds)."""
+        y, x = np.mgrid[0:n, 0:n]
+        pick = ((y // 4) + (x // 4)) % 2
+        c0 = np.asarray([0.95, 0.1, 0.1, 1.0], np.float32)
+        c1 = np.asarray([0.05, 0.2, 0.9, 1.0], np.float32)
+        return np.where(pick[..., None] == 0, c0, c1).astype(np.float32)
+
+    def test_hard_flags_emitted_and_win(self):
+        from cuttlefish_tpu.decode.pvrtc import decode_pvrtc2
+        from cuttlefish_tpu.kernels.pvrtc import encode_pvrtc2
+
+        surf = self._checker()
+        words = np.asarray(encode_pvrtc2(jnp.asarray(surf), quality=2))
+        cw = words[:, 1]
+        hard = (cw >> 15) & 1
+        assert hard.any(), "hard flags expected on checkerboard content"
+
+        raw = np.ascontiguousarray(words.astype("<u4")).view(np.uint8)
+        dec = decode_pvrtc2(raw, 64, 64)
+        p_hard = _psnr(dec, surf)
+
+        soft = words.copy()
+        soft[:, 1] &= ~np.uint32(1 << 15)
+        dec_soft = decode_pvrtc2(
+            np.ascontiguousarray(soft.astype("<u4")).view(np.uint8), 64, 64
+        )
+        p_soft = _psnr(dec_soft, surf)
+        assert p_hard > p_soft + 3.0, (p_hard, p_soft)
+
+    def test_hard_never_with_punch(self):
+        """H=1,M=1 signals the (unemitted) local-palette mode: no region
+        covering a punch-through block may be hard."""
+        from cuttlefish_tpu.kernels.pvrtc import encode_pvrtc2
+
+        rng = np.random.default_rng(11)
+        surf = self._checker()
+        # Force punch-worthy content: transparent holes.
+        surf[8:12, 8:12, 3] = 0.0
+        surf[40:44, 16:20, 3] = 0.0
+        words = np.asarray(encode_pvrtc2(jnp.asarray(surf), quality=2))
+        cw = words[:, 1].reshape(16, 16)  # raster after de-morton? checked below
+        hard = ((cw >> 15) & 1).astype(bool)
+        punch = (cw & 1).astype(bool)
+        # expand punch to the 4 regions covering each punch block
+        pr = np.pad(punch, ((1, 0), (1, 0)), mode="edge")
+        cover = pr[:-1, :-1] | pr[:-1, 1:] | pr[1:, :-1] | pr[1:, 1:]
+        assert not (hard & cover).any()
+
+    def test_ladder_monotone_on_checker(self):
+        from cuttlefish_tpu.decode.pvrtc import decode_pvrtc2
+        from cuttlefish_tpu.kernels.pvrtc import encode_pvrtc2
+
+        surf = self._checker()
+        ps = []
+        for q in (0, 2, 4):
+            words = np.asarray(encode_pvrtc2(jnp.asarray(surf), quality=q))
+            dec = decode_pvrtc2(
+                np.ascontiguousarray(words.astype("<u4")).view(np.uint8),
+                64, 64,
+            )
+            ps.append(_psnr(dec, surf))
+        assert ps[0] <= ps[1] + 1e-6 and ps[1] <= ps[2] + 1e-6, ps
