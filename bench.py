@@ -339,28 +339,33 @@ def measure_full_matrix() -> dict:
     }
     log(f"eac_r11_q2_kernel: {out['eac_r11_q2_kernel']}")
 
-    # PVRTC1 4bpp (whole-surface jnp; not block-local, so no Pallas path).
-    # Throughput at 1024^2 plus PSNR at 256^2 via the spec decoder (the
-    # footprint-aware refinement is the quality lever — see BASELINE.md).
-    from cuttlefish_tpu.decode.pvrtc import decode_pvrtc1
+    # PVRTC1/2 4bpp (whole-surface XLA program; not block-local, so no
+    # Pallas path — but the bilinear upscale and refinement adjoints are
+    # dense MXU matmuls, see kernels/pvrtc.py).  Throughput at 1024^2
+    # plus PSNR at 256^2 via the spec decoder.
+    from cuttlefish_tpu.decode.pvrtc import decode_pvrtc1, decode_pvrtc2
     from cuttlefish_tpu.kernels import pvrtc as kpvrtc
 
     surf1k = _test_surface(1024)
-    dt = _time_chained(
-        lambda s: kpvrtc.encode_pvrtc1(s, quality=QUALITY), surf1k, 2,
-        chain=4,
-    )
     s256 = _test_surface(256)
-    words = np.asarray(kpvrtc.encode_pvrtc1(s256, quality=QUALITY))
-    dec = decode_pvrtc1(
-        np.ascontiguousarray(words.astype("<u4")).view(np.uint8), 256, 256
-    )
-    mse = float(np.mean((dec[..., :3] - s256[..., :3]) ** 2))
-    out["pvrtc1_q2"] = {
-        "mtexels_per_s": round(1024 * 1024 / dt / 1e6, 2),
-        "psnr_256_db": round(10.0 * np.log10(1.0 / mse), 2),
-    }
-    log(f"pvrtc1_q2: {out['pvrtc1_q2']}")
+    for name, enc, dec_fn in (
+        ("pvrtc1_q2", kpvrtc.encode_pvrtc1, decode_pvrtc1),
+        ("pvrtc2_q2", kpvrtc.encode_pvrtc2, decode_pvrtc2),
+    ):
+        dt = _time_chained(
+            lambda s, enc=enc: enc(s, quality=QUALITY), surf1k, 2, chain=4,
+        )
+        words = np.asarray(enc(s256, quality=QUALITY))
+        dec = dec_fn(
+            np.ascontiguousarray(words.astype("<u4")).view(np.uint8),
+            256, 256,
+        )
+        mse = float(np.mean((dec[..., :3] - s256[..., :3]) ** 2))
+        out[name] = {
+            "mtexels_per_s": round(1024 * 1024 / dt / 1e6, 2),
+            "psnr_256_db": round(10.0 * np.log10(1.0 / mse), 2),
+        }
+        log(f"{name}: {out[name]}")
     return out
 
 

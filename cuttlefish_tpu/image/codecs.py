@@ -274,7 +274,17 @@ def load(source) -> tuple[np.ndarray, ImageFormat]:
         except Exception:
             pass
     if not _HAVE_PIL:
-        raise DecodeError("PIL unavailable and format not built-in")
+        # Dependency boundary (mirrors the reference's FreeImage ~30-format
+        # surface, README.md:21-36): PNG/JPEG/TGA/BMP/HDR/PFM/EXR and the
+        # DDS/KTX/KTX2/PVR containers decode natively; everything else
+        # (GIF/TIFF/WEBP/PSD/ICO/...) requires the optional Pillow
+        # dependency (`pip install cuttlefish-tpu[codecs]`).
+        raise DecodeError(
+            "unrecognized or non-built-in image format; built-in codecs "
+            "cover PNG/JPEG/TGA/BMP/HDR/PFM/EXR + DDS/KTX/KTX2/PVR — "
+            "install the optional Pillow dependency "
+            "(cuttlefish-tpu[codecs]) for the long tail (GIF/TIFF/WEBP/...)"
+        )
     try:
         img = _pil.open(io.BytesIO(data))
         img.load()
