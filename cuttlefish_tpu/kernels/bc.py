@@ -192,6 +192,52 @@ def _bc1_refine_4c(colors, e0, e1, ch_weights, iters):
     return best
 
 
+def _dequant565(c16):
+    """[N] int 565 -> [N,3] decoded float 0..1."""
+    r = (c16 >> 11) & 31
+    g = (c16 >> 5) & 63
+    b = c16 & 31
+    return jnp.stack(
+        [
+            ((r << 3) | (r >> 2)).astype(jnp.float32) / 255.0,
+            ((g << 2) | (g >> 4)).astype(jnp.float32) / 255.0,
+            ((b << 3) | (b >> 2)).astype(jnp.float32) / 255.0,
+        ],
+        axis=-1,
+    )
+
+
+def _bc1_neighborhood_4c(colors, best, ch_weights, passes):
+    """Per-channel +-1 quant-lattice sweep on both 565 endpoints (the
+    rgbcx hq search-radius role, matching native/src/bc1_cpu.cpp): the LS
+    fit converges in the continuous domain, but the channel roundings
+    interact with the index assignment — one lattice step per channel
+    recovers ~0.2 dB on lerp content."""
+    for _ in range(passes):
+        base0, base1 = best[0], best[1]
+        for shift, maxv in ((11, 31), (5, 63), (0, 31)):
+            for d0 in (-1, 0, 1):
+                for d1 in (-1, 0, 1):
+                    if d0 == 0 and d1 == 0:
+                        continue
+                    f0 = jnp.clip(((base0 >> shift) & maxv) + d0, 0, maxv)
+                    f1 = jnp.clip(((base1 >> shift) & maxv) + d1, 0, maxv)
+                    c0n = (base0 & ~(maxv << shift)) | (f0 << shift)
+                    c1n = (base1 & ~(maxv << shift)) | (f1 << shift)
+                    pal = _bc1_palette(
+                        _dequant565(c0n), _dequant565(c1n), _BC1_4C_W
+                    )
+                    idx, err = _assign(colors, pal, ch_weights)
+                    better = err < best[3]
+                    best = tuple(
+                        jnp.where(
+                            better[(...,) + (None,) * (b.ndim - 1)], c, b
+                        )
+                        for c, b in zip((c0n, c1n, idx, err), best)
+                    )
+    return best
+
+
 def _pack_idx2(idx):
     """[N,16] 2-bit indices -> uint32 word, texel 0 at bits 0-1."""
     shifts = (2 * jnp.arange(16, dtype=jnp.uint32))[None, :]
@@ -268,7 +314,10 @@ def _encode_bc1_jnp(
 
     # --- 4-color candidate (only when no transparent texels are required) ---
     hi, lo = _project_endpoints(colors)
-    c0_4, c1_4, idx_4, err_4 = _bc1_refine_4c(colors, hi, lo, ch_weights, iters)
+    best4 = _bc1_refine_4c(colors, hi, lo, ch_weights, iters)
+    if quality >= 2:
+        best4 = _bc1_neighborhood_4c(colors, best4, ch_weights, passes=2)
+    c0_4, c1_4, idx_4, err_4 = best4
 
     # Order c0 > c1 for 4-color mode; idx remap on swap is idx ^ 1.
     swap = c0_4 < c1_4

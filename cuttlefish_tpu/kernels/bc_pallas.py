@@ -185,6 +185,42 @@ def _bc1_tile(px, amask, iters, chw, punch_through, allow_black, quality):
         cand = cand4(e0, e1)
         take = cand[3] < best4[3]
         best4 = tuple(_sel(take, c, b) for c, b in zip(cand, best4))
+    if quality >= 2:
+        # Per-channel +-1 quant-lattice sweep on both 565 endpoints
+        # (mirror of kernels/bc.py:_bc1_neighborhood_4c, bit-identical).
+        def dq565(c16):
+            r = (c16 >> 11) & 31
+            g = (c16 >> 5) & 63
+            b = c16 & 31
+            return [
+                ((r << 3) | (r >> 2)).astype(jnp.float32) * (1.0 / 255.0),
+                ((g << 2) | (g >> 4)).astype(jnp.float32) * (1.0 / 255.0),
+                ((b << 3) | (b >> 2)).astype(jnp.float32) * (1.0 / 255.0),
+            ]
+
+        for _ in range(2):
+            base0, base1 = best4[0], best4[1]
+            for shift, maxv in ((11, 31), (5, 63), (0, 31)):
+                for d0 in (-1, 0, 1):
+                    for d1 in (-1, 0, 1):
+                        if d0 == 0 and d1 == 0:
+                            continue
+                        f0 = jnp.clip(
+                            ((base0 >> shift) & maxv) + d0, 0, maxv
+                        )
+                        f1 = jnp.clip(
+                            ((base1 >> shift) & maxv) + d1, 0, maxv
+                        )
+                        c0n = (base0 & ~(maxv << shift)) | (f0 << shift)
+                        c1n = (base1 & ~(maxv << shift)) | (f1 << shift)
+                        idx, err = _bc1_assign(
+                            px, dq565(c0n), dq565(c1n), _BC1_4C_W, chw
+                        )
+                        take = err < best4[3]
+                        best4 = tuple(
+                            _sel(take, c, b)
+                            for c, b in zip((c0n, c1n, idx, err), best4)
+                        )
     c0_4, c1_4, idx_4, err_4 = best4
 
     swap = c0_4 < c1_4

