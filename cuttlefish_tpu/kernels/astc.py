@@ -954,6 +954,26 @@ def _rank_seeds(colors, seeds, k, lay, bw, bh, nparts, keep: int = 1):
     ]
 
 
+def plan_for(quality: int, bw: int, bh: int) -> dict:
+    """Per-block-size effective plan.  The partition-seed depths were
+    tuned on 4x4 (where the CPU-reference quality bar exists,
+    tests/test_cpu_reference.py); on larger blocks the deep 2-partition
+    sweep bought <=0.08 dB lerp / <=0.31 dB two-pop for 2.7-4x kernel
+    cost (measured 6x6/8x8 q2, round 4), so 6x6+ runs a shallower seed
+    search with the same layout menu and refine depths."""
+    plan = _PLAN[max(0, min(4, int(quality)))]
+    if bw * bh > 16:
+        plan = dict(
+            plan,
+            seeds2=min(plan["seeds2"], 2),
+            keep2=1,
+            p2_iters=min(plan.get("p2_iters", plan["iters"]), 2),
+            seeds3=min(plan["seeds3"], 1),
+            seeds4=min(plan["seeds4"], 1),
+        )
+    return plan
+
+
 @functools.partial(
     jax.jit, static_argnames=("block_w", "block_h", "quality", "gray")
 )
@@ -963,7 +983,7 @@ def _encode_astc_jnp(
 ) -> jnp.ndarray:
     """jnp reference path (all 14 block sizes, all 5 quality levels)."""
     colors = jnp.clip(blocks.astype(jnp.float32), 0, 1) * 255.0
-    plan = _PLAN[max(0, min(4, int(quality)))]
+    plan = plan_for(quality, block_w, block_h)
     iters = plan["iters"]
     m = colors.shape[0]
     t = block_w * block_h

@@ -31,6 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cuttlefish_tpu.kernels.astc import (
+    plan_for,
     Layout,
     _PLAN,
     _color_qlut,
@@ -662,7 +663,7 @@ def _tasks_a(bw, bh, quality, gray=True):
     the jnp sweep order in kernels/astc.py:_encode_astc_jnp.
     ``gray=False`` drops the gray tasks entirely (the caller detected no
     near-gray blocks in the batch)."""
-    plan = _PLAN[quality]
+    plan = plan_for(quality, bw, bh)
     menu = layout_menu(bw, bh)
     base = [
         (lay, None)
@@ -787,7 +788,7 @@ def _kernel_a(x_ref, *refs, quality, clut_levels, bw, bh, grid_keys,
 
 
 def _layouts_b(bw, bh, quality):
-    plan = _PLAN[quality]
+    plan = plan_for(quality, bw, bh)
     menu = layout_menu(bw, bh)
     lays = list(menu[(8, 2)][: plan.get("p2_layouts", 1)])
     if quality >= 3 and menu[(12, 2)]:
@@ -926,7 +927,7 @@ def _kernel_b(x_ref, pt_ref, ptt_ref, trit_ref, quint_ref, *rest,
     }
     pack_tbls = (trit_ref[:], quint_ref[:])
     px = [x_ref[c] for c in range(4)]
-    plan = _PLAN[quality]
+    plan = plan_for(quality, bw, bh)
     iters = plan["iters"]
     topk = max(1, plan["seeds2"])
     lays = _layouts_b(bw, bh, quality)
@@ -1032,7 +1033,7 @@ def _kernel_c(x_ref, p1_ref, p2_ref, p1t_ref, p2t_ref, trit_ref, quint_ref,
     grid = (grid_refs[0][:], grid_refs[1][:]) if has_grid else None
     pack_tbls = (trit_ref[:], quint_ref[:])
     px = [x_ref[c] for c in range(4)]
-    plan = _PLAN[quality]
+    plan = plan_for(quality, bw, bh)
     iters = plan["iters"]
     topk = max(1, plan["seeds3"])
     lay = layout_menu(bw, bh)[(8, 3)][0]
@@ -1141,7 +1142,7 @@ def _kernel_d(x_ref, flags_ref, p1_ref, p2_ref, p3_ref, p1t_ref, p2t_ref,
         }
         pack_tbls = (trit_ref[:], quint_ref[:])
         px = [x_ref[c] for c in range(4)]
-        plan = _PLAN[quality]
+        plan = plan_for(quality, bw, bh)
         iters = plan["iters"]
         topk = max(1, plan["seeds4"])
         t_count = float(bw * bh)
@@ -1264,7 +1265,7 @@ def encode_astc_pallas(
     bw, bh = int(block_w), int(block_h)
     t_count = bw * bh
     quality = max(0, min(4, int(quality)))
-    plan = _PLAN[quality]
+    plan = plan_for(quality, bw, bh)
     n = blocks.shape[0]
 
     def pad_to(tn):

@@ -65,9 +65,10 @@ class TestAstc4x4:
 
     @pytest.mark.slow
     def test_dual_plane_alpha(self):
-        """Quality >= 3 tries dual-plane (CCS=3): on content whose alpha
-        varies independently of RGB it must clearly beat the single-plane
-        q2 encode, and the emitted D-bit blocks must decode correctly
+        """Quality >= 2 tries dual-plane CCS=3 (round 4: q2 gained it for
+        +1.55 dB on RGBA noise): on content whose alpha varies
+        independently of RGB it must clearly beat the q1 single-plane
+        encode, and the emitted D-bit blocks must decode correctly
         (PSNR here is computed through the spec decoder)."""
         rng = np.random.default_rng(3)
         n = 64
@@ -79,12 +80,13 @@ class TestAstc4x4:
         blocks[..., :3] = np.clip(base + 0.3 * rgbdir * t0, 0, 1)
         blocks[..., 3] = np.clip(0.2 + 0.8 * t1[..., 0], 0, 1)
         p = []
-        for q in (2, 3):
+        for q in (1, 2, 3):
             dec = decode_astc(
                 _bytes(astc.encode_astc(blocks, 4, 4, quality=q)), 4, 4
             )
             p.append(_psnr(dec / 255.0, blocks))
         assert p[1] > p[0] + 2.0, p  # dual-plane gain (measured ~6 dB)
+        assert p[2] >= p[1] - 1e-9, p  # ladder stays monotone
 
     def test_gray_content_uses_cem0(self):
         """Grayscale blocks pick the luminance CEM (0): 2 color values

