@@ -610,62 +610,215 @@ _ETC_OFFSETS = {
 }
 
 
-def _ind_subfit(colors, ch_w, subm, mean, offsets, floor_mode):
+def _best_table_fit2(colors, base_dec, sub_mask, ch_w):
+    """_best_table_fit + the runner-up table (for the estimate proxy)."""
+    cand = base_dec[:, None, None, None, :] + _ETC1_MODS[None, None, :, :, None]
+    cand = jnp.clip(cand, 0, 255).astype(jnp.float32)
+    d = colors[:, :, None, None, :] - cand
+    e = jnp.einsum("nptmc,c->nptm", d * d, ch_w)
+    idx_pm = e.argmin(-1).astype(jnp.int32)
+    e_pm = e.min(-1)
+    e_t = (e_pm * sub_mask[:, :, None]).sum(1)  # [M,8]
+    table = e_t.argmin(-1).astype(jnp.int32)
+    err = e_t.min(-1)
+    idx = jnp.take_along_axis(idx_pm, table[:, None, None], axis=2)[:, :, 0]
+    e_t2 = jnp.where(
+        jax.nn.one_hot(table, 8, dtype=jnp.bool_), jnp.inf, e_t
+    )
+    table2 = e_t2.argmin(-1).astype(jnp.int32)
+    return table, table2, idx, err
+
+
+def _table_modvals(table):
+    """The 4 modifier values of a per-block dynamic table: [M] table ->
+    list of 4 [M] floats.  One-hot selects (gather-free, identical op
+    order in the Pallas mirror for tie parity)."""
+    out = []
+    for mm in range(4):
+        v = jnp.zeros(table.shape, jnp.float32)
+        for tt in range(8):
+            v = jnp.where(table == tt, float(_ETC1_MODS_NP[tt][mm]), v)
+        out.append(v)
+    return out
+
+
+def _restricted_err(colors, ch_w, subm, dec, mvals):
+    """Block error with the table fixed to `mvals` (4 [M] modifier values)
+    but the per-pixel index free: the estimate-then-refine ranking proxy
+    (1/8 of a full 8-table fit)."""
+    e_best = None
+    for mv in mvals:
+        val = jnp.clip(dec[:, None, :] + mv[:, None, None], 0.0, 255.0)
+        e = jnp.einsum("npc,c->np", (colors - val) ** 2, ch_w)
+        e_best = e if e_best is None else jnp.minimum(e_best, e)
+    return (e_best * subm).sum(1)
+
+
+def _ind_subfit(colors, ch_w, subm, mean, offsets, floor_mode, est_keep=0):
     """Individual-mode per-subblock search: best (b4 [M,3], table, idx,
     err) over the quant-offset cube.  Sub-blocks are independent in
     individual mode, so the caller combines two independent winners
-    (covering |offsets|^2 pairings with |offsets| evals each)."""
+    (covering |offsets|^2 pairings with |offsets| evals each).
+
+    est_keep > 0 runs the estimate-then-refine pass (bc7e's "estimate
+    mode error" in role): the center offset is fit in full (8 tables x 4
+    mods); the other offsets are RANKED by their error with the table
+    restricted to the center's winner (index free) — 1/8 of a full fit —
+    and only the per-block top `est_keep` are deep-fit."""
     qf = jnp.floor if floor_mode else jnp.round
     base_q = qf(mean * (15.0 / 255.0))
-    best = None
-    for o in offsets:
-        b = jnp.clip(
+
+    def base_of(o):
+        return jnp.clip(
             base_q + jnp.asarray(o, base_q.dtype), 0, 15
         ).astype(jnp.int32)
+
+    def full_fit(b):
         dec = _expand4(b).astype(jnp.float32)
         t, idx, err = _best_table_fit(colors, dec, subm, ch_w)
-        cand = (b, t, idx, err)
-        if best is None:
-            best = cand
-        else:
-            take = cand[3] < best[3]
-            best = (
-                jnp.where(take[:, None], cand[0], best[0]),
-                jnp.where(take, cand[1], best[1]),
-                jnp.where(take[:, None], cand[2], best[2]),
-                jnp.minimum(cand[3], best[3]),
+        return (b, t, idx, err)
+
+    def merge(best, cand):
+        take = cand[3] < best[3]
+        return (
+            jnp.where(take[:, None], cand[0], best[0]),
+            jnp.where(take, cand[1], best[1]),
+            jnp.where(take[:, None], cand[2], best[2]),
+            jnp.minimum(cand[3], best[3]),
+        )
+
+    if not est_keep or len(offsets) <= est_keep + 1:
+        best = None
+        for o in offsets:
+            cand = full_fit(base_of(o))
+            best = cand if best is None else merge(best, cand)
+        return best
+
+    bc = base_of((0, 0, 0))
+    t_c, t2_c, idx_c, err_c = _best_table_fit2(
+        colors, _expand4(bc).astype(jnp.float32), subm, ch_w
+    )
+    center = (bc, t_c, idx_c, err_c)
+    mvals = _table_modvals(t_c) + _table_modvals(t2_c)
+    others = [o for o in offsets if o != (0, 0, 0)]
+    bases = [base_of(o) for o in others]
+    ests = [
+        _restricted_err(
+            colors, ch_w, subm, _expand4(b).astype(jnp.float32), mvals
+        )
+        for b in bases
+    ]
+    best = center
+    chosen = [jnp.zeros_like(ests[0], jnp.bool_) for _ in ests]
+    for _ in range(est_keep):
+        bi = None
+        be = None
+        for i, e in enumerate(ests):
+            ee = jnp.where(chosen[i], jnp.inf, e)
+            if bi is None:
+                bi = jnp.zeros_like(e, jnp.int32)
+                be = ee
+            else:
+                take = ee < be
+                bi = jnp.where(take, i, bi)
+                be = jnp.minimum(ee, be)
+        bsel = None
+        for i, b in enumerate(bases):
+            bsel = b if bsel is None else jnp.where(
+                (bi == i)[:, None], b, bsel
             )
+        for i in range(len(ests)):
+            chosen[i] = chosen[i] | (bi == i)
+        best = merge(best, full_fit(bsel))
     return best
 
 
-def _diff_fit(colors, ch_w, sub1b, sub2b, mean1, mean2, offsets, floor_mode):
+def _diff_fit(colors, ch_w, sub1b, sub2b, mean1, mean2, offsets, floor_mode,
+              est_keep=0):
     """Differential-mode joint search: sweep base-1's quant cube, re-derive
     the clamped base-2 delta per candidate (etc2_cpu.cpp's joint sweep —
-    the delta clamp must see each base-1 candidate)."""
+    the delta clamp must see each base-1 candidate).  est_keep as in
+    _ind_subfit (frozen-assignment ranking over both sub-blocks)."""
     qf = jnp.floor if floor_mode else jnp.round
     base1_q = qf(mean1 * (31.0 / 255.0))
     b2n = jnp.clip(jnp.round(mean2 * (31.0 / 255.0)), 0, 31).astype(jnp.int32)
-    best = None
-    for o in offsets:
+
+    def bases_of(o):
         b1 = jnp.clip(
             base1_q + jnp.asarray(o, base1_q.dtype), 0, 31
         ).astype(jnp.int32)
         d = jnp.clip(b2n - b1, -4, 3)
-        b2 = b1 + d
-        dec1 = _expand5(b1).astype(jnp.float32)
-        dec2 = _expand5(b2).astype(jnp.float32)
-        t1, idx1, e1 = _best_table_fit(colors, dec1, sub1b, ch_w)
-        t2, idx2, e2 = _best_table_fit(colors, dec2, sub2b, ch_w)
-        err = e1 + e2
-        cand = (b1, d, t1, t2, idx1, idx2, err)
-        if best is None:
-            best = cand
-        else:
-            take = cand[6] < best[6]
-            best = tuple(
-                jnp.where(take[(...,) + (None,) * (c.ndim - 1)], c, b)
-                for c, b in zip(cand, best)
+        return b1, d, b1 + d
+
+    def full_fit(b1, d, b2):
+        t1, idx1, e1 = _best_table_fit(
+            colors, _expand5(b1).astype(jnp.float32), sub1b, ch_w
+        )
+        t2, idx2, e2 = _best_table_fit(
+            colors, _expand5(b2).astype(jnp.float32), sub2b, ch_w
+        )
+        return (b1, d, t1, t2, idx1, idx2, e1 + e2)
+
+    def merge(best, cand):
+        take = cand[6] < best[6]
+        return tuple(
+            jnp.where(take[(...,) + (None,) * (c.ndim - 1)], c, b)
+            for c, b in zip(cand, best)
+        )
+
+    if not est_keep or len(offsets) <= est_keep + 1:
+        best = None
+        for o in offsets:
+            cand = full_fit(*bases_of(o))
+            best = cand if best is None else merge(best, cand)
+        return best
+
+    b1c, dc, b2c = bases_of((0, 0, 0))
+    t1c, t1c2, idx1c, e1c = _best_table_fit2(
+        colors, _expand5(b1c).astype(jnp.float32), sub1b, ch_w
+    )
+    t2c, t2c2, idx2c, e2c = _best_table_fit2(
+        colors, _expand5(b2c).astype(jnp.float32), sub2b, ch_w
+    )
+    center = (b1c, dc, t1c, t2c, idx1c, idx2c, e1c + e2c)
+    mv1 = _table_modvals(t1c) + _table_modvals(t1c2)
+    mv2 = _table_modvals(t2c) + _table_modvals(t2c2)
+    others = [o for o in offsets if o != (0, 0, 0)]
+    b1s = [bases_of(o)[0] for o in others]
+    ests = []
+    for b1 in b1s:
+        d = jnp.clip(b2n - b1, -4, 3)
+        e1 = _restricted_err(
+            colors, ch_w, sub1b, _expand5(b1).astype(jnp.float32), mv1
+        )
+        e2 = _restricted_err(
+            colors, ch_w, sub2b,
+            _expand5(b1 + d).astype(jnp.float32), mv2,
+        )
+        ests.append(e1 + e2)
+    best = center
+    chosen = [jnp.zeros_like(ests[0], jnp.bool_) for _ in ests]
+    for _ in range(est_keep):
+        bi = None
+        be = None
+        for i, e in enumerate(ests):
+            ee = jnp.where(chosen[i], jnp.inf, e)
+            if bi is None:
+                bi = jnp.zeros_like(e, jnp.int32)
+                be = ee
+            else:
+                take = ee < be
+                bi = jnp.where(take, i, bi)
+                be = jnp.minimum(ee, be)
+        b1sel = None
+        for i, b1 in enumerate(b1s):
+            b1sel = b1 if b1sel is None else jnp.where(
+                (bi == i)[:, None], b1, b1sel
             )
+        for i in range(len(ests)):
+            chosen[i] = chosen[i] | (bi == i)
+        dsel = jnp.clip(b2n - b1sel, -4, 3)
+        best = merge(best, full_fit(b1sel, dsel, b1sel + dsel))
     return best
 
 
@@ -725,6 +878,11 @@ def _encode_etc_rgb_jnp(
     best = None
     floor_mode = _ETC_OFFSETS[quality][0] == "floor"
     offsets = _ETC_OFFSETS[quality][1]
+    # q2/q3: estimate-then-refine over the offset cube (ranking with the
+    # table restricted to the center fit's top-2, index free; deep-fit
+    # the per-block top-4) — ~2x the exhaustive q2 throughput, still >=
+    # the CPU reference on the corpus; q4 stays exhaustive.
+    est_keep = 4 if quality in (2, 3) else 0
     for flip in (0, 1):
         sub2 = _SUB2[flip][None, :]
         sub1 = 1.0 - sub2
@@ -734,7 +892,8 @@ def _encode_etc_rgb_jnp(
         mean2 = jnp.einsum("npc,np->nc", colors, sub2b) / sub2.sum()
 
         b1, d, t1, t2, idx1, idx2, derr = _diff_fit(
-            colors, ch_w, sub1b, sub2b, mean1, mean2, offsets, floor_mode
+            colors, ch_w, sub1b, sub2b, mean1, mean2, offsets, floor_mode,
+            est_keep,
         )
         idx = jnp.where(sub2b > 0, idx2, idx1)
         words = _pack_etc1((b1, d), True, flip, t1, t2, idx)
@@ -746,8 +905,12 @@ def _encode_etc_rgb_jnp(
             best_err = jnp.where(take, derr, best_err)
 
         if quality >= 1:
-            i1 = _ind_subfit(colors, ch_w, sub1b, mean1, offsets, floor_mode)
-            i2 = _ind_subfit(colors, ch_w, sub2b, mean2, offsets, floor_mode)
+            i1 = _ind_subfit(
+                colors, ch_w, sub1b, mean1, offsets, floor_mode, est_keep
+            )
+            i2 = _ind_subfit(
+                colors, ch_w, sub2b, mean2, offsets, floor_mode, est_keep
+            )
             ierr = i1[3] + i2[3]
             idx = jnp.where(sub2b > 0, i2[2], i1[2])
             words = _pack_etc1((i1[0], i2[0]), False, flip, i1[1], i2[1], idx)

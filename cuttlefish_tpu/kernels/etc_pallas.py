@@ -196,69 +196,261 @@ def _etc1_candidate(px, chw, diff: bool, flip: int, shift: float):
     return err1 + err2, (hi, lo)
 
 
-def _ind_subfit(px, chw, subm, mean, offsets, floor_mode):
+def _best_table_fit2(px, dec, sub_mask, chw):
+    """_best_table_fit + the runner-up table (for the estimate proxy).
+    Mirror of kernels/etc.py:_best_table_fit2."""
+    best_t = None
+    best_idx = None
+    best_err = None
+    errs = []
+    for t in range(8):
+        e_t = None
+        idx_t = None
+        for m in range(4):
+            mod = float(_ETC1_MODS_NP[t][m])
+            e = sum(
+                chw[c]
+                * (
+                    px[c]
+                    - jnp.clip(dec[c].astype(jnp.float32) + mod, 0.0, 255.0)
+                )
+                ** 2
+                for c in range(3)
+            )
+            if e_t is None:
+                e_t = e
+                idx_t = jnp.full_like(px[0], m, dtype=jnp.int32)
+            else:
+                take = e < e_t
+                idx_t = jnp.where(take, m, idx_t)
+                e_t = jnp.minimum(e, e_t)
+        err = _rt(e_t * sub_mask)
+        errs.append(err)
+        tv = jnp.full_like(err, t, dtype=jnp.int32)
+        if best_err is None:
+            best_t, best_idx, best_err = tv, idx_t, err
+        else:
+            take = err < best_err
+            best_t = jnp.where(take, tv, best_t)
+            best_idx = jnp.where(take, idx_t, best_idx)
+            best_err = jnp.minimum(err, best_err)
+    t2 = None
+    e2 = None
+    for t in range(8):
+        ee = jnp.where(best_t == t, _BIG, errs[t])
+        tv = jnp.full_like(ee, t, dtype=jnp.int32)
+        if t2 is None:
+            t2, e2 = tv, ee
+        else:
+            take = ee < e2
+            t2 = jnp.where(take, tv, t2)
+            e2 = jnp.minimum(ee, e2)
+    return best_t, t2, best_idx, best_err
+
+
+def _table_modvals(table):
+    """The 4 modifier values of a per-block dynamic table: [1,TN] ->
+    list of 4 [1,TN] floats (mirror of kernels/etc.py)."""
+    out = []
+    for mm in range(4):
+        v = jnp.zeros(table.shape, jnp.float32)
+        for tt in range(8):
+            v = jnp.where(table == tt, float(_ETC1_MODS_NP[tt][mm]), v)
+        out.append(v)
+    return out
+
+
+def _restricted_err(px, chw, subm, dec, mvals):
+    """Block error with the table restricted to `mvals`, index free
+    (mirror of kernels/etc.py:_restricted_err)."""
+    e_best = None
+    for mv in mvals:
+        e = sum(
+            chw[c]
+            * (
+                px[c]
+                - jnp.clip(dec[c].astype(jnp.float32) + mv, 0.0, 255.0)
+            )
+            ** 2
+            for c in range(3)
+        )
+        e_best = e if e_best is None else jnp.minimum(e_best, e)
+    return _rt(e_best * subm)
+
+
+def _ind_subfit(px, chw, subm, mean, offsets, floor_mode, est_keep=0):
     """Individual-mode per-subblock quant-cube search (mirror of
-    kernels/etc.py:_ind_subfit, channel-list layout)."""
+    kernels/etc.py:_ind_subfit incl. the estimate-then-refine pass,
+    channel-list layout)."""
     qf = jnp.floor if floor_mode else jnp.round
     base_q = [qf(m * (15.0 / 255.0)) for m in mean]
-    best = None
-    for o in offsets:
-        b = [
+
+    def base_of(o):
+        return [
             jnp.clip(base_q[c] + float(o[c]), 0, 15).astype(jnp.int32)
             for c in range(3)
         ]
+
+    def full_fit(b):
         dec = [_expand4(bc) for bc in b]
         t, idx, err = _best_table_fit(px, dec, subm, chw, _ETC1_MODS_NP)
-        if best is None:
-            best = (b, t, idx, err)
-        else:
-            take = err < best[3]
-            best = (
-                [jnp.where(take, b[c], best[0][c]) for c in range(3)],
-                jnp.where(take, t, best[1]),
-                jnp.where(take, idx, best[2]),
-                jnp.minimum(err, best[3]),
-            )
+        return (b, t, idx, err)
+
+    def merge(best, cand):
+        take = cand[3] < best[3]
+        return (
+            [jnp.where(take, cand[0][c], best[0][c]) for c in range(3)],
+            jnp.where(take, cand[1], best[1]),
+            jnp.where(take, cand[2], best[2]),
+            jnp.minimum(cand[3], best[3]),
+        )
+
+    if not est_keep or len(offsets) <= est_keep + 1:
+        best = None
+        for o in offsets:
+            cand = full_fit(base_of(o))
+            best = cand if best is None else merge(best, cand)
+        return best
+
+    bc = base_of((0, 0, 0))
+    t_c, t2_c, idx_c, err_c = _best_table_fit2(
+        px, [_expand4(b) for b in bc], subm, chw
+    )
+    center = (bc, t_c, idx_c, err_c)
+    mvals = _table_modvals(t_c) + _table_modvals(t2_c)
+    others = [o for o in offsets if o != (0, 0, 0)]
+    bases = [base_of(o) for o in others]
+    ests = [
+        _restricted_err(px, chw, subm, [_expand4(b) for b in bb], mvals)
+        for bb in bases
+    ]
+    best = center
+    chosen = [jnp.zeros_like(ests[0], jnp.bool_) for _ in ests]
+    for _ in range(est_keep):
+        bi = None
+        be = None
+        for i, e in enumerate(ests):
+            ee = jnp.where(chosen[i], _BIG, e)
+            if bi is None:
+                bi = jnp.zeros_like(e, jnp.int32)
+                be = ee
+            else:
+                take = ee < be
+                bi = jnp.where(take, i, bi)
+                be = jnp.minimum(ee, be)
+        bsel = None
+        for i, b in enumerate(bases):
+            if bsel is None:
+                bsel = b
+            else:
+                bsel = [
+                    jnp.where(bi == i, b[c], bsel[c]) for c in range(3)
+                ]
+        for i in range(len(ests)):
+            chosen[i] = chosen[i] | (bi == i)
+        best = merge(best, full_fit(bsel))
     return best
 
 
-def _diff_fit(px, chw, sub1, sub2, mean1, mean2, offsets, floor_mode):
+def _diff_fit(px, chw, sub1, sub2, mean1, mean2, offsets, floor_mode,
+              est_keep=0):
     """Differential-mode joint quant-cube search (mirror of
-    kernels/etc.py:_diff_fit)."""
+    kernels/etc.py:_diff_fit incl. the estimate-then-refine pass)."""
     qf = jnp.floor if floor_mode else jnp.round
     base1_q = [qf(m * (31.0 / 255.0)) for m in mean1]
     b2n = [
         jnp.clip(jnp.round(m * (31.0 / 255.0)), 0, 31).astype(jnp.int32)
         for m in mean2
     ]
-    best = None
-    for o in offsets:
+
+    def bases_of(o):
         b1 = [
             jnp.clip(base1_q[c] + float(o[c]), 0, 31).astype(jnp.int32)
             for c in range(3)
         ]
         d = [jnp.clip(b2n[c] - b1[c], -4, 3) for c in range(3)]
-        b2 = [b1[c] + d[c] for c in range(3)]
+        return b1, d, [b1[c] + d[c] for c in range(3)]
+
+    def full_fit(b1, d, b2):
         t1, idx1, e1 = _best_table_fit(
             px, [_expand5(b) for b in b1], sub1, chw, _ETC1_MODS_NP
         )
         t2, idx2, e2 = _best_table_fit(
             px, [_expand5(b) for b in b2], sub2, chw, _ETC1_MODS_NP
         )
-        err = e1 + e2
-        if best is None:
-            best = (b1, d, t1, t2, idx1, idx2, err)
-        else:
-            take = err < best[6]
-            best = (
-                [jnp.where(take, b1[c], best[0][c]) for c in range(3)],
-                [jnp.where(take, d[c], best[1][c]) for c in range(3)],
-                jnp.where(take, t1, best[2]),
-                jnp.where(take, t2, best[3]),
-                jnp.where(take, idx1, best[4]),
-                jnp.where(take, idx2, best[5]),
-                jnp.minimum(err, best[6]),
-            )
+        return (b1, d, t1, t2, idx1, idx2, e1 + e2)
+
+    def merge(best, cand):
+        take = cand[6] < best[6]
+        return (
+            [jnp.where(take, cand[0][c], best[0][c]) for c in range(3)],
+            [jnp.where(take, cand[1][c], best[1][c]) for c in range(3)],
+            jnp.where(take, cand[2], best[2]),
+            jnp.where(take, cand[3], best[3]),
+            jnp.where(take, cand[4], best[4]),
+            jnp.where(take, cand[5], best[5]),
+            jnp.minimum(cand[6], best[6]),
+        )
+
+    if not est_keep or len(offsets) <= est_keep + 1:
+        best = None
+        for o in offsets:
+            cand = full_fit(*bases_of(o))
+            best = cand if best is None else merge(best, cand)
+        return best
+
+    b1c, dc, b2c = bases_of((0, 0, 0))
+    t1c, t1c2, idx1c, e1c = _best_table_fit2(
+        px, [_expand5(b) for b in b1c], sub1, chw
+    )
+    t2c, t2c2, idx2c, e2c = _best_table_fit2(
+        px, [_expand5(b) for b in b2c], sub2, chw
+    )
+    center = (b1c, dc, t1c, t2c, idx1c, idx2c, e1c + e2c)
+    mv1 = _table_modvals(t1c) + _table_modvals(t1c2)
+    mv2 = _table_modvals(t2c) + _table_modvals(t2c2)
+    others = [o for o in offsets if o != (0, 0, 0)]
+    b1s = [bases_of(o)[0] for o in others]
+    ests = []
+    for b1 in b1s:
+        d = [jnp.clip(b2n[c] - b1[c], -4, 3) for c in range(3)]
+        e1 = _restricted_err(
+            px, chw, sub1, [_expand5(b) for b in b1], mv1
+        )
+        e2 = _restricted_err(
+            px, chw, sub2,
+            [_expand5(b1[c] + d[c]) for c in range(3)], mv2,
+        )
+        ests.append(e1 + e2)
+    best = center
+    chosen = [jnp.zeros_like(ests[0], jnp.bool_) for _ in ests]
+    for _ in range(est_keep):
+        bi = None
+        be = None
+        for i, e in enumerate(ests):
+            ee = jnp.where(chosen[i], _BIG, e)
+            if bi is None:
+                bi = jnp.zeros_like(e, jnp.int32)
+                be = ee
+            else:
+                take = ee < be
+                bi = jnp.where(take, i, bi)
+                be = jnp.minimum(ee, be)
+        b1sel = None
+        for i, b1 in enumerate(b1s):
+            if b1sel is None:
+                b1sel = b1
+            else:
+                b1sel = [
+                    jnp.where(bi == i, b1[c], b1sel[c]) for c in range(3)
+                ]
+        for i in range(len(ests)):
+            chosen[i] = chosen[i] | (bi == i)
+        dsel = [jnp.clip(b2n[c] - b1sel[c], -4, 3) for c in range(3)]
+        best = merge(
+            best,
+            full_fit(b1sel, dsel, [b1sel[c] + dsel[c] for c in range(3)]),
+        )
     return best
 
 
@@ -799,6 +991,7 @@ def _rgb_words(px, quality, etc2, chw):
     best = None
     floor_mode = _ETC_OFFSETS[quality][0] == "floor"
     offsets = _ETC_OFFSETS[quality][1]
+    est_keep = 4 if quality in (2, 3) else 0
     for flip in (0, 1):
         sub1, sub2 = _sub_masks(px[0].shape, flip)
         n1 = _rt(sub1)
@@ -807,7 +1000,8 @@ def _rgb_words(px, quality, etc2, chw):
         mean2 = [_rt(px[c] * sub2) / n2 for c in range(3)]
 
         b1, d, t1, t2, idx1, idx2, derr = _diff_fit(
-            px, chw, sub1, sub2, mean1, mean2, offsets, floor_mode
+            px, chw, sub1, sub2, mean1, mean2, offsets, floor_mode,
+            est_keep,
         )
         idx = jnp.where(sub2 > 0, idx2, idx1)
         words = _pack_etc1((b1, d), True, flip, t1, t2, idx)
@@ -819,8 +1013,12 @@ def _rgb_words(px, quality, etc2, chw):
             best_err = jnp.minimum(derr, best_err)
 
         if quality >= 1:
-            i1 = _ind_subfit(px, chw, sub1, mean1, offsets, floor_mode)
-            i2 = _ind_subfit(px, chw, sub2, mean2, offsets, floor_mode)
+            i1 = _ind_subfit(
+                px, chw, sub1, mean1, offsets, floor_mode, est_keep
+            )
+            i2 = _ind_subfit(
+                px, chw, sub2, mean2, offsets, floor_mode, est_keep
+            )
             ierr = i1[3] + i2[3]
             idx = jnp.where(sub2 > 0, i2[2], i1[2])
             words = _pack_etc1(
