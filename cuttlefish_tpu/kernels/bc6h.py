@@ -143,7 +143,7 @@ def _palette(q0, q1, bits: int, signed: bool) -> jnp.ndarray:
 
 
 def _fit_mode(proxy, pxv, pxs, bits: int, signed: bool, iters: int,
-              delta_bits: int = 0):
+              delta_bits: int = 0, code: bool = False):
     """One-region fit at `bits` precision; optional delta clamp for e1.
 
     Returns (q0, q1, idx, err); q1 is absolute (delta applied by packer).
@@ -163,7 +163,9 @@ def _fit_mode(proxy, pxv, pxs, bits: int, signed: bool, iters: int,
         e = (d2 * d2).sum(-1)
         idx = e.argmin(-1).astype(jnp.int32)
         oh = jax.nn.one_hot(idx, pal.shape[1], dtype=jnp.float32)
-        chosen = _proxy_to_value(jnp.einsum("ntk,nkc->ntc", oh, pal))
+        chosen = jnp.einsum("ntk,nkc->ntc", oh, pal)
+        if not code:
+            chosen = _proxy_to_value(chosen)
         err = ((chosen - pxv) ** 2).sum((1, 2))
         return q0, q1, idx, err
 
@@ -343,7 +345,7 @@ def _fit_regions_float(proxy, pxs, mask, anchor_oh, iters: int):
 
 
 def _fit_two_region(proxy, pxv, pxs, mask, anchor_oh, e0, e1, mode_id: int,
-                    signed: bool):
+                    signed: bool, code: bool = False):
     """Quantize + index the shared float fit for one two-region mode.
 
     Returns (fields dict rw/rx/ry/rz [N,3] raw ints, idx [N,16], err [N]);
@@ -389,7 +391,9 @@ def _fit_two_region(proxy, pxv, pxs, mask, anchor_oh, e0, e1, mode_id: int,
     is_anchor = jnp.zeros((n, 16), bool).at[:, 0].set(True) | (anchor_oh > 0.5)
     idx = jnp.where(is_anchor, jnp.minimum(idx, 3), idx)
     oh = jax.nn.one_hot(idx, 8, dtype=jnp.float32)
-    chosen = _proxy_to_value(jnp.einsum("ntk,ntkc->ntc", oh, pal_t))
+    chosen = jnp.einsum("ntk,ntkc->ntc", oh, pal_t)
+    if not code:
+        chosen = _proxy_to_value(chosen)
     err = ((chosen - pxv) ** 2).sum((1, 2))
     return fields, idx, err
 
@@ -448,8 +452,18 @@ _TWO_REGION_PLAN = {
 }
 
 
-def encode_bc6h(blocks, quality=2, signed=False):
+def encode_bc6h(blocks, quality=2, signed=False, metric="value"):
     """Encode [N,16,3] float RGB (HDR) blocks to BC6H [N,4] uint32 words.
+
+    metric selects the candidate-selection error domain (the same kind of
+    knob the reference exposes for ETC via etc2comp's error metrics,
+    EtcConverter.cpp:56-115):
+      - "value": linear value-domain SSE (peak-relative PSNR — flat
+        fields and bright regions dominate).  The default and the domain
+        the quality harness reports.
+      - "code":  half-bit code-domain SSE, approximately log/relative
+        error — what ispc_texcomp-class HDR encoders minimize; use for
+        perceptual/log-domain targets.
 
     Dispatch: Pallas kernel on TPU (kernels/bc6h_pallas.py), jnp path
     otherwise; CUTTLEFISH_PALLAS=0 disables, =1 forces interpret mode."""
@@ -460,32 +474,43 @@ def encode_bc6h(blocks, quality=2, signed=False):
         if jax.default_backend() == "tpu":
             from cuttlefish_tpu.kernels.bc6h_pallas import encode_bc6h_pallas
 
-            return encode_bc6h_pallas(blocks, int(quality), bool(signed))
+            return encode_bc6h_pallas(
+                blocks, int(quality), bool(signed), metric=str(metric)
+            )
         if use == "1":
             from cuttlefish_tpu.kernels.bc6h_pallas import encode_bc6h_pallas
 
             return encode_bc6h_pallas(
-                blocks, int(quality), bool(signed), interpret=True
+                blocks, int(quality), bool(signed), interpret=True,
+                metric=str(metric),
             )
-    return _encode_bc6h_jnp(blocks, quality, signed)
+    return _encode_bc6h_jnp(blocks, quality, signed, str(metric))
 
 
-@functools.partial(jax.jit, static_argnames=("quality", "signed"))
+@functools.partial(jax.jit, static_argnames=("quality", "signed", "metric"))
 def _encode_bc6h_jnp(
-    blocks: jnp.ndarray, quality: int = 2, signed: bool = False
+    blocks: jnp.ndarray, quality: int = 2, signed: bool = False,
+    metric: str = "value",
 ) -> jnp.ndarray:
     """jnp reference path (all quality levels)."""
     proxy = _to_proxy(blocks.astype(jnp.float32), signed)
-    pxv = _proxy_to_value(proxy)
-    pxs = _proxy_scale(proxy)
+    if metric == "code":
+        pxv = proxy
+        pxs = jnp.ones_like(proxy)
+    else:
+        pxv = _proxy_to_value(proxy)
+        pxs = _proxy_scale(proxy)
     iters = _BC6H_ITERS[max(0, min(4, int(quality)))]
 
-    q0, q1, idx, best_err = _fit_mode(proxy, pxv, pxs, 10, signed, iters)
+    code = metric == "code"
+    q0, q1, idx, best_err = _fit_mode(
+        proxy, pxv, pxs, 10, signed, iters, code=code
+    )
     words = _pack_mode11(q0, q1, idx, signed)
 
     if quality >= 2:
         q0b, q1b, idxb, err12 = _fit_mode(
-            proxy, pxv, pxs, 11, signed, iters, delta_bits=9
+            proxy, pxv, pxs, 11, signed, iters, delta_bits=9, code=code
         )
         w12 = _pack_mode12(q0b, q1b, idxb, signed)
         take = err12 < best_err
@@ -499,7 +524,8 @@ def _encode_bc6h_jnp(
         e0, e1 = _fit_regions_float(proxy, pxs, mask, anchor_oh, iters)
         for mode_id in mode_ids:
             fields, idx2, err2 = _fit_two_region(
-                proxy, pxv, pxs, mask, anchor_oh, e0, e1, mode_id, signed
+                proxy, pxv, pxs, mask, anchor_oh, e0, e1, mode_id, signed,
+                code=code,
             )
             w2 = _pack_two_region(mode_id, fields, d, idx2)
             take = err2 < best_err

@@ -196,6 +196,7 @@ def _w64_dyn(kk, levels: int):
 
 
 def _assign_full(px, pxv, pxs, q0, q1, bits: int, signed: bool, weights,
+                 code=False,
                  mask=None):
     """Nearest-palette index by line projection + 3-candidate check (the BC7
     kernels' O(1) assign instead of the full L-entry sweep).  Per-texel
@@ -232,12 +233,15 @@ def _assign_full(px, pxv, pxs, q0, q1, bits: int, signed: bool, weights,
             take = e < best_e
             best_i = jnp.where(take, kk, best_i)
             best_e = jnp.minimum(e, best_e)
-    # exact value-domain error of the selected entries
+    # exact selection-domain error of the chosen entries (value domain,
+    # or raw code domain under metric="code")
     w = _w64_dyn(best_i, levels)
     ev = jnp.zeros_like(px[0])
     for c in range(3):
         interp = (u0[c] * (64 - w) + u1[c] * w + 32) >> 6
-        dec = _proxy_to_value(_finalize(interp, signed).astype(jnp.float32))
+        dec = _finalize(interp, signed).astype(jnp.float32)
+        if not code:
+            dec = _proxy_to_value(dec)
         ev = ev + (pxv[c] - dec) ** 2
     if mask is not None:
         ev = ev * mask
@@ -292,7 +296,7 @@ def _ls(px, w, mask):
 
 
 def _fit_mode(px, pxv, pxs, bits: int, signed: bool, iters: int,
-              delta_bits: int = 0):
+              delta_bits: int = 0, code=False):
     ones = jnp.ones_like(px[0])
     w4f = [float(w) / 64.0 for w in WEIGHTS4]
 
@@ -305,7 +309,9 @@ def _fit_mode(px, pxv, pxs, bits: int, signed: bool, iters: int,
                 q0[c] + jnp.clip(q1[c] - q0[c], -half, half - 1)
                 for c in range(3)
             ]
-        idx, err = _assign_full(px, pxv, pxs, q0, q1, bits, signed, WEIGHTS4)
+        idx, err = _assign_full(
+            px, pxv, pxs, q0, q1, bits, signed, WEIGHTS4, code=code
+        )
         return q0, q1, idx, err
 
     hi, lo = _pca_seed(px, ones)
@@ -454,7 +460,8 @@ def _fit_regions_float(px, pxs, masks, anchor_oh, iters: int):
     return out0, out1
 
 
-def _fit_two_region(px, pxv, pxs, masks, anchor_oh, e0, e1, mode_id, signed):
+def _fit_two_region(px, pxv, pxs, masks, anchor_oh, e0, e1, mode_id, signed,
+                    code=False):
     _, _, epbits, dbits, direct = TWO_REGION_MODES[mode_id]
     q0 = [_quant_candidates(e0[p], epbits, signed) for p in range(2)]
     q1 = [_quant_candidates(e1[p], epbits, signed) for p in range(2)]
@@ -527,7 +534,9 @@ def _fit_two_region(px, pxv, pxs, masks, anchor_oh, e0, e1, mode_id, signed):
     ev = jnp.zeros_like(px[0])
     for c in range(3):
         interp = (u0t[c] * (64 - w) + u1t[c] * w + 32) >> 6
-        dec = _proxy_to_value(_finalize(interp, signed).astype(jnp.float32))
+        dec = _finalize(interp, signed).astype(jnp.float32)
+        if not code:
+            dec = _proxy_to_value(dec)
         ev = ev + (pxv[c] - dec) ** 2
     return fields, idx, _rt(ev)
 
@@ -566,18 +575,25 @@ def _pack_two_region(mode_id, fields, d, idx, anchor1):
 
 
 def _kernel(x_ref, part32_ref, part32t_ref, anchors_ref, out_ref, *, quality,
-            signed):
+            signed, metric="value"):
     px = [x_ref[c] for c in range(3)]
-    pxv = [_proxy_to_value(px[c]) for c in range(3)]
-    pxs = [_proxy_scale(px[c]) for c in range(3)]
+    if metric == "code":
+        pxv = px
+        pxs = [jnp.ones_like(px[c]) for c in range(3)]
+    else:
+        pxv = [_proxy_to_value(px[c]) for c in range(3)]
+        pxs = [_proxy_scale(px[c]) for c in range(3)]
     iters = _BC6H_ITERS[quality]
 
-    q0, q1, idx, best_err = _fit_mode(px, pxv, pxs, 10, signed, iters)
+    code = metric == "code"
+    q0, q1, idx, best_err = _fit_mode(
+        px, pxv, pxs, 10, signed, iters, code=code
+    )
     words = _pack_mode11(q0, q1, idx, signed)
 
     if quality >= 2:
         q0b, q1b, idxb, err12 = _fit_mode(
-            px, pxv, pxs, 11, signed, iters, delta_bits=9
+            px, pxv, pxs, 11, signed, iters, delta_bits=9, code=code
         )
         w12 = _pack_mode12(q0b, q1b, idxb, signed)
         take = err12 < best_err
@@ -600,7 +616,8 @@ def _kernel(x_ref, part32_ref, part32t_ref, anchors_ref, out_ref, *, quality,
         e0, e1 = _fit_regions_float(px, pxs, masks, anchor_oh, iters)
         for mode_id in mode_ids:
             fields, idx2, err2 = _fit_two_region(
-                px, pxv, pxs, masks, anchor_oh, e0, e1, mode_id, signed
+                px, pxv, pxs, masks, anchor_oh, e0, e1, mode_id,
+                signed, code=code,
             )
             w2 = _pack_two_region(mode_id, fields, d, idx2, anchor1)
             take = err2 < best_err
@@ -611,14 +628,20 @@ def _kernel(x_ref, part32_ref, part32t_ref, anchors_ref, out_ref, *, quality,
         out_ref[w : w + 1, :] = words[w]
 
 
-@functools.partial(jax.jit, static_argnames=("quality", "signed", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("quality", "signed", "interpret", "metric")
+)
 def encode_bc6h_pallas(
     blocks: jnp.ndarray,
     quality: int = 2,
     signed: bool = False,
     interpret: bool = False,
+    metric: str = "value",
 ) -> jnp.ndarray:
-    """Encode [N,16,3] float RGB (HDR) -> BC6H [N,4] uint32 words."""
+    """Encode [N,16,3] float RGB (HDR) -> BC6H [N,4] uint32 words.
+
+    metric: see kernels/bc6h.py:encode_bc6h ("value" linear-domain
+    selection, "code" half-bit/log-domain selection)."""
     quality = max(0, min(4, int(quality)))
     proxy = _to_proxy(blocks[..., :3].astype(jnp.float32), signed)
     n = proxy.shape[0]
@@ -631,7 +654,9 @@ def encode_bc6h_pallas(
     anchors = jnp.asarray(ANCHOR2[:32, None].astype(np.float32))
 
     words = pl.pallas_call(
-        functools.partial(_kernel, quality=quality, signed=signed),
+        functools.partial(
+            _kernel, quality=quality, signed=signed, metric=str(metric)
+        ),
         grid=(npad // tn,),
         in_specs=[
             pl.BlockSpec(

@@ -23,6 +23,7 @@ _SRC_BC7 = os.path.join(_DIR, "src", "bc7_cpu.cpp")
 _SRC_ASTC = os.path.join(_DIR, "src", "astc_cpu.cpp")
 _SRC_ETC2 = os.path.join(_DIR, "src", "etc2_cpu.cpp")
 _SRC_BC1 = os.path.join(_DIR, "src", "bc1_cpu.cpp")
+_SRC_BC6H = os.path.join(_DIR, "src", "bc6h_cpu.cpp")
 
 _lib = None
 _load_error: str | None = None
@@ -34,7 +35,8 @@ def _build_and_load():
         return
     try:
         h = hashlib.sha256()
-        for src in (_SRC, _SRC_JPEG, _SRC_BC7, _SRC_ASTC, _SRC_ETC2, _SRC_BC1):
+        for src in (_SRC, _SRC_JPEG, _SRC_BC7, _SRC_ASTC, _SRC_ETC2, _SRC_BC1,
+                    _SRC_BC6H):
             with open(src, "rb") as f:
                 h.update(f.read())
         digest = h.hexdigest()[:16]
@@ -51,7 +53,7 @@ def _build_and_load():
                     [
                         "g++", "-O2", "-shared", "-fPIC", "-std=c++17",
                         _SRC, _SRC_JPEG, _SRC_BC7, _SRC_ASTC, _SRC_ETC2,
-                        _SRC_BC1, "-lz", "-pthread", "-o", tmp,
+                        _SRC_BC1, _SRC_BC6H, "-lz", "-pthread", "-o", tmp,
                     ],
                     check=True,
                     capture_output=True,
@@ -110,6 +112,9 @@ def _configure(lib):
     ]
     lib.ctpu_bc4_encode.argtypes = [
         c.POINTER(c.c_float), c.c_int, c.c_int, c.c_int, c.c_int, u8p,
+    ]
+    lib.ctpu_bc6h_encode.argtypes = [
+        c.POINTER(c.c_float), c.c_int, c.c_int, c.c_int, u8p,
     ]
 
 
@@ -426,5 +431,29 @@ def bc4_encode_cpu(blocks, quality: int = 2, channel: int = 0,
         blocks.ctypes.data_as(c.POINTER(c.c_float)), n, int(quality),
         int(channel), int(threads),
         out.ctypes.data_as(c.POINTER(c.c_uint8)),
+    )
+    return out
+
+
+def bc6h_encode_cpu(blocks, quality: int = 2, threads: int = 0):
+    """CPU BC6H (unsigned) encode: ispc-veryfast-class mode-11 baseline.
+
+    blocks: [N,16,3] float32 HDR RGB (non-negative) -> [N,16] uint8
+    BC6H blocks.  See native/src/bc6h_cpu.cpp; used by
+    tests/test_cpu_reference.py for the BC6H north-star comparison.
+    """
+    import ctypes as c
+
+    import numpy as np
+
+    _build_and_load()
+    if _lib is None:
+        raise RuntimeError(f"native codec unavailable: {_load_error}")
+    blocks = np.ascontiguousarray(blocks[..., :3], np.float32)
+    n = blocks.shape[0]
+    out = np.zeros((n, 16), np.uint8)
+    _lib.ctpu_bc6h_encode(
+        blocks.ctypes.data_as(c.POINTER(c.c_float)), n, int(quality),
+        int(threads), out.ctypes.data_as(c.POINTER(c.c_uint8)),
     )
     return out

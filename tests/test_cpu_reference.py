@@ -227,3 +227,84 @@ class TestBc4VsCpuReference:
         dc = decode_bc4(wc.reshape(-1)) * 255.0
         p_cpu = _psnr(dc, refa)
         assert p_tpu >= p_cpu - TIE_DB, (quality, p_tpu, p_cpu)
+
+
+class TestBc6hVsCpuReference:
+    """TPU-path BC6H >= the ispc-veryfast-class CPU encoder
+    (native/src/bc6h_cpu.cpp: mode-11 LS + quant neighborhood), compared
+    in the error domain each path targets: metric="code" against the
+    CPU's half-bit objective (log-domain PSNR), metric="value" (the
+    default) against a linear-domain measurement.  The metric knob is
+    the reference-style error-metric parameter (etc2comp precedent,
+    EtcConverter.cpp:56-115)."""
+
+    @staticmethod
+    def _content(name):
+        rng = np.random.default_rng(13)
+        if name == "lerp":
+            c0 = rng.random((256, 1, 3), np.float32) * 8
+            c1 = rng.random((256, 1, 3), np.float32) * 8
+            t = rng.random((256, 16, 1), np.float32)
+            return (c0 + (c1 - c0) * t).astype(np.float32)
+        return (rng.random((256, 16, 3)) * 8).astype(np.float32)
+
+    @staticmethod
+    def _log_psnr(dec, b):
+        a = np.log2(np.maximum(dec[..., :3], 1e-6))
+        r = np.log2(np.maximum(b, 1e-6))
+        mse = ((a - r) ** 2).mean()
+        span = r.max() - r.min()
+        return 10 * np.log10(span * span / max(mse, 1e-12))
+
+    @staticmethod
+    def _lin_psnr(dec, b):
+        mse = ((dec[..., :3] - b) ** 2).mean()
+        peak = float(b.max())
+        return 10 * np.log10(peak * peak / max(mse, 1e-12))
+
+    @pytest.mark.parametrize("content", ["lerp", "noise"])
+    @pytest.mark.parametrize("quality", [2, 4])
+    def test_bc6h_code_metric_not_below_cpu(self, content, quality):
+        from cuttlefish_tpu.decode.bc6h import decode_bc6h_f32
+        from cuttlefish_tpu.kernels.bc6h import encode_bc6h
+
+        b = self._content(content)
+        wt = np.asarray(encode_bc6h(b, quality=quality, metric="code"))
+        dt = decode_bc6h_f32(
+            np.ascontiguousarray(wt.astype("<u4")).view(np.uint8)
+        )
+        wc = native.bc6h_encode_cpu(b, quality=quality)
+        dc = decode_bc6h_f32(wc.reshape(-1))
+        p_tpu = self._log_psnr(dt, b)
+        p_cpu = self._log_psnr(dc, b)
+        assert p_tpu >= p_cpu - TIE_DB, (content, quality, p_tpu, p_cpu)
+
+    @pytest.mark.parametrize("quality", [2, 4])
+    def test_bc6h_value_metric_not_below_cpu_linear(self, quality):
+        from cuttlefish_tpu.decode.bc6h import decode_bc6h_f32
+        from cuttlefish_tpu.kernels.bc6h import encode_bc6h
+
+        b = self._content("lerp")
+        wt = np.asarray(encode_bc6h(b, quality=quality))
+        dt = decode_bc6h_f32(
+            np.ascontiguousarray(wt.astype("<u4")).view(np.uint8)
+        )
+        wc = native.bc6h_encode_cpu(b, quality=quality)
+        dc = decode_bc6h_f32(wc.reshape(-1))
+        p_tpu = self._lin_psnr(dt, b)
+        p_cpu = self._lin_psnr(dc, b)
+        assert p_tpu >= p_cpu - TIE_DB, (quality, p_tpu, p_cpu)
+
+    def test_bc6h_code_metric_ladder_monotone_log(self):
+        from cuttlefish_tpu.decode.bc6h import decode_bc6h_f32
+        from cuttlefish_tpu.kernels.bc6h import encode_bc6h
+
+        b = self._content("lerp")
+        ps = []
+        for q in (0, 2, 4):
+            w = np.asarray(encode_bc6h(b, quality=q, metric="code"))
+            dec = decode_bc6h_f32(
+                np.ascontiguousarray(w.astype("<u4")).view(np.uint8)
+            )
+            ps.append(self._log_psnr(dec, b))
+        assert ps[0] <= ps[1] + 1e-9 and ps[1] <= ps[2] + 1e-9, ps
