@@ -107,6 +107,9 @@ def _configure(lib):
     lib.ctpu_eac_a8_encode.argtypes = [
         c.POINTER(c.c_float), c.c_int, c.c_int, c.c_int, u8p,
     ]
+    lib.ctpu_eac_r11_encode.argtypes = [
+        c.POINTER(c.c_float), c.c_int, c.c_int, c.c_int, u8p,
+    ]
     lib.ctpu_bc1_encode.argtypes = [
         c.POINTER(c.c_float), c.c_int, c.c_int, c.c_int, u8p,
     ]
@@ -454,6 +457,25 @@ def bc6h_encode_cpu(blocks, quality: int = 2, threads: int = 0):
     out = np.zeros((n, 16), np.uint8)
     _lib.ctpu_bc6h_encode(
         blocks.ctypes.data_as(c.POINTER(c.c_float)), n, int(quality),
+        int(threads), out.ctypes.data_as(c.POINTER(c.c_uint8)),
+    )
+    return out
+
+
+def eac_r11_encode_cpu(vals, quality: int = 2, threads: int = 0):
+    """CPU EAC R11 (unsigned) encode: [N,16] float 0..1 -> [N,8] blocks."""
+    import ctypes as c
+
+    import numpy as np
+
+    _build_and_load()
+    if _lib is None:
+        raise RuntimeError(f"native codec unavailable: {_load_error}")
+    vals = np.ascontiguousarray(vals, np.float32)
+    n = vals.shape[0]
+    out = np.zeros((n, 8), np.uint8)
+    _lib.ctpu_eac_r11_encode(
+        vals.ctypes.data_as(c.POINTER(c.c_float)), n, int(quality),
         int(threads), out.ctypes.data_as(c.POINTER(c.c_uint8)),
     )
     return out

@@ -554,6 +554,62 @@ double encode_eac_a8(const float* alpha /*[16] 0..255*/, int quality,
   return best;
 }
 
+double encode_eac_r11(const float* vals /*[16] 0..1*/, int quality,
+                      uint8_t* out8) {
+  // Unsigned R11: decode v = clip(base*8+4 + mod*(mult? mult*8 : 1),
+  // 0, 2047) (Khronos EAC; mirrors decode/etc.py:decode_eac_r11).
+  float v11[16];
+  float mn = 2047.f, mx = 0.f, mean = 0.f;
+  for (int i = 0; i < 16; ++i) {
+    v11[i] = std::min(std::max(vals[i], 0.0f), 1.0f) * 2047.0f;
+    mn = std::min(mn, v11[i]);
+    mx = std::max(mx, v11[i]);
+    mean += v11[i] / 16.0f;
+  }
+  double best = 1e30;
+  uint64_t best_blk = 0;
+  int bctr = clampi((int)std::lround((mean - 4.0f) / 8.0f), 0, 255);
+  int brange = quality >= 2 ? 2 : 0;
+  for (int t = 0; t < 16; ++t) {
+    int span = kEacMods[t][7] - kEacMods[t][3];
+    int m0 = span > 0 ? (int)std::lround((mx - mn) / (8.0f * span)) : 1;
+    for (int dm = -1; dm <= 1; ++dm) {
+      int mult = clampi(m0 + dm, 0, 15);
+      int mscale = mult ? mult * 8 : 1;
+      for (int db = -brange; db <= brange; ++db) {
+        int base = clampi(bctr + db, 0, 255);
+        double err = 0;
+        int sel[16];
+        for (int i = 0; i < 16; ++i) {
+          double be = 1e30;
+          int bk = 0;
+          for (int k = 0; k < 8; ++k) {
+            int v = clampi(base * 8 + 4 + kEacMods[t][k] * mscale, 0, 2047);
+            double d = v11[i] - v;
+            d *= d;
+            if (d < be) { be = d; bk = k; }
+          }
+          sel[i] = bk;
+          err += be;
+        }
+        if (err >= best) continue;
+        best = err;
+        uint64_t blk = ((uint64_t)base << 56) | ((uint64_t)mult << 52) |
+                       ((uint64_t)t << 48);
+        for (int ri = 0; ri < 16; ++ri) {
+          int x = ri % 4, y = ri / 4;
+          int p = 4 * x + y;
+          blk |= (uint64_t)sel[ri] << (45 - 3 * p);
+        }
+        best_blk = blk;
+      }
+    }
+  }
+  for (int i = 0; i < 8; ++i)
+    out8[i] = (uint8_t)(best_blk >> (56 - 8 * i));
+  return best;
+}
+
 }  // namespace
 
 extern "C" {
@@ -589,6 +645,12 @@ void ctpu_etc2_rgb_encode(const float* rgba, int n, int quality, int etc2,
 }
 
 // rgba: N * 16 * 4 floats in [0,1]; alpha channel -> N * 8 bytes EAC A8.
+void ctpu_eac_r11_encode(const float* vals, int n, int quality,
+                         int threads, uint8_t* out) {
+  (void)threads;
+  for (int b = 0; b < n; ++b) encode_eac_r11(vals + b * 16, quality, out + b * 8);
+}
+
 void ctpu_eac_a8_encode(const float* rgba, int n, int quality, int threads,
                         uint8_t* out) {
   if (threads <= 0) threads = (int)std::thread::hardware_concurrency();

@@ -308,3 +308,32 @@ class TestBc6hVsCpuReference:
             )
             ps.append(self._log_psnr(dec, b))
         assert ps[0] <= ps[1] + 1e-9 and ps[1] <= ps[2] + 1e-9, ps
+
+
+class TestEacR11VsCpuReference:
+    """TPU-path EAC R11 (unsigned) >= the CPU base/mult/table sweep."""
+
+    @pytest.mark.parametrize("quality", [2, 4])
+    @pytest.mark.parametrize("content", ["ramp", "noise"])
+    def test_eac_r11_psnr_not_below_cpu_reference(self, quality, content):
+        from cuttlefish_tpu.decode.etc import decode_eac_r11
+        from cuttlefish_tpu.kernels.etc import encode_eac_r11
+
+        rng = np.random.default_rng(17)
+        if content == "ramp":
+            v0 = rng.random((256, 1), np.float32)
+            v1 = rng.random((256, 1), np.float32)
+            t = rng.random((256, 16), np.float32)
+            vals = (v0 + (v1 - v0) * t).astype(np.float32)
+        else:
+            vals = rng.random((256, 16)).astype(np.float32)
+
+        wt = np.asarray(encode_eac_r11(vals, quality=quality))
+        dt = decode_eac_r11(
+            np.ascontiguousarray(wt.astype("<u4")).view(np.uint8)
+        )
+        p_tpu = 10 * np.log10(1.0 / max(((dt - vals) ** 2).mean(), 1e-12))
+        wc = native.eac_r11_encode_cpu(vals, quality=quality)
+        dc = decode_eac_r11(wc.reshape(-1))
+        p_cpu = 10 * np.log10(1.0 / max(((dc - vals) ** 2).mean(), 1e-12))
+        assert p_tpu >= p_cpu - TIE_DB, (content, quality, p_tpu, p_cpu)
