@@ -101,6 +101,10 @@ def _configure(lib):
     lib.ctpu_astc4x4_encode.argtypes = [
         c.POINTER(c.c_float), c.c_int, c.c_int, c.c_int, u8p,
     ]
+    lib.ctpu_astc_sized_encode.argtypes = [
+        c.POINTER(c.c_float), c.c_int, c.c_int, c.c_int, c.c_int, c.c_int,
+        u8p,
+    ]
     lib.ctpu_etc2_rgb_encode.argtypes = [
         c.POINTER(c.c_float), c.c_int, c.c_int, c.c_int, c.c_int, u8p,
     ]
@@ -477,5 +481,28 @@ def eac_r11_encode_cpu(vals, quality: int = 2, threads: int = 0):
     _lib.ctpu_eac_r11_encode(
         vals.ctypes.data_as(c.POINTER(c.c_float)), n, int(quality),
         int(threads), out.ctypes.data_as(c.POINTER(c.c_uint8)),
+    )
+    return out
+
+
+def astc_sized_encode_cpu(blocks, block_w: int, block_h: int,
+                          quality: int = 2, threads: int = 0):
+    """CPU ASTC NxM encode (6x6/8x8 quality baselines; decimated weight
+    grids via the spec bilinear infill — see astc_cpu.cpp's generalized
+    section).  blocks: [N, bw*bh, 4] float32 0..1 -> [N,16] uint8."""
+    import ctypes as c
+
+    import numpy as np
+
+    _build_and_load()
+    if _lib is None:
+        raise RuntimeError(f"native codec unavailable: {_load_error}")
+    blocks = np.ascontiguousarray(blocks, np.float32)
+    n = blocks.shape[0]
+    out = np.zeros((n, 16), np.uint8)
+    _lib.ctpu_astc_sized_encode(
+        blocks.ctypes.data_as(c.POINTER(c.c_float)), n, int(block_w),
+        int(block_h), int(quality), int(threads),
+        out.ctypes.data_as(c.POINTER(c.c_uint8)),
     )
     return out

@@ -27,6 +27,7 @@
 // block value so truncated final groups stay consistent.
 
 #include <algorithm>
+#include <array>
 #include <atomic>
 #include <cmath>
 #include <cstdint>
@@ -728,6 +729,598 @@ void encode_block(const float* px, int quality, uint8_t* out_blk) {
   pack_block(best_L, best_f, best_seed, out_blk);
 }
 
+
+// ===========================================================================
+// Generalized NxM encoder (6x6 / 8x8 quality baselines, decimated weight
+// grids via the spec C.2.18 bilinear infill).  The 4x4 path above stays
+// untouched; this section backs tests/test_cpu_reference.py's larger-size
+// rows the same way.
+// ===========================================================================
+
+#include "astc_color_tables.inc"
+
+inline int clampi(int v, int lo, int hi) {
+  return v < lo ? lo : (v > hi ? hi : v);
+}
+
+struct ColorRangeG {
+  int levels, kind, bits;
+  const int* unq;
+  uint8_t nearest[256];
+};
+
+const ColorRangeG* color_range_g(int levels) {
+  static ColorRangeG cache[32];
+  static int cached[32];
+  static int ncached = 0;
+  for (int i = 0; i < ncached; ++i)
+    if (cached[i] == levels) return &cache[i];
+  for (int d = 0; d < kNumColorDefs; ++d) {
+    if (kColorDefs[d].levels != levels) continue;
+    ColorRangeG* r = &cache[ncached];
+    cached[ncached++] = levels;
+    r->levels = levels;
+    r->kind = kColorDefs[d].kind;
+    r->bits = kColorDefs[d].bits;
+    r->unq = kColorDefs[d].unq;
+    for (int x = 0; x < 256; ++x) {
+      int best = 0, bd = 1 << 30;
+      for (int v = 0; v < levels; ++v) {
+        int dd = r->unq[v] - x;
+        dd *= dd;
+        if (dd < bd) { bd = dd; best = v; }
+      }
+      r->nearest[x] = (uint8_t)best;
+    }
+    return r;
+  }
+  return nullptr;
+}
+
+// Spec C.2.22 implied color range: the LARGEST ladder range whose ISE
+// stream fits the leftover budget (must match decode/astc.py exactly).
+int implied_color_levels(int nvals, int budget) {
+  static const int ladder[] = {256, 192, 160, 128, 96, 80, 64, 48, 40, 32,
+                               24, 20, 16, 12, 10, 8, 6, 5, 4, 3, 2};
+  for (int lv : ladder) {
+    int kind, b;
+    if (lv == 3) { kind = 1; b = 0; }
+    else if (lv == 5) { kind = 2; b = 0; }
+    else {
+      const ColorRangeG* r = color_range_g(lv);
+      if (!r) continue;
+      kind = r->kind;
+      b = r->bits;
+    }
+    if (ise_bits(nvals, kind, b) <= budget) return lv;
+  }
+  return 0;
+}
+
+// kernels/astc.py:block_mode_field (primary rows only, single plane).
+int block_mode_for(int gw, int gh, int wlevels) {
+  struct RH { int lv, r, h; };
+  static const RH rh[] = {{2, 2, 0}, {3, 3, 0}, {4, 4, 0}, {5, 5, 0},
+                          {6, 6, 0}, {8, 7, 0}, {10, 2, 1}, {12, 3, 1},
+                          {16, 4, 1}, {20, 5, 1}, {24, 6, 1}, {32, 7, 1}};
+  int r = -1, h = 0;
+  for (auto& e : rh)
+    if (e.lv == wlevels) { r = e.r; h = e.h; }
+  if (r < 0) return -1;
+  int r0 = r & 1, r21 = r >> 1, a, b, cfg;
+  if (4 <= gw && gw <= 7 && 2 <= gh && gh <= 5) {
+    b = gw - 4; a = gh - 2; cfg = 0;
+  } else if (8 <= gw && gw <= 11 && 2 <= gh && gh <= 5) {
+    b = gw - 8; a = gh - 2; cfg = 1;
+  } else if (2 <= gw && gw <= 5 && 8 <= gh && gh <= 11) {
+    b = gh - 8; a = gw - 2; cfg = 2;
+  } else {
+    return -1;
+  }
+  return (h << 9) | (b << 7) | (a << 5) | (r0 << 4) | (cfg << 2) | r21;
+}
+
+const WRange* weight_range_g(int levels) {
+  static WRange cache[16];
+  static int cached[16];
+  static int ncached = 0;
+  for (int i = 0; i < ncached; ++i)
+    if (cached[i] == levels) return &cache[i];
+  WRange* r = &cache[ncached];
+  cached[ncached++] = levels;
+  build_weight_range(levels, r);
+  return r;
+}
+
+int wkind_of(int levels) {
+  switch (levels) {
+    case 3: case 6: case 12: case 24: return 1;
+    case 5: case 10: case 20: return 2;
+    default: return 0;
+  }
+}
+int wbits_of(int levels) {
+  switch (levels) {
+    case 2: return 1; case 4: return 2; case 8: return 3; case 16: return 4;
+    case 32: return 5; case 3: return 0; case 6: return 1; case 12: return 2;
+    case 24: return 3; case 5: return 0; case 10: return 1; case 20: return 2;
+  }
+  return 0;
+}
+
+struct LayoutG {
+  int gw, gh, wlevels, cem, nparts, block_mode, nweights, wbits;
+  const WRange* w;
+  const ColorRangeG* color;
+};
+
+bool make_layout_g(int bw, int bh, int nparts, int cem, int gw, int gh,
+                   int wl, LayoutG* out) {
+  int bm = block_mode_for(gw, gh, wl);
+  if (bm < 0 || gw > bw || gh > bh) return false;
+  int nweights = gw * gh;
+  if (nweights > 64) return false;
+  int wbits = ise_bits(nweights, wkind_of(wl), wbits_of(wl));
+  if (wbits < 24 || wbits > 96) return false;
+  int nvals = nparts * 2 * ((cem >> 2) + 1);
+  if (nvals > 18) return false;
+  int header = nparts == 1 ? 17 : 29;
+  int budget = 128 - header - wbits;
+  int levels = implied_color_levels(nvals, budget);
+  const ColorRangeG* cr = color_range_g(levels);
+  if (!cr || levels < 16) return false;
+  out->gw = gw; out->gh = gh; out->wlevels = wl; out->cem = cem;
+  out->nparts = nparts; out->block_mode = bm; out->nweights = nweights;
+  out->wbits = wbits; out->w = weight_range_g(wl); out->color = cr;
+  return true;
+}
+
+// Spec C.2.18 bilinear infill matrix: A[t*G+j], weights /16.  Cached.
+struct Infill {
+  int bw, bh, gw, gh;
+  std::vector<int> a;                 // [T*G]
+  std::vector<std::vector<int>> foot; // grid point -> texel list
+};
+const Infill* infill_g(int bw, int bh, int gw, int gh) {
+  static std::vector<Infill*> cache;
+  for (auto* f : cache)
+    if (f->bw == bw && f->bh == bh && f->gw == gw && f->gh == gh) return f;
+  Infill* f = new Infill{bw, bh, gw, gh, {}, {}};
+  int T = bw * bh, G = gw * gh;
+  f->a.assign(T * G, 0);
+  f->foot.assign(G, {});
+  int ds = (1024 + bw / 2) / (bw - 1);
+  int dt = (1024 + bh / 2) / (bh - 1);
+  for (int ty = 0; ty < bh; ++ty)
+    for (int tx = 0; tx < bw; ++tx) {
+      int cs = ds * tx, ct = dt * ty;
+      int gs = (cs * (gw - 1) + 32) >> 6;
+      int gt = (ct * (gh - 1) + 32) >> 6;
+      int js = gs >> 4, fs = gs & 0xF;
+      int jt = gt >> 4, ft = gt & 0xF;
+      int w11 = (fs * ft + 8) >> 4;
+      int w01 = fs - w11, w10 = ft - w11, w00 = 16 - fs - ft + w11;
+      int t = ty * bw + tx;
+      const int js_[4] = {js, js + 1, js, js + 1};
+      const int jt_[4] = {jt, jt, jt + 1, jt + 1};
+      const int w_[4] = {w00, w01, w10, w11};
+      for (int k = 0; k < 4; ++k)
+        if (w_[k] && js_[k] < gw && jt_[k] < gh)
+          f->a[t * G + jt_[k] * gw + js_[k]] += w_[k];
+    }
+  for (int j = 0; j < G; ++j)
+    for (int t = 0; t < T; ++t)
+      if (f->a[t * G + j]) f->foot[j].push_back(t);
+  cache.push_back(f);
+  return f;
+}
+
+// Sized partition tables: no coordinate doubling for blocks >= 31 texels.
+int select_partition_g(int seed, int x, int y, int partition_count,
+                       bool small_block) {
+  if (small_block) { x <<= 1; y <<= 1; }
+  seed += (partition_count - 1) * 1024;
+  uint32_t rnum = hash52((uint32_t)seed);
+  int s[12];
+  for (int i = 0; i < 8; ++i) s[i] = (rnum >> (4 * i)) & 0xF;
+  s[8] = (rnum >> 18) & 0xF;
+  s[9] = (rnum >> 22) & 0xF;
+  s[10] = (rnum >> 26) & 0xF;
+  s[11] = ((rnum >> 30) | (rnum << 2)) & 0xF;
+  for (int& v : s) v *= v;
+  int sh1, sh2;
+  if (seed & 1) {
+    sh1 = (seed & 2) ? 4 : 5;
+    sh2 = partition_count == 3 ? 6 : 5;
+  } else {
+    sh1 = partition_count == 3 ? 6 : 5;
+    sh2 = (seed & 2) ? 4 : 5;
+  }
+  int sh3 = (seed & 0x10) ? sh1 : sh2;
+  int sd[12] = {s[0] >> sh1, s[1] >> sh2, s[2] >> sh1, s[3] >> sh2,
+                s[4] >> sh1, s[5] >> sh2, s[6] >> sh1, s[7] >> sh2,
+                s[8] >> sh3, s[9] >> sh3, s[10] >> sh3, s[11] >> sh3};
+  int a = (sd[0] * x + sd[1] * y + (int)(rnum >> 14)) & 0x3F;
+  int b = (sd[2] * x + sd[3] * y + (int)(rnum >> 10)) & 0x3F;
+  int c = (sd[4] * x + sd[5] * y + (int)(rnum >> 6)) & 0x3F;
+  int d = (sd[6] * x + sd[7] * y + (int)(rnum >> 2)) & 0x3F;
+  if (partition_count < 4) d = 0;
+  if (partition_count < 3) c = 0;
+  if (partition_count < 2) b = 0;
+  if (a >= b && a >= c && a >= d) return 0;
+  if (b >= c && b >= d) return 1;
+  if (c >= d) return 2;
+  return 3;
+}
+
+const std::vector<std::array<uint8_t, 64>>& part2_tables_g(int bw, int bh) {
+  static std::vector<std::array<uint8_t, 64>> t66, t88;
+  auto& tab = (bw == 6) ? t66 : t88;
+  if (tab.empty()) {
+    bool small = bw * bh < 31;
+    tab.resize(1024);
+    for (int seed = 0; seed < 1024; ++seed)
+      for (int y = 0; y < bh; ++y)
+        for (int x = 0; x < bw; ++x)
+          tab[seed][y * bw + x] =
+              (uint8_t)select_partition_g(seed, x, y, 2, small);
+  }
+  return tab;
+}
+
+struct FittedG {
+  double err;
+  int q[2][8];
+  int gq[64];  // quantized grid weight values
+};
+
+// Solve the dense G x G normal equations (Gaussian, partial pivot).
+bool solve_dense(std::vector<double>& m, std::vector<double>& rhs, int g) {
+  for (int col = 0; col < g; ++col) {
+    int piv = col;
+    for (int r2 = col + 1; r2 < g; ++r2)
+      if (std::fabs(m[r2 * g + col]) > std::fabs(m[piv * g + col])) piv = r2;
+    if (std::fabs(m[piv * g + col]) < 1e-9) return false;
+    if (piv != col) {
+      for (int c = 0; c < g; ++c) std::swap(m[col * g + c], m[piv * g + c]);
+      std::swap(rhs[col], rhs[piv]);
+    }
+    double inv = 1.0 / m[col * g + col];
+    for (int r2 = col + 1; r2 < g; ++r2) {
+      double f = m[r2 * g + col] * inv;
+      if (f == 0) continue;
+      for (int c = col; c < g; ++c) m[r2 * g + c] -= f * m[col * g + c];
+      rhs[r2] -= f * rhs[col];
+    }
+  }
+  for (int col = g - 1; col >= 0; --col) {
+    double v = rhs[col];
+    for (int c = col + 1; c < g; ++c) v -= m[col * g + c] * rhs[c];
+    rhs[col] = v / m[col * g + col];
+  }
+  return true;
+}
+
+double fit_layout_g(const float* px, int T, int bw, int bh, const LayoutG& L,
+                    const uint8_t* part_of, int iters, FittedG* out) {
+  int nch = L.cem == 12 ? 4 : 3;
+  int G = L.nweights;
+  const Infill* inf = infill_g(bw, bh, L.gw, L.gh);
+
+  float e0[2][4], e1[2][4];
+  for (int p = 0; p < L.nparts; ++p) {
+    float mean[4] = {0, 0, 0, 0};
+    int cnt = 0;
+    for (int t = 0; t < T; ++t) {
+      if (part_of[t] != p) continue;
+      ++cnt;
+      for (int c = 0; c < nch; ++c) mean[c] += px[t * 4 + c];
+    }
+    if (!cnt) cnt = 1;
+    for (int c = 0; c < nch; ++c) mean[c] /= cnt;
+    double cov[4][4] = {};
+    for (int t = 0; t < T; ++t) {
+      if (part_of[t] != p) continue;
+      for (int c = 0; c < nch; ++c)
+        for (int d = 0; d < nch; ++d)
+          cov[c][d] += (px[t * 4 + c] - mean[c]) * (px[t * 4 + d] - mean[d]);
+    }
+    double axis[4] = {1, 1, 1, 1};
+    for (int it = 0; it < 4; ++it) {
+      double nv[4] = {}, nn = 0;
+      for (int c = 0; c < nch; ++c)
+        for (int d = 0; d < nch; ++d) nv[c] += cov[c][d] * axis[d];
+      for (int c = 0; c < nch; ++c) nn += nv[c] * nv[c];
+      nn = std::sqrt(nn);
+      if (nn < 1e-10) break;
+      for (int c = 0; c < nch; ++c) axis[c] = nv[c] / nn;
+    }
+    float tmin = 1e30f, tmax = -1e30f;
+    for (int t = 0; t < T; ++t) {
+      if (part_of[t] != p) continue;
+      float tt = 0;
+      for (int c = 0; c < nch; ++c)
+        tt += (px[t * 4 + c] - mean[c]) * (float)axis[c];
+      tmin = std::min(tmin, tt);
+      tmax = std::max(tmax, tt);
+    }
+    for (int c = 0; c < 4; ++c) {
+      e0[p][c] = c < nch ? std::min(255.f, std::max(0.f, mean[c] + (float)axis[c] * tmin)) : 255.f;
+      e1[p][c] = c < nch ? std::min(255.f, std::max(0.f, mean[c] + (float)axis[c] * tmax)) : 255.f;
+    }
+  }
+
+  std::vector<double> tt(T), m, rhs;
+  std::vector<int> gq(G), acc(T), w64(T);
+  double best_err = 1e30;
+  for (int it = 0; it <= iters; ++it) {
+    int d0[2][4], d1[2][4], qv[2][8];
+    for (int p = 0; p < L.nparts; ++p) {
+      for (int c = 0; c < nch; ++c) {
+        int x0 = clampi((int)std::lround(e0[p][c]), 0, 255);
+        int x1 = clampi((int)std::lround(e1[p][c]), 0, 255);
+        int q0 = L.color->nearest[x0], q1 = L.color->nearest[x1];
+        d0[p][c] = L.color->unq[q0];
+        d1[p][c] = L.color->unq[q1];
+        qv[p][2 * c] = q0;
+        qv[p][2 * c + 1] = q1;
+      }
+      if (L.cem == 8) { d0[p][3] = 255; d1[p][3] = 255; }
+      int s0 = d0[p][0] + d0[p][1] + d0[p][2];
+      int s1 = d1[p][0] + d1[p][1] + d1[p][2];
+      if (s0 > s1) {
+        for (int c = 0; c < 4; ++c) std::swap(d0[p][c], d1[p][c]);
+        for (int c = 0; c < nch; ++c) std::swap(qv[p][2 * c], qv[p][2 * c + 1]);
+      }
+    }
+    // ideal per-texel weight fraction
+    for (int t = 0; t < T; ++t) {
+      int p = part_of[t];
+      double num = 0, den = 0;
+      for (int c = 0; c < 4; ++c) {
+        double dd = (double)d1[p][c] - d0[p][c];
+        num += (px[t * 4 + c] - d0[p][c]) * dd;
+        den += dd * dd;
+      }
+      tt[t] = den > 1e-9 ? std::min(1.0, std::max(0.0, num / den)) : 0.5;
+    }
+    // grid LS: minimize || (A/16) g - tt ||^2, g in [0,1]
+    m.assign(G * G, 0.0);
+    rhs.assign(G, 0.0);
+    for (int t = 0; t < T; ++t) {
+      const int* row = &inf->a[t * G];
+      for (int j = 0; j < G; ++j) {
+        if (!row[j]) continue;
+        double aj = row[j] / 16.0;
+        rhs[j] += aj * tt[t];
+        for (int k = j; k < G; ++k)
+          if (row[k]) m[j * G + k] += aj * (row[k] / 16.0);
+      }
+    }
+    for (int j = 0; j < G; ++j)
+      for (int k = 0; k < j; ++k) m[j * G + k] = m[k * G + j];
+    for (int j = 0; j < G; ++j) m[j * G + j] += 1e-6;
+    std::vector<double> g_sol = rhs;
+    std::vector<double> m2 = m;
+    if (!solve_dense(m2, g_sol, G))
+      for (int j = 0; j < G; ++j) g_sol[j] = 0.5;
+    for (int j = 0; j < G; ++j) {
+      double w = std::min(1.0, std::max(0.0, g_sol[j])) * 64.0;
+      int bq = 0, bd = 1 << 30;
+      for (int v = 0; v < L.w->levels; ++v) {
+        int dd = (int)std::lround(std::fabs(L.w->unq[v] - w));
+        if (dd < bd) { bd = dd; bq = v; }
+      }
+      gq[j] = bq;
+    }
+    auto texel_err = [&](int t, int w64v) {
+      int p = part_of[t];
+      double e = 0;
+      for (int c = 0; c < 4; ++c) {
+        int dc = decode_texel(d0[p][c], d1[p][c], w64v);
+        double dd = px[t * 4 + c] - dc;
+        e += dd * dd;
+      }
+      return e;
+    };
+    // accumulators + exact per-texel error
+    for (int t = 0; t < T; ++t) {
+      const int* row = &inf->a[t * G];
+      int a = 0;
+      for (int j = 0; j < G; ++j)
+        if (row[j]) a += row[j] * L.w->unq[gq[j]];
+      acc[t] = a;
+      w64[t] = (a + 8) >> 4;
+    }
+    // coordinate refine on the quantized grid (2 passes, ladder +-1 in
+    // unquant order)
+    std::vector<int> order(L.w->levels), rank(L.w->levels);
+    for (int v = 0; v < L.w->levels; ++v) order[v] = v;
+    std::sort(order.begin(), order.end(), [&](int a2, int b2) {
+      return L.w->unq[a2] < L.w->unq[b2];
+    });
+    for (int i = 0; i < L.w->levels; ++i) rank[order[i]] = i;
+    for (int pass = 0; pass < 2; ++pass) {
+      bool changed = false;
+      for (int j = 0; j < G; ++j) {
+        int cur = gq[j];
+        double cur_e = 0;
+        for (int t : inf->foot[j]) cur_e += texel_err(t, (acc[t] + 8) >> 4);
+        for (int dr = -1; dr <= 1; dr += 2) {
+          int r2 = rank[cur] + dr;
+          if (r2 < 0 || r2 >= L.w->levels) continue;
+          int cand = order[r2];
+          int du = L.w->unq[cand] - L.w->unq[gq[j]];
+          double e = 0;
+          for (int t : inf->foot[j])
+            e += texel_err(t, (acc[t] + inf->a[t * G + j] * du + 8) >> 4);
+          if (e + 1e-9 < cur_e) {
+            for (int t : inf->foot[j]) acc[t] += inf->a[t * G + j] * du;
+            gq[j] = cand;
+            cur_e = e;
+            changed = true;
+          }
+        }
+      }
+      if (!changed) break;
+    }
+    double err = 0;
+    for (int t = 0; t < T; ++t) {
+      w64[t] = (acc[t] + 8) >> 4;
+      err += texel_err(t, w64[t]);
+    }
+    if (err < best_err) {
+      best_err = err;
+      for (int j = 0; j < G; ++j) out->gq[j] = gq[j];
+      for (int p = 0; p < L.nparts; ++p)
+        std::memcpy(out->q[p], qv[p], sizeof qv[p]);
+    }
+    if (it == iters) break;
+    // LS endpoint refine from the decoded weight fractions
+    for (int p = 0; p < L.nparts; ++p) {
+      double a2 = 0, b2 = 0, c2 = 0, r0[4] = {}, r1[4] = {};
+      for (int t = 0; t < T; ++t) {
+        if (part_of[t] != p) continue;
+        double w = w64[t] / 64.0;
+        a2 += w * w;
+        b2 += w * (1 - w);
+        c2 += (1 - w) * (1 - w);
+        for (int c = 0; c < nch; ++c) {
+          r1[c] += w * px[t * 4 + c];
+          r0[c] += (1 - w) * px[t * 4 + c];
+        }
+      }
+      double det = a2 * c2 - b2 * b2;
+      if (std::fabs(det) < 1e-6) continue;
+      for (int c = 0; c < nch; ++c) {
+        double n1 = (c2 * r1[c] - b2 * r0[c]) / det;
+        double n0 = (a2 * r0[c] - b2 * r1[c]) / det;
+        e1[p][c] = (float)std::min(255.0, std::max(0.0, n1));
+        e0[p][c] = (float)std::min(255.0, std::max(0.0, n0));
+      }
+    }
+  }
+  out->err = best_err;
+  return best_err;
+}
+
+void pack_block_g(const LayoutG& L, const FittedG& f, int seed,
+                  uint8_t* blk) {
+  std::memset(blk, 0, 16);
+  for (int i = 0; i < 11; ++i) set_bit(blk, i, (L.block_mode >> i) & 1);
+  set_bit(blk, 11, (L.nparts - 1) & 1);
+  set_bit(blk, 12, ((L.nparts - 1) >> 1) & 1);
+  int color_start;
+  if (L.nparts == 1) {
+    for (int i = 0; i < 4; ++i) set_bit(blk, 13 + i, (L.cem >> i) & 1);
+    color_start = 17;
+  } else {
+    for (int i = 0; i < 10; ++i) set_bit(blk, 13 + i, (seed >> i) & 1);
+    int cem_field = L.cem << 2;
+    for (int i = 0; i < 6; ++i) set_bit(blk, 23 + i, (cem_field >> i) & 1);
+    color_start = 29;
+  }
+  int nper = 2 * ((L.cem >> 2) + 1);
+  int vals[16];
+  for (int p = 0; p < L.nparts; ++p)
+    for (int i = 0; i < nper; ++i) vals[p * nper + i] = f.q[p][i];
+  std::vector<uint8_t> cbits;
+  ise_encode(vals, nper * L.nparts, L.color->kind, L.color->bits, &cbits);
+  for (size_t i = 0; i < cbits.size(); ++i)
+    set_bit(blk, color_start + (int)i, cbits[i]);
+  std::vector<uint8_t> wbits;
+  ise_encode(f.gq, L.nweights, wkind_of(L.wlevels), wbits_of(L.wlevels),
+             &wbits);
+  for (size_t i = 0; i < wbits.size(); ++i)
+    set_bit(blk, 127 - (int)i, wbits[i]);
+}
+
+void encode_block_g(const float* px, int bw, int bh, int quality,
+                    uint8_t* out_blk) {
+  int T = bw * bh;
+  bool has_alpha = false;
+  for (int t = 0; t < T; ++t)
+    if (px[t * 4 + 3] < 254.5f) { has_alpha = true; break; }
+
+  int iters = quality <= 0 ? 1 : (quality >= 4 ? 5 : quality + 1);
+  std::vector<LayoutG> layouts;
+  LayoutG L;
+  // 1-partition CEM 8 ladder: coarse-to-fine weight precision, same role
+  // as the 4x4 set (grids capped by the primary block-mode rows).
+  if (make_layout_g(bw, bh, 1, 8, 6, 5, 4, &L)) layouts.push_back(L);
+  if (quality >= 1 && make_layout_g(bw, bh, 1, 8, 5, 5, 6, &L))
+    layouts.push_back(L);
+  if (quality >= 2 && make_layout_g(bw, bh, 1, 8, 4, 4, 12, &L))
+    layouts.push_back(L);
+  if (has_alpha) {
+    if (make_layout_g(bw, bh, 1, 12, 5, 5, 4, &L)) layouts.push_back(L);
+    if (quality >= 2 && make_layout_g(bw, bh, 1, 12, 4, 4, 8, &L))
+      layouts.push_back(L);
+  }
+
+  std::vector<uint8_t> part0(T, 0);
+  FittedG f, best_f;
+  double best = 1e30;
+  LayoutG best_L = layouts[0];
+  int best_seed = 0;
+  for (const LayoutG& LL : layouts) {
+    if (fit_layout_g(px, T, bw, bh, LL, part0.data(), iters, &f) < best) {
+      best = f.err;
+      best_f = f;
+      best_L = LL;
+    }
+  }
+
+  if (quality >= 2) {
+    int K = quality >= 4 ? 12 : (quality >= 3 ? 6 : 3);
+    auto& tabs = part2_tables_g(bw, bh);
+    struct Scored { double sse; int seed; };
+    std::vector<Scored> scored;
+    scored.reserve(1024);
+    for (int seed = 0; seed < 1024; ++seed) {
+      const uint8_t* po = tabs[seed].data();
+      double sum[2][4] = {}, sq = 0;
+      int cnt[2] = {};
+      for (int t = 0; t < T; ++t) {
+        int p = po[t];
+        ++cnt[p];
+        for (int c = 0; c < 4; ++c) {
+          sum[p][c] += px[t * 4 + c];
+          sq += px[t * 4 + c] * px[t * 4 + c];
+        }
+      }
+      if (!cnt[0] || !cnt[1]) continue;
+      double expl = 0;
+      for (int p = 0; p < 2; ++p) {
+        double m2s = 0;
+        for (int c = 0; c < 4; ++c) m2s += sum[p][c] * sum[p][c];
+        expl += m2s / cnt[p];
+      }
+      scored.push_back({sq - expl, seed});
+    }
+    std::partial_sort(
+        scored.begin(), scored.begin() + std::min<size_t>(K, scored.size()),
+        scored.end(),
+        [](const Scored& a, const Scored& b) { return a.sse < b.sse; });
+    std::vector<LayoutG> plays;
+    if (make_layout_g(bw, bh, 2, 8, 4, 4, 4, &L)) plays.push_back(L);
+    if (make_layout_g(bw, bh, 2, 8, 5, 4, 4, &L)) plays.push_back(L);
+    for (int k = 0; k < (int)std::min<size_t>(K, scored.size()); ++k) {
+      int seed = scored[k].seed;
+      const uint8_t* po = tabs[seed].data();
+      for (const LayoutG& LL : plays) {
+        if (fit_layout_g(px, T, bw, bh, LL, po, iters, &f) < best) {
+          best = f.err;
+          best_f = f;
+          best_L = LL;
+          best_seed = seed;
+        }
+      }
+    }
+  }
+  pack_block_g(best_L, best_f, best_seed, out_blk);
+}
+
 }  // namespace
 
 extern "C" {
@@ -751,6 +1344,40 @@ void ctpu_astc4x4_encode(const float* rgba, int n, int quality, int threads,
         for (int i = 0; i < 64; ++i)
           px[i] = std::min(255.0f, std::max(0.0f, rgba[b * 64 + i] * 255.0f));
         encode_block(px, quality, out + b * 16);
+      }
+    }
+  };
+  if (threads <= 1) {
+    worker();
+    return;
+  }
+  std::vector<std::thread> pool;
+  for (int t = 0; t < threads; ++t) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
+}
+
+
+// rgba: N * (bw*bh) * 4 floats in [0,1]; out: N * 16 bytes (ASTC blocks).
+void ctpu_astc_sized_encode(const float* rgba, int n, int bw, int bh,
+                            int quality, int threads, uint8_t* out) {
+  ranges();
+  ise_tables();
+  part2_tables_g(bw, bh);
+  int T = bw * bh;
+  if (threads <= 0) threads = (int)std::thread::hardware_concurrency();
+  std::atomic<int> counter{0};
+  const int kChunk = 16;
+  auto worker = [&]() {
+    std::vector<float> px(T * 4);
+    for (;;) {
+      int start = counter.fetch_add(kChunk);
+      if (start >= n) break;
+      int end = std::min(n, start + kChunk);
+      for (int b = start; b < end; ++b) {
+        for (int i = 0; i < T * 4; ++i)
+          px[i] = std::min(
+              255.0f, std::max(0.0f, rgba[b * T * 4 + i] * 255.0f));
+        encode_block_g(px.data(), bw, bh, quality, out + b * 16);
       }
     }
   };

@@ -337,3 +337,49 @@ class TestEacR11VsCpuReference:
         dc = decode_eac_r11(wc.reshape(-1))
         p_cpu = 10 * np.log10(1.0 / max(((dc - vals) ** 2).mean(), 1e-12))
         assert p_tpu >= p_cpu - TIE_DB, (content, quality, p_tpu, p_cpu)
+
+
+def _sized_content(name: str, bw: int, bh: int, n: int = 128) -> np.ndarray:
+    rng = np.random.default_rng(23)
+    T = bw * bh
+    if name == "lerp":
+        c0 = rng.random((n, 1, 4), np.float32)
+        c1 = rng.random((n, 1, 4), np.float32)
+        t = rng.random((n, T, 1), np.float32)
+        out = np.clip(c0 + (c1 - c0) * t, 0, 1).astype(np.float32)
+    else:  # two populations
+        pick = rng.random((n, T, 1)) < 0.5
+        out = np.where(
+            pick, rng.random((n, 1, 4)), rng.random((n, 1, 4))
+        ).astype(np.float32)
+        out = np.clip(
+            out + rng.normal(0, 0.02, out.shape), 0, 1
+        ).astype(np.float32)
+    out[..., 3] = 1.0
+    return out
+
+
+class TestAstcSizedVsCpuReference:
+    """TPU-path ASTC 6x6/8x8 >= the generalized CPU encoder (decimated
+    weight grids via spec bilinear infill, LS grid fit + coordinate
+    refine, 2-partition screening without the small-block coordinate
+    doubling) — the north-star bar beyond 4x4."""
+
+    @pytest.mark.parametrize("bw,bh", [(6, 6), (8, 8)])
+    @pytest.mark.parametrize("content", ["lerp", "pop"])
+    def test_sized_psnr_not_below_cpu_reference(self, bw, bh, content):
+        from cuttlefish_tpu.decode.astc import decode_astc
+        from cuttlefish_tpu.kernels.astc import encode_astc
+
+        blocks = _sized_content(content, bw, bh)
+        ref = blocks * 255.0
+        wt = np.asarray(encode_astc(blocks, bw, bh, quality=2))
+        p_tpu = _psnr(
+            decode_astc(
+                np.ascontiguousarray(wt.astype("<u4")).view(np.uint8), bw, bh
+            ),
+            ref,
+        )
+        wc = native.astc_sized_encode_cpu(blocks, bw, bh, quality=2)
+        p_cpu = _psnr(decode_astc(wc.reshape(-1), bw, bh), ref)
+        assert p_tpu >= p_cpu - TIE_DB, (bw, content, p_tpu, p_cpu)

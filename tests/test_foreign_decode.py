@@ -305,3 +305,25 @@ def test_foreign_illegal_block_loads_as_error_color():
     assert img.valid
     arr = np.asarray(img.array)
     assert np.allclose(arr[..., 0], 1.0) and np.allclose(arr[..., 1], 0.0)
+
+
+@pytest.mark.parametrize("bw,bh", [(6, 6), (8, 8)])
+def test_sized_cpu_encoder_bitstreams_vs_gl(bw, bh):
+    """The generalized CPU encoder's bitstreams (decimated weight grids,
+    2-partition seeds WITHOUT small-block coordinate doubling) decode
+    identically on Mesa — validating the sized partition tables and the
+    infill against an independent decoder."""
+    _need_astc()
+    from cuttlefish_tpu import native
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(31)
+    T = bw * bh
+    pick = rng.random((48, T, 1)) < 0.5
+    blocks = np.where(
+        pick, rng.random((48, 1, 4)), rng.random((48, 1, 4))
+    ).astype(np.float32)
+    blocks[..., 3] = 1.0
+    data = native.astc_sized_encode_cpu(blocks, bw, bh, quality=2)
+    _check_blocks(data.tobytes(), bw, bh)
