@@ -367,19 +367,24 @@ class TestAstcSizedVsCpuReference:
 
     @pytest.mark.parametrize("bw,bh", [(6, 6), (8, 8)])
     @pytest.mark.parametrize("content", ["lerp", "pop"])
-    def test_sized_psnr_not_below_cpu_reference(self, bw, bh, content):
+    @pytest.mark.parametrize(
+        "quality",
+        [2, pytest.param(4, marks=pytest.mark.slow)],
+    )
+    def test_sized_psnr_not_below_cpu_reference(self, bw, bh, content,
+                                                quality):
         from cuttlefish_tpu.decode.astc import decode_astc
         from cuttlefish_tpu.kernels.astc import encode_astc
 
         blocks = _sized_content(content, bw, bh)
         ref = blocks * 255.0
-        wt = np.asarray(encode_astc(blocks, bw, bh, quality=2))
+        wt = np.asarray(encode_astc(blocks, bw, bh, quality=quality))
         p_tpu = _psnr(
             decode_astc(
                 np.ascontiguousarray(wt.astype("<u4")).view(np.uint8), bw, bh
             ),
             ref,
         )
-        wc = native.astc_sized_encode_cpu(blocks, bw, bh, quality=2)
+        wc = native.astc_sized_encode_cpu(blocks, bw, bh, quality=quality)
         p_cpu = _psnr(decode_astc(wc.reshape(-1), bw, bh), ref)
-        assert p_tpu >= p_cpu - TIE_DB, (bw, content, p_tpu, p_cpu)
+        assert p_tpu >= p_cpu - TIE_DB, (bw, content, quality, p_tpu, p_cpu)
