@@ -953,19 +953,24 @@ int select_partition_g(int seed, int x, int y, int partition_count,
   return 3;
 }
 
-const std::vector<std::array<uint8_t, 64>>& part2_tables_g(int bw, int bh) {
-  static std::vector<std::array<uint8_t, 64>> t66, t88;
-  auto& tab = (bw == 6) ? t66 : t88;
-  if (tab.empty()) {
-    bool small = bw * bh < 31;
-    tab.resize(1024);
-    for (int seed = 0; seed < 1024; ++seed)
-      for (int y = 0; y < bh; ++y)
-        for (int x = 0; x < bw; ++x)
-          tab[seed][y * bw + x] =
-              (uint8_t)select_partition_g(seed, x, y, 2, small);
-  }
-  return tab;
+const std::vector<std::array<uint8_t, 144>>& part2_tables_g(int bw, int bh) {
+  struct Entry {
+    int bw, bh;
+    std::vector<std::array<uint8_t, 144>> tab;
+  };
+  static std::vector<Entry*> cache;
+  for (auto* e : cache)
+    if (e->bw == bw && e->bh == bh) return e->tab;
+  Entry* e = new Entry{bw, bh, {}};
+  bool small = bw * bh < 31;
+  e->tab.resize(1024);
+  for (int seed = 0; seed < 1024; ++seed)
+    for (int y = 0; y < bh; ++y)
+      for (int x = 0; x < bw; ++x)
+        e->tab[seed][y * bw + x] =
+            (uint8_t)select_partition_g(seed, x, y, 2, small);
+  cache.push_back(e);
+  return e->tab;
 }
 
 struct FittedG {

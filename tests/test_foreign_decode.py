@@ -307,7 +307,7 @@ def test_foreign_illegal_block_loads_as_error_color():
     assert np.allclose(arr[..., 0], 1.0) and np.allclose(arr[..., 1], 0.0)
 
 
-@pytest.mark.parametrize("bw,bh", [(6, 6), (8, 8)])
+@pytest.mark.parametrize("bw,bh", [(5, 5), (6, 6), (8, 8), (10, 10), (12, 12)])
 def test_sized_cpu_encoder_bitstreams_vs_gl(bw, bh):
     """The generalized CPU encoder's bitstreams (decimated weight grids,
     2-partition seeds WITHOUT small-block coordinate doubling) decode
