@@ -113,7 +113,8 @@ class Bc6hConverter(BlockConverter):
         from cuttlefish_tpu.kernels import bc6h
 
         return bc6h.encode_bc6h(
-            blocks[..., :3], quality=int(params.quality), signed=self._signed
+            blocks[..., :3], quality=int(params.quality),
+            signed=self._signed, metric=params.hdr_metric,
         )
 
 

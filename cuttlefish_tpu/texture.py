@@ -363,11 +363,15 @@ class Texture:
         alpha_type: Alpha = Alpha.Standard,
         color_mask: ColorMask | None = None,
         threads: int = 0,
+        hdr_metric: str = "value",
     ) -> bool:
         """Encode every image to the target format (Texture.cpp:1536-1561).
 
         ``threads`` is accepted for API parity; parallelism here is the block
         grid sharded over the device mesh, not host threads.
+        ``hdr_metric`` selects BC6H's candidate-selection error domain
+        ("value" linear / "code" half-bit log — see kernels/bc6h.py);
+        ignored by every other format.
         """
         del threads
         if not self.images_complete() or not is_format_valid(fmt, type_):
@@ -385,6 +389,7 @@ class Texture:
             alpha_type=alpha_type,
             color_mask=color_mask or ColorMask(),
             color_space=self._color_space,
+            hdr_metric=hdr_metric,
         )
 
         self._format = fmt

@@ -253,3 +253,38 @@ def test_bc1a_ui_atlas_alpha_mask(ui_atlas):
     want = blocks[..., 3] >= 0.5
     got = dec[..., 3] >= 0.5
     assert np.array_equal(want, got)
+
+
+def test_bc6h_hdr_metric_knob(hdr_probe):
+    """Texture.convert(hdr_metric=) reaches the BC6H kernel: the two
+    error domains produce different bitstreams and "code" is at least as
+    good in log-PSNR on the real HDR probe."""
+    import cuttlefish_tpu as ct
+
+    surface = np.concatenate(
+        [hdr_probe, np.ones((*hdr_probe.shape[:2], 1), np.float32)], -1
+    )
+    outs = {}
+    for metric in ("value", "code"):
+        tex = ct.Texture(ct.Dimension.Dim2D, 128, 128)
+        tex.set_image(ct.Image.from_array(surface, ct.ImageFormat.RGBAF))
+        assert tex.convert(
+            ct.TextureFormat.BC6H, ct.TextureType.UFloat,
+            quality=ct.Quality.Low, hdr_metric=metric,
+        )
+        outs[metric] = tex.data(0)
+    assert outs["value"] != outs["code"]
+
+    from cuttlefish_tpu.decode.bc6h import decode_bc6h_f32
+
+    ref = hdr_probe.reshape(32, 4, 32, 4, 3).transpose(0, 2, 1, 3, 4)
+    ref = ref.reshape(-1, 16, 3)
+
+    def log_psnr(blob):
+        dec = decode_bc6h_f32(np.frombuffer(blob, np.uint8))
+        a = np.log2(np.maximum(dec[..., :3], 1e-6))
+        r = np.log2(np.maximum(ref, 1e-6))
+        span = r.max() - r.min()
+        return 10 * np.log10(span**2 / ((a - r) ** 2).mean())
+
+    assert log_psnr(outs["code"]) >= log_psnr(outs["value"]) - 1e-9
