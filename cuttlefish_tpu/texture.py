@@ -457,6 +457,7 @@ class Texture:
         filter: ResizeFilter = ResizeFilter.CatmullRom,
         normal_map: "NormalOptions | None" = None,
         normal_height: float = 1.0,
+        hdr_metric: str = "value",
     ) -> bool:
         """TPU-first fused pipeline (extension beyond the reference API):
         generate the mip chain ON DEVICE and encode every level of every
@@ -506,6 +507,7 @@ class Texture:
             alpha_type=alpha_type,
             color_mask=color_mask or ColorMask(),
             color_space=self._color_space,
+            hdr_metric=hdr_metric,
         )
         surfaces0 = [
             self._images[0][d][f].rgbaf()
