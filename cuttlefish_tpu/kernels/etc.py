@@ -1150,6 +1150,55 @@ def _etc_a1_candidate(colors, alpha_mask, ch_w, flip: int, luma_shift: float):
     return err1 + err2, (hi, lo)
 
 
+def _a1_diff_sweep(colors, alpha_mask, ch_w, flip, offsets, floor_mode):
+    """Punch-through differential sweep over the base-1 quant cube (the
+    A1 analog of _diff_fit; [0,+b,T,-b] mods, transparent texels excluded
+    from the fit and forced to index 2)."""
+    sub2 = _SUB2[flip][None, :]
+    sub1 = 1.0 - sub2
+    w1 = sub1 * alpha_mask
+    w2 = sub2 * alpha_mask
+    n1 = w1.sum(1, keepdims=True) + 1e-6
+    n2 = w2.sum(1, keepdims=True) + 1e-6
+    mean1 = jnp.einsum("npc,np->nc", colors, w1) / n1
+    mean2 = jnp.einsum("npc,np->nc", colors, w2) / n2
+    qf = jnp.floor if floor_mode else jnp.round
+    base1_q = qf(mean1 * (31.0 / 255.0))
+    b2n = jnp.clip(jnp.round(mean2 * (31.0 / 255.0)), 0, 31).astype(jnp.int32)
+    allowed = jnp.asarray(np.array([1, 1, 0, 1], bool))
+    sub2b = jnp.broadcast_to(sub2, colors.shape[:2])
+    best = None
+    for o in offsets:
+        b1 = jnp.clip(
+            base1_q + jnp.asarray(o, base1_q.dtype), 0, 31
+        ).astype(jnp.int32)
+        d = jnp.clip(b2n - b1, -4, 3)
+        b2 = b1 + d
+        dec1 = _expand5(b1).astype(jnp.float32)
+        dec2 = _expand5(b2).astype(jnp.float32)
+        t1, idx1, e1 = _best_table_fit(
+            colors, dec1, w1, ch_w, _ETC_A1_MODS, allowed
+        )
+        t2, idx2, e2 = _best_table_fit(
+            colors, dec2, w2, ch_w, _ETC_A1_MODS, allowed
+        )
+        idx = jnp.where(sub2b > 0, idx2, idx1)
+        idx = jnp.where(alpha_mask < 0.5, 2, idx)
+        hi, lo = _pack_etc1((b1, d), True, flip, t1, t2, idx)
+        hi = hi & ~jnp.uint32(2)  # opaque flag (bit 33) = 0
+        err = e1 + e2
+        cand = (err, (hi, lo))
+        if best is None:
+            best = cand
+        else:
+            take = cand[0] < best[0]
+            best = (
+                jnp.minimum(cand[0], best[0]),
+                tuple(jnp.where(take, w, b) for w, b in zip(cand[1], best[1])),
+            )
+    return best
+
+
 @functools.partial(jax.jit, static_argnames=("quality",))
 def encode_etc2_a1(
     blocks: jnp.ndarray, quality: int = 2, ch_weights=None
@@ -1166,18 +1215,34 @@ def encode_etc2_a1(
     quality = max(0, min(4, int(quality)))
 
     # Opaque path: differential-only (individual mode doesn't exist in A1)
-    # + planar.
+    # + planar.  Round 4: the same per-channel quant-cube search as the
+    # RGB path (the luma-shift ladder lost 0.2-0.4 dB on real content).
+    floor_mode = _ETC_OFFSETS[quality][0] == "floor"
+    offsets = _ETC_OFFSETS[quality][1]
+    est_keep = 6 if quality in (2, 3) else 0
     best_err = None
     best_o = None
     for flip in (0, 1):
-        for shift in _ETC_SHIFTS[quality]:
-            err, words = _etc1_candidate(colors, ch_w, True, flip, shift)
-            if best_err is None:
-                best_err, best_o = err, words
-            else:
-                take = err < best_err
-                best_o = tuple(jnp.where(take, w, b) for w, b in zip(words, best_o))
-                best_err = jnp.where(take, err, best_err)
+        sub2 = _SUB2[flip][None, :]
+        sub1 = 1.0 - sub2
+        sub1b = jnp.broadcast_to(sub1, colors.shape[:2])
+        sub2b = jnp.broadcast_to(sub2, colors.shape[:2])
+        mean1 = jnp.einsum("npc,np->nc", colors, sub1b) / sub1.sum()
+        mean2 = jnp.einsum("npc,np->nc", colors, sub2b) / sub2.sum()
+        b1, d, t1, t2, idx1, idx2, derr = _diff_fit(
+            colors, ch_w, sub1b, sub2b, mean1, mean2, offsets, floor_mode,
+            est_keep,
+        )
+        idx = jnp.where(sub2b > 0, idx2, idx1)
+        words = _pack_etc1((b1, d), True, flip, t1, t2, idx)
+        if best_err is None:
+            best_err, best_o = derr, words
+        else:
+            take = derr < best_err
+            best_o = tuple(
+                jnp.where(take, w, b) for w, b in zip(words, best_o)
+            )
+            best_err = jnp.where(take, derr, best_err)
     err_px, fields = _planar_candidate(colors)
     perr = jnp.einsum("npc,c->n", err_px, ch_w)
     hi_p, lo_p = _pack_planar(fields, colors.shape[0])
@@ -1200,14 +1265,17 @@ def encode_etc2_a1(
     best_t = None
     terr = None
     for flip in (0, 1):
-        for shift in _ETC_SHIFTS[quality]:
-            err, words = _etc_a1_candidate(colors, alpha_mask, ch_w, flip, shift)
-            if terr is None:
-                terr, best_t = err, words
-            else:
-                take = err < terr
-                best_t = tuple(jnp.where(take, w, b) for w, b in zip(words, best_t))
-                terr = jnp.where(take, err, terr)
+        err, words = _a1_diff_sweep(
+            colors, alpha_mask, ch_w, flip, offsets, floor_mode
+        )
+        if terr is None:
+            terr, best_t = err, words
+        else:
+            take = err < terr
+            best_t = tuple(
+                jnp.where(take, w, b) for w, b in zip(words, best_t)
+            )
+            terr = jnp.where(take, err, terr)
     for cand_fn in (_etc2_t_candidate, _etc2_h_candidate):
         err, words = cand_fn(colors, ch_w, alpha_mask=alpha_mask)
         take = err < terr

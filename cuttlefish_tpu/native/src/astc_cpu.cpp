@@ -29,6 +29,7 @@
 #include <algorithm>
 #include <array>
 #include <atomic>
+#include <mutex>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -749,10 +750,16 @@ struct ColorRangeG {
   uint8_t nearest[256];
 };
 
+std::mutex& g_cache_mu() {
+  static std::mutex mu;
+  return mu;
+}
+
 const ColorRangeG* color_range_g(int levels) {
   static ColorRangeG cache[32];
   static int cached[32];
   static int ncached = 0;
+  std::lock_guard<std::mutex> lock(g_cache_mu());
   for (int i = 0; i < ncached; ++i)
     if (cached[i] == levels) return &cache[i];
   for (int d = 0; d < kNumColorDefs; ++d) {
@@ -824,6 +831,7 @@ const WRange* weight_range_g(int levels) {
   static WRange cache[16];
   static int cached[16];
   static int ncached = 0;
+  std::lock_guard<std::mutex> lock(g_cache_mu());
   for (int i = 0; i < ncached; ++i)
     if (cached[i] == levels) return &cache[i];
   WRange* r = &cache[ncached];
@@ -883,6 +891,7 @@ struct Infill {
 };
 const Infill* infill_g(int bw, int bh, int gw, int gh) {
   static std::vector<Infill*> cache;
+  std::lock_guard<std::mutex> lock(g_cache_mu());
   for (auto* f : cache)
     if (f->bw == bw && f->bh == bh && f->gw == gw && f->gh == gh) return f;
   Infill* f = new Infill{bw, bh, gw, gh, {}, {}};
@@ -959,6 +968,7 @@ const std::vector<std::array<uint8_t, 144>>& part2_tables_g(int bw, int bh) {
     std::vector<std::array<uint8_t, 144>> tab;
   };
   static std::vector<Entry*> cache;
+  std::lock_guard<std::mutex> lock(g_cache_mu());
   for (auto* e : cache)
     if (e->bw == bw && e->bh == bh) return e->tab;
   Entry* e = new Entry{bw, bh, {}};
