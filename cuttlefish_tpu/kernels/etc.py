@@ -1150,10 +1150,24 @@ def _etc_a1_candidate(colors, alpha_mask, ch_w, flip: int, luma_shift: float):
     return err1 + err2, (hi, lo)
 
 
-def _a1_diff_sweep(colors, alpha_mask, ch_w, flip, offsets, floor_mode):
+def _a1_table_modvals(table):
+    """The A1 modifier values ([0, +b, -, -b]) of a per-block table."""
+    out = []
+    for mm in (0, 1, 3):  # index 2 is transparent
+        v = jnp.zeros(table.shape, jnp.float32)
+        for tt in range(8):
+            v = jnp.where(table == tt, float(_ETC_A1_MODS_NP[tt][mm]), v)
+        out.append(v)
+    return out
+
+
+def _a1_diff_sweep(colors, alpha_mask, ch_w, flip, offsets, floor_mode,
+                   est_keep=0):
     """Punch-through differential sweep over the base-1 quant cube (the
     A1 analog of _diff_fit; [0,+b,T,-b] mods, transparent texels excluded
-    from the fit and forced to index 2)."""
+    from the fit and forced to index 2).  est_keep ranks the non-center
+    offsets by the center-table-restricted error and deep-fits the
+    per-block top k."""
     sub2 = _SUB2[flip][None, :]
     sub1 = 1.0 - sub2
     w1 = sub1 * alpha_mask
@@ -1167,11 +1181,13 @@ def _a1_diff_sweep(colors, alpha_mask, ch_w, flip, offsets, floor_mode):
     b2n = jnp.clip(jnp.round(mean2 * (31.0 / 255.0)), 0, 31).astype(jnp.int32)
     allowed = jnp.asarray(np.array([1, 1, 0, 1], bool))
     sub2b = jnp.broadcast_to(sub2, colors.shape[:2])
-    best = None
-    for o in offsets:
-        b1 = jnp.clip(
+
+    def b1_of(o):
+        return jnp.clip(
             base1_q + jnp.asarray(o, base1_q.dtype), 0, 31
         ).astype(jnp.int32)
+
+    def full_fit(b1):
         d = jnp.clip(b2n - b1, -4, 3)
         b2 = b1 + d
         dec1 = _expand5(b1).astype(jnp.float32)
@@ -1186,16 +1202,67 @@ def _a1_diff_sweep(colors, alpha_mask, ch_w, flip, offsets, floor_mode):
         idx = jnp.where(alpha_mask < 0.5, 2, idx)
         hi, lo = _pack_etc1((b1, d), True, flip, t1, t2, idx)
         hi = hi & ~jnp.uint32(2)  # opaque flag (bit 33) = 0
-        err = e1 + e2
-        cand = (err, (hi, lo))
-        if best is None:
-            best = cand
-        else:
-            take = cand[0] < best[0]
-            best = (
-                jnp.minimum(cand[0], best[0]),
-                tuple(jnp.where(take, w, b) for w, b in zip(cand[1], best[1])),
+        return (e1 + e2, (hi, lo), t1, t2)
+
+    def merge(best, cand):
+        take = cand[0] < best[0]
+        return (
+            jnp.minimum(cand[0], best[0]),
+            tuple(jnp.where(take, w, b) for w, b in zip(cand[1], best[1])),
+        )
+
+    if not est_keep or len(offsets) <= est_keep + 1:
+        best = None
+        for o in offsets:
+            c = full_fit(b1_of(o))
+            c2 = (c[0], c[1])
+            best = c2 if best is None else merge(best, c2)
+        return best
+
+    err_c, words_c, t1c, t2c = full_fit(b1_of((0, 0, 0)))
+    mv1 = _a1_table_modvals(t1c)
+    mv2 = _a1_table_modvals(t2c)
+
+    def rest_err(b1):
+        d = jnp.clip(b2n - b1, -4, 3)
+        dec1 = _expand5(b1).astype(jnp.float32)
+        dec2 = _expand5(b1 + d).astype(jnp.float32)
+        e = jnp.zeros(colors.shape[0])
+        for dec, mvs, wm in ((dec1, mv1, w1), (dec2, mv2, w2)):
+            eb = None
+            for mv in mvs:
+                val = jnp.clip(dec[:, None, :] + mv[:, None, None], 0.0, 255.0)
+                ee = jnp.einsum("npc,c->np", (colors - val) ** 2, ch_w)
+                eb = ee if eb is None else jnp.minimum(eb, ee)
+            e = e + (eb * wm).sum(1)
+        return e
+
+    others = [o for o in offsets if o != (0, 0, 0)]
+    b1s = [b1_of(o) for o in others]
+    ests = [rest_err(b1) for b1 in b1s]
+    best = (err_c, words_c)
+    chosen = [jnp.zeros_like(ests[0], jnp.bool_) for _ in ests]
+    for _ in range(est_keep):
+        bi = None
+        be = None
+        for i, e in enumerate(ests):
+            ee = jnp.where(chosen[i], jnp.inf, e)
+            if bi is None:
+                bi = jnp.zeros_like(e, jnp.int32)
+                be = ee
+            else:
+                take = ee < be
+                bi = jnp.where(take, i, bi)
+                be = jnp.minimum(ee, be)
+        b1sel = None
+        for i, b1 in enumerate(b1s):
+            b1sel = b1 if b1sel is None else jnp.where(
+                (bi == i)[:, None], b1, b1sel
             )
+        for i in range(len(ests)):
+            chosen[i] = chosen[i] | (bi == i)
+        c = full_fit(b1sel)
+        best = merge(best, (c[0], c[1]))
     return best
 
 
@@ -1266,7 +1333,7 @@ def encode_etc2_a1(
     terr = None
     for flip in (0, 1):
         err, words = _a1_diff_sweep(
-            colors, alpha_mask, ch_w, flip, offsets, floor_mode
+            colors, alpha_mask, ch_w, flip, offsets, floor_mode, est_keep
         )
         if terr is None:
             terr, best_t = err, words
