@@ -162,6 +162,26 @@ def check_etc(qualities=(2, 4)):
         row.append(f"q{q}={psnr(dec / 255.0, al[::8]):.3f}")
     print("eac_a8 alpha_ramp: " + " ".join(row), flush=True)
 
+    # ETC2 A1 punch-through: hard-alpha content; mask exactness + RGB dB.
+    from cuttlefish_tpu.decode.etc import decode_etc2_a1
+    from cuttlefish_tpu.kernels.etc import encode_etc2_a1
+
+    a1 = content_sets(nblocks=1024)["two_lerp"].copy()
+    rngl = np.random.default_rng(5)
+    a1[..., 3] = (rngl.random(a1.shape[:2]) > 0.3).astype(np.float32)
+    row = []
+    for q in qualities:
+        words = np.asarray(encode_etc2_a1(a1, q))
+        sub = np.ascontiguousarray(words[::8].astype("<u4")).view(np.uint8)
+        dec = decode_etc2_a1(sub)
+        m = a1[::8, :, 3] >= 0.5
+        ok = np.array_equal(dec[..., 3] > 127, m)
+        mse = (
+            ((dec[..., :3] / 255.0 - a1[::8, :, :3]) ** 2) * m[..., None]
+        ).sum() / max(m.sum() * 3, 1)
+        row.append(f"q{q}={10*np.log10(1.0/max(mse,1e-12)):.3f}(mask={'ok' if ok else 'BAD'})")
+    print("etc2_a1 two_lerp+punch: " + " ".join(row), flush=True)
+
 
 def check_corpus(qualities=(2,)):
     """Real-image corpus rows (tests/fixtures/corpus, tools/make_corpus.py)."""
