@@ -95,6 +95,14 @@ def infill_weights(bw: int, bh: int, gw: int, gh: int) -> np.ndarray:
 
 
 def block_mode_field(gw: int, gh: int, wlevels: int, dual: bool = False) -> int:
+    """11-bit block mode for a weight grid (spec C.2.10, both halves).
+
+    Primary rows cover (4-7)x(2-5) / (8-11)x(2-5) / (2-5)x(8-11);
+    the extended rows (bits[1:0] == 00) add 12x(2-5) / (2-5)x12 /
+    (6-9)x(6-9) / 6x10 / 10x6 — the grids large blocks need (their
+    per-texel decode is identical; the field layout differs).  Extended
+    (A+6)x(B+6) rows carry no D/H bits: no dual plane and only the h=0
+    weight ranges (2..8 levels)."""
     r, h = _RH_FROM_WRANGE[wlevels]
     r0 = r & 1
     r21 = r >> 1
@@ -105,6 +113,20 @@ def block_mode_field(gw: int, gh: int, wlevels: int, dual: bool = False) -> int:
     elif 2 <= gw <= 5 and 8 <= gh <= 11:
         b, a, cfg = gh - 8, gw - 2, 0b10
     else:
+        # Extended rows: R0 = bit 4, R[2:1] = bits[3:2], bits[1:0] = 00.
+        base = (r21 << 2) | (r0 << 4)
+        if gw == 12 and 2 <= gh <= 5:
+            return (int(dual) << 10) | (h << 9) | (0b00 << 7) | ((gh - 2) << 5) | base
+        if gh == 12 and 2 <= gw <= 5:
+            return (int(dual) << 10) | (h << 9) | (0b01 << 7) | ((gw - 2) << 5) | base
+        if (gw, gh) == (6, 10):
+            return (int(dual) << 10) | (h << 9) | (0b11 << 7) | (0b00 << 5) | base
+        if (gw, gh) == (10, 6):
+            return (int(dual) << 10) | (h << 9) | (0b11 << 7) | (0b01 << 5) | base
+        if 6 <= gw <= 9 and 6 <= gh <= 9:
+            if dual or h:
+                raise ValueError("extended (A+6)x(B+6) rows have no D/H bits")
+            return ((gh - 6) << 9) | (0b10 << 7) | ((gw - 6) << 5) | base
         raise ValueError(f"unsupported weight grid {gw}x{gh}")
     return (
         (int(dual) << 10) | (h << 9) | (b << 7) | (a << 5)
@@ -167,8 +189,8 @@ def layout_menu(bw: int, bh: int):
 
     def grids():
         out = []
-        for gw in range(2, 12):
-            for gh in range(2, 12):
+        for gw in range(2, 13):
+            for gh in range(2, 13):
                 if gw <= bw and gh <= bh and gw * gh <= 64:
                     try:
                         block_mode_field(gw, gh, 2)
@@ -206,6 +228,29 @@ def layout_menu(bw: int, bh: int):
             best_for(1, 8, 40, 24),    # finest weights
         ) if lay
     ]
+    if bw * bh > 64:
+        # Large blocks: the cover-dominated score collapses all three
+        # picks onto the max-coverage extended grid (8x8 w2); keep the
+        # finer-weight decimated alternatives in the menu explicitly —
+        # smooth content prefers weight precision over grid coverage.
+        extra = [
+            _try_layout(bw, bh, 1, 8, 6, 5, 4),
+            _try_layout(bw, bh, 1, 8, 5, 5, 6),
+        ]
+        seen = {(l.gw, l.gh, l.wlevels) for l in menu[(8, 1)]}
+        for lay in extra:
+            if lay and (lay.gw, lay.gh, lay.wlevels) not in seen:
+                menu[(8, 1)].append(lay)
+                seen.add((lay.gw, lay.gh, lay.wlevels))
+        # dedup the best_for collapses
+        uniq = []
+        seen2 = set()
+        for lay in menu[(8, 1)]:
+            k = (lay.gw, lay.gh, lay.wlevels)
+            if k not in seen2:
+                uniq.append(lay)
+                seen2.add(k)
+        menu[(8, 1)] = uniq
     menu[(12, 1)] = [
         lay for lay in (
             best_for(1, 12, 64, 8),

@@ -822,6 +822,19 @@ int block_mode_for(int gw, int gh, int wlevels) {
   } else if (2 <= gw && gw <= 5 && 8 <= gh && gh <= 11) {
     b = gh - 8; a = gw - 2; cfg = 2;
   } else {
+    // Extended rows (bits[1:0]==00): mirror of
+    // kernels/astc.py:block_mode_field.
+    int base = (r21 << 2) | (r0 << 4);
+    if (gw == 12 && 2 <= gh && gh <= 5)
+      return (h << 9) | (0 << 7) | ((gh - 2) << 5) | base;
+    if (gh == 12 && 2 <= gw && gw <= 5)
+      return (h << 9) | (1 << 7) | ((gw - 2) << 5) | base;
+    if (gw == 6 && gh == 10) return (h << 9) | (3 << 7) | (0 << 5) | base;
+    if (gw == 10 && gh == 6) return (h << 9) | (3 << 7) | (1 << 5) | base;
+    if (6 <= gw && gw <= 9 && 6 <= gh && gh <= 9) {
+      if (h) return -1;  // no H bit on these rows
+      return ((gh - 6) << 9) | (2 << 7) | ((gw - 6) << 5) | base;
+    }
     return -1;
   }
   return (h << 9) | (b << 7) | (a << 5) | (r0 << 4) | (cfg << 2) | r21;
@@ -1263,6 +1276,8 @@ void encode_block_g(const float* px, int bw, int bh, int quality,
   // 1-partition CEM 8 ladder: coarse-to-fine weight precision, same role
   // as the 4x4 set (grids capped by the primary block-mode rows).
   if (make_layout_g(bw, bh, 1, 8, 6, 5, 4, &L)) layouts.push_back(L);
+  if (bw >= 8 && bh >= 8 && make_layout_g(bw, bh, 1, 8, 8, 8, 2, &L))
+    layouts.push_back(L);  // extended-row full-coverage grid
   if (quality >= 1 && make_layout_g(bw, bh, 1, 8, 5, 5, 6, &L))
     layouts.push_back(L);
   if (quality >= 2 && make_layout_g(bw, bh, 1, 8, 4, 4, 12, &L))

@@ -267,7 +267,9 @@ def test_eac_rg11_vs_gl(signed):
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("bw,bh", [(4, 4), (6, 6), (8, 8)])
+@pytest.mark.parametrize(
+    "bw,bh", [(4, 4), (6, 6), (8, 8), (10, 10), (12, 12)]
+)
 def test_astc_vs_gl(bw, bh):
     if not gl_has_extension("GL_KHR_texture_compression_astc_ldr"):
         pytest.skip("no ASTC LDR in GL")
