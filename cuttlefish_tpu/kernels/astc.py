@@ -228,7 +228,7 @@ def layout_menu(bw: int, bh: int):
             best_for(1, 8, 40, 24),    # finest weights
         ) if lay
     ]
-    if bw * bh > 64:
+    if bw * bh >= 64:
         # Large blocks: the cover-dominated score collapses all three
         # picks onto the max-coverage extended grid (8x8 w2); keep the
         # finer-weight decimated alternatives in the menu explicitly —
