@@ -6,9 +6,13 @@ decimation incl. the extended block-mode rows (12xN / Nx12 / 6x10 / 10x6
 per-partition CEM variation), dual-plane, void extents, and ALL LDR
 color endpoint modes (0/1/4/5/6/8/9/10/12/13) including blue-contract
 and bit_transfer_signed.  Illegal encodings decode to the error color
-(opaque magenta, spec C.2.24) like Mesa/hardware.  The HDR endpoint
-submodes the encoder never emits raise NotImplementedError, caught as a
-load failure at the Image/container boundary.
+(opaque magenta, spec C.2.24) like Mesa/hardware; HDR endpoint modes
+(CEM 2/3/7/11/14/15) and HDR void extents encountered in the LDR
+decode likewise yield the error color per LDR-profile rules, so a
+foreign LDR file with a stray HDR block still loads.  decode_astc_hdr
+covers the HDR submodes the encoder emits (CEM 11 direct / CEM 14);
+the rest raise NotImplementedError there, caught as a load failure at
+the Image/container boundary.
 
 Validated against Mesa llvmpipe's independent decoder in
 tests/test_gl_parity.py (every emitted config) and
@@ -274,7 +278,9 @@ def _decode_block(block: int, bw: int, bh: int) -> np.ndarray:
     mode = block & 0x7FF
     if (mode & 0x1FF) == 0x1FC:  # void extent
         if (mode >> 9) & 1:
-            raise NotImplementedError("HDR void extent")
+            # HDR void extent in an LDR-profile decode -> error color
+            # (spec C.2.24 / LDR-profile rules, matching Mesa UNORM8).
+            raise IllegalBlockError("HDR void extent in LDR profile")
         for c in range(4):
             v16 = (block >> (64 + 16 * c)) & 0xFFFF
             out[:, c] = v16 >> 8
@@ -328,6 +334,12 @@ def _decode_block(block: int, bw: int, bh: int) -> np.ndarray:
     nvals = sum(2 * ((c >> 2) + 1) for c in cems)
     if nvals > 18:
         raise IllegalBlockError("more than 18 color endpoint integers")
+    if any(c in (2, 3, 7, 11, 14, 15) for c in cems):
+        # HDR endpoint modes inside an LDR-profile decode: an LDR-profile
+        # decoder (and Mesa's UNORM8 path, which this module matches
+        # byte-for-byte) returns the error color for the whole block
+        # rather than failing the load (spec C.2.19/C.2.24).
+        raise IllegalBlockError("HDR endpoint mode in LDR profile")
     budget = 128 - color_start - wbits - extra_cem - (2 if dual else 0)
     clevels = implied_color_range(nvals, budget)
     ckind, cb = range_info(clevels, False)

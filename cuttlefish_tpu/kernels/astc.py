@@ -595,9 +595,19 @@ def _fit_layout(colors, lay: Layout, mask, iters):
         q0, d0 = quant_colors(e0)
         q1, d1 = quant_colors(e1)
         q0, q1, d0, d1 = fix_order(q0, q1, d0, d1)
-        gq = quant_grid(ideal_t(d0, d1))
-        gq = refine_weights(d0, d1, gq)
+        gq0 = quant_grid(ideal_t(d0, d1))
+        gq = refine_weights(d0, d1, gq0)
         err = eval_exact(d0, d1, gq)
+        if lay.gw != lay.bw or lay.gh != lay.bh:
+            # Decimated grids: refine_weights scores each grid point from a
+            # candidate where ALL points moved at once (overlapping
+            # footprints make that an approximation), so guard with the
+            # unrefined seed per block — deeper refinement never returns
+            # worse (ADVICE r4 item 2; same keep-best pattern as BC6H).
+            err0 = eval_exact(d0, d1, gq0)
+            keep_seed = err0 < err
+            gq = jnp.where(keep_seed[:, None], gq0, gq)
+            err = jnp.minimum(err, err0)
         cand = (q0, q1, gq, err)
         if best is None:
             best = cand

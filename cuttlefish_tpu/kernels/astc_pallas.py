@@ -33,7 +33,6 @@ from jax.experimental.pallas import tpu as pltpu
 from cuttlefish_tpu.kernels.astc import (
     plan_for,
     Layout,
-    _PLAN,
     _color_qlut,
     _weight_qlut,
     block_mode_field,
@@ -734,9 +733,9 @@ def _kernel_a(x_ref, *refs, quality, clut_levels, bw, bh, grid_keys,
     pack_tbls = (trit_ref[:], quint_ref[:])
     t_count = bw * bh
     px = [x_ref[c] for c in range(4)]
-    iters = _PLAN[quality]["iters"]
-
-    iters12 = _PLAN[quality].get("iters12", iters)
+    plan = plan_for(quality, bw, bh)
+    iters = plan["iters"]
+    iters12 = plan.get("iters12", iters)
 
     def run(tasks, words, err, mask=None):
         for lay, ccs in tasks:

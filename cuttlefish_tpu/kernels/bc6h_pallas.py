@@ -22,6 +22,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cuttlefish_tpu.kernels.bc6h import (
     _BC6H_ITERS,
+    _PART_SEEDS,
     _TWO_REGION_PLAN,
     _to_proxy,
 )
@@ -380,8 +381,9 @@ def _pack_mode12(q0, q1, idx, signed):
 # ---------------------------------------------------------------------------
 
 
-def _screen2(px, part32):
-    """Top-1 of the 32 BPTC partitions by within-cluster SSE (MXU)."""
+def _screen2(px, part32, k: int = 1):
+    """Top-k of the 32 BPTC partitions by within-cluster SSE (MXU);
+    returns a list of k id-maps [1,TN], best first."""
     ns = jnp.sum(part32, axis=1, keepdims=True)  # [32,1]
     s1 = [_mm(part32, px[c]) for c in range(3)]  # [32,TN]
     sq_all = _rt(sum(px[c] * px[c] for c in range(3)))
@@ -393,9 +395,14 @@ def _screen2(px, part32):
     ) / n0
     sse = sq_all - explained
     iota = jax.lax.broadcasted_iota(jnp.int32, sse.shape, 0)
-    smin = jnp.min(sse, axis=0, keepdims=True)
-    d = jnp.min(jnp.where(sse == smin, iota, 32), axis=0, keepdims=True)
-    return d  # [1,TN]
+    ds = []
+    work = sse
+    for _ in range(max(1, k)):
+        smin = jnp.min(work, axis=0, keepdims=True)
+        d = jnp.min(jnp.where(work == smin, iota, 32), axis=0, keepdims=True)
+        ds.append(d)
+        work = jnp.where(iota == d, jnp.float32(3.0e38), work)
+    return ds
 
 
 def _fit_regions_float(px, pxs, masks, anchor_oh, iters: int):
@@ -457,7 +464,7 @@ def _fit_regions_float(px, pxs, masks, anchor_oh, iters: int):
         flip = d1 < d0
         out0.append(_sel(flip, e1s[p], e0s[p]))
         out1.append(_sel(flip, e0s[p], e1s[p]))
-    return out0, out1
+    return out0, out1, best_sse
 
 
 def _fit_two_region(px, pxv, pxs, masks, anchor_oh, e0, e1, mode_id, signed,
@@ -603,17 +610,46 @@ def _kernel(x_ref, part32_ref, part32t_ref, anchors_ref, out_ref, *, quality,
     mode_ids = _TWO_REGION_PLAN[quality]
     if mode_ids:
         part32 = part32_ref[:]
-        d = _screen2(px, part32)
-        oh = (
-            jax.lax.broadcasted_iota(jnp.int32, (32, d.shape[1]), 0) == d
-        ).astype(jnp.float32)
-        m1 = _mm(part32t_ref[:], oh)  # [16,TN]
-        anchor1 = jnp.sum(
-            anchors_ref[:] * oh, axis=0, keepdims=True
-        ).astype(jnp.int32)
-        anchor_oh = (_iota16(m1.shape) == anchor1).astype(jnp.float32)
+        k2 = _PART_SEEDS[quality]
+
+        def _geometry(dk):
+            ohk = (
+                jax.lax.broadcasted_iota(
+                    jnp.int32, (32, dk.shape[1]), 0
+                ) == dk
+            ).astype(jnp.float32)
+            m1k = _mm(part32t_ref[:], ohk)  # [16,TN]
+            anchor1k = jnp.sum(
+                anchors_ref[:] * ohk, axis=0, keepdims=True
+            ).astype(jnp.int32)
+            anchor_ohk = (
+                _iota16(m1k.shape) == anchor1k
+            ).astype(jnp.float32)
+            return m1k, anchor1k, anchor_ohk
+
+        # Estimate-then-refine over the top-k cluster-SSE partitions:
+        # rank candidates by a SHALLOW (2-iter) continuous line-fit SSE,
+        # deep-fit only the per-block winner (mirrors kernels/bc6h.py;
+        # the thorough-class CPU bar showed argmin-1 misranks noise
+        # content by ~0.6 dB).
+        cands = _screen2(px, part32, k2)
+        d = cands[0]
+        if k2 > 1:
+            fit_sse = None
+            for dk in cands:
+                m1k, _, anchor_ohk = _geometry(dk)
+                _, _, ssek = _fit_regions_float(
+                    px, pxs, (1.0 - m1k, m1k), anchor_ohk, 2
+                )
+                if fit_sse is None:
+                    fit_sse = ssek
+                else:
+                    take = ssek < fit_sse
+                    d = jnp.where(take, dk, d)
+                    fit_sse = jnp.minimum(fit_sse, ssek)
+        m1, anchor1, anchor_oh = _geometry(d)
         masks = (1.0 - m1, m1)
-        e0, e1 = _fit_regions_float(px, pxs, masks, anchor_oh, iters)
+        e0, e1, _ = _fit_regions_float(px, pxs, masks, anchor_oh, iters)
         for mode_id in mode_ids:
             fields, idx2, err2 = _fit_two_region(
                 px, pxv, pxs, masks, anchor_oh, e0, e1, mode_id,

@@ -35,8 +35,13 @@ def _build_and_load():
         return
     try:
         h = hashlib.sha256()
-        for src in (_SRC, _SRC_JPEG, _SRC_BC7, _SRC_ASTC, _SRC_ETC2, _SRC_BC1,
-                    _SRC_BC6H):
+        src_dir = os.path.join(_DIR, "src")
+        hashed = sorted(
+            os.path.join(src_dir, name)
+            for name in os.listdir(src_dir)
+            if name.endswith((".cpp", ".inc"))
+        )
+        for src in hashed:
             with open(src, "rb") as f:
                 h.update(f.read())
         digest = h.hexdigest()[:16]

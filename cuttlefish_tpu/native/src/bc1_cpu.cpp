@@ -16,11 +16,38 @@
 // 0/255), neighborhood sweep on both bases at quality >= 2.
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 namespace {
+
+// Same atomic-counter worker pool as astc_cpu.cpp/etc2_cpu.cpp (the
+// reference's Converter.cpp:508-593 thread-pool role).
+template <class F>
+void run_blocks(int n, int threads, F&& fn) {
+  if (threads <= 0) threads = (int)std::thread::hardware_concurrency();
+  if (threads <= 1 || n < 128) {
+    for (int b = 0; b < n; ++b) fn(b);
+    return;
+  }
+  std::atomic<int> counter{0};
+  const int kChunk = 64;
+  auto worker = [&]() {
+    for (;;) {
+      int start = counter.fetch_add(kChunk);
+      if (start >= n) break;
+      int end = std::min(n, start + kChunk);
+      for (int b = start; b < end; ++b) fn(b);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int t = 0; t < threads; ++t) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
+}
 
 inline int clampi(int v, int lo, int hi) {
   return v < lo ? lo : (v > hi ? hi : v);
@@ -271,8 +298,7 @@ extern "C" {
 // rgba [n,16,4] float 0..1 -> out [n,8] BC1 blocks.
 void ctpu_bc1_encode(const float* rgba, int n, int quality, int threads,
                      uint8_t* out) {
-  (void)threads;
-  for (int b = 0; b < n; ++b) {
+  run_blocks(n, threads, [&](int b) {
     Block B;
     for (int t = 0; t < 16; ++t)
       for (int c = 0; c < 3; ++c) {
@@ -280,21 +306,20 @@ void ctpu_bc1_encode(const float* rgba, int n, int quality, int threads,
         B.px[t][c] = std::min(std::max(v, 0.0f), 1.0f) * 255.0f;
       }
     encode_bc1_block(B, quality, out + b * 8);
-  }
+  });
 }
 
 // rgba [n,16,4] float 0..1 (channel `ch`) -> out [n,8] BC4 blocks.
 void ctpu_bc4_encode(const float* rgba, int n, int quality, int ch,
                      int threads, uint8_t* out) {
-  (void)threads;
-  for (int b = 0; b < n; ++b) {
+  run_blocks(n, threads, [&](int b) {
     float a[16];
     for (int t = 0; t < 16; ++t) {
       float v = rgba[(b * 16 + t) * 4 + ch];
       a[t] = std::min(std::max(v, 0.0f), 1.0f) * 255.0f;
     }
     encode_bc4_block(a, quality, out + b * 8);
-  }
+  });
 }
 
 }  // extern "C"

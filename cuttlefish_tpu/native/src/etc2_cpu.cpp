@@ -647,8 +647,25 @@ void ctpu_etc2_rgb_encode(const float* rgba, int n, int quality, int etc2,
 // rgba: N * 16 * 4 floats in [0,1]; alpha channel -> N * 8 bytes EAC A8.
 void ctpu_eac_r11_encode(const float* vals, int n, int quality,
                          int threads, uint8_t* out) {
-  (void)threads;
-  for (int b = 0; b < n; ++b) encode_eac_r11(vals + b * 16, quality, out + b * 8);
+  if (threads <= 0) threads = (int)std::thread::hardware_concurrency();
+  std::atomic<int> counter{0};
+  const int kChunk = 64;
+  auto worker = [&]() {
+    for (;;) {
+      int start = counter.fetch_add(kChunk);
+      if (start >= n) break;
+      int end = std::min(n, start + kChunk);
+      for (int b = start; b < end; ++b)
+        encode_eac_r11(vals + b * 16, quality, out + b * 8);
+    }
+  };
+  if (threads <= 1) {
+    worker();
+    return;
+  }
+  std::vector<std::thread> pool;
+  for (int t = 0; t < threads; ++t) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
 }
 
 void ctpu_eac_a8_encode(const float* rgba, int n, int quality, int threads,

@@ -280,19 +280,40 @@ def test_astc_illegal_encodings_error_color_vs_gl():
     _check_blocks(data, 4, 4)
 
 
-def test_foreign_hdr_void_extent_is_graceful():
-    """An HDR void-extent block (decode scope limit) must yield an invalid
-    Image, not a traceback (VERDICT r3 item 2)."""
+def test_foreign_hdr_void_extent_decodes_to_error_color():
+    """An HDR void-extent block in an LDR-profile decode yields the error
+    color (LDR-profile rules, like Mesa's UNORM8 path) — the file still
+    loads instead of failing (ADVICE r4 item 1)."""
     from cuttlefish_tpu.image.image import Image
 
     blk = (0x1FC | (1 << 9)) | (0x3C00 << 64) | (0x3C00 << 80) | (0x3C00 << 96)
     raw = blk.to_bytes(16, "little")
-    with pytest.raises(NotImplementedError):
-        decode.decode_astc(np.frombuffer(raw, np.uint8), 4, 4)
+    ours = decode.decode_astc(np.frombuffer(raw, np.uint8), 4, 4)
+    assert (ours == np.asarray([255, 0, 255, 255], np.uint8)).all()
 
     data = _ktx2_with_block(raw)
     img = Image(data)
-    assert not img.valid
+    assert img.valid
+    arr = np.asarray(img.array)
+    assert np.allclose(arr[..., 0], 1.0) and np.allclose(arr[..., 1], 0.0)
+
+
+def test_foreign_hdr_endpoint_cem_decodes_to_error_color():
+    """A foreign LDR file containing a stray HDR-endpoint block (CEM 2)
+    decodes that block to magenta instead of refusing the load
+    (ADVICE r4 item 1)."""
+    from cuttlefish_tpu.image.image import Image
+    from cuttlefish_tpu.kernels.astc import block_mode_field
+
+    # 1-partition CEM 2 (HDR luminance, large range), 4x4 grid, 2-level
+    # weights: header fits, endpoint decode would need HDR machinery.
+    blk = _build_block(block_mode_field(4, 4, 2), [2], [10, 200],
+                       [0, 1] * 8, 2)
+    ours = decode.decode_astc(np.frombuffer(blk, np.uint8), 4, 4)
+    assert (ours == np.asarray([255, 0, 255, 255], np.uint8)).all()
+
+    img = Image(_ktx2_with_block(blk))
+    assert img.valid
 
 
 def test_foreign_illegal_block_loads_as_error_color():
