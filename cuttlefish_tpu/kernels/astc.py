@@ -721,6 +721,41 @@ def _fit_dual_layout(colors, lay: Layout, ccs: int, iters):
         ).astype(jnp.int32)
         return jnp.take(wq_lut, w64)
 
+    full_res = lay.gw == lay.bw and lay.gh == lay.bh
+
+    def sweep_exact(d0, d1):
+        """Full-resolution grids: per-texel exhaustive rung sweep per
+        plane against the exact decode model (the rounding in quant_grid
+        is not the exact-error argmin; the thorough-class CPU bar's
+        exact sweep exposed a ~0.4 dB gap on uncorrelated-channel
+        content).  Valid because a full-res grid has an identity
+        footprint, so texels choose independently."""
+        d0f = d0.astype(jnp.float32)[:, None, :]
+        d1f = d1.astype(jnp.float32)[:, None, :]
+        best0 = best1 = None
+        gq0 = gq1 = None
+        for lvl in range(lay.wlevels):
+            w64 = float(int(weight_unquant(lay.wlevels)[lvl]))
+            c16 = jnp.floor(
+                (d0f * 257.0 * (64.0 - w64) + d1f * 257.0 * w64 + 32.0)
+                / 64.0
+            )
+            dec = jnp.floor(c16 / 256.0)
+            er = ((dec[..., rest] - target[..., rest]) ** 2).sum(-1)
+            ea = (dec[..., ccs] - target[..., ccs]) ** 2
+            if best0 is None:
+                best0, best1 = er, ea
+                gq0 = jnp.full(er.shape, lvl, jnp.int32)
+                gq1 = jnp.full(ea.shape, lvl, jnp.int32)
+            else:
+                t0 = er < best0
+                t1 = ea < best1
+                gq0 = jnp.where(t0, lvl, gq0)
+                gq1 = jnp.where(t1, lvl, gq1)
+                best0 = jnp.minimum(er, best0)
+                best1 = jnp.minimum(ea, best1)
+        return gq0, gq1
+
     def eval_exact(d0, d1, gq0, gq1):
         w0 = texel_w64(gq0).astype(jnp.float32)
         w1 = texel_w64(gq1).astype(jnp.float32)
@@ -749,9 +784,12 @@ def _fit_dual_layout(colors, lay: Layout, ccs: int, iters):
         q0, d0 = quant_colors(e0)
         q1, d1 = quant_colors(e1)
         q0, q1, d0, d1 = fix_order(q0, q1, d0, d1)
-        t0, t1 = ideal_ts(d0, d1)
-        gq0 = quant_grid(t0)
-        gq1 = quant_grid(t1)
+        if full_res:
+            gq0, gq1 = sweep_exact(d0, d1)
+        else:
+            t0, t1 = ideal_ts(d0, d1)
+            gq0 = quant_grid(t0)
+            gq1 = quant_grid(t1)
         err = eval_exact(d0, d1, gq0, gq1)
         gq = jnp.stack([gq0, gq1], axis=-1).reshape(gq0.shape[0], -1)
         cand = (q0, q1, gq, err)
@@ -929,7 +967,7 @@ _PLAN = {
             cem8_layouts=3, cem12_layouts=3, cem0_layouts=1,
             cem4_layouts=1, dp_ccs=(3,), p2_layouts=2, keep2=2,
             p2_iters=2),
-    4: dict(iters=4, iters12=5, seeds2=16, seeds3=2, seeds4=2,
+    4: dict(iters=4, iters12=5, seeds2=16, seeds3=6, keep3=3, seeds4=2,
             cem8_layouts=3, cem12_layouts=3, cem0_layouts=1,
             cem4_layouts=1, dp_ccs=(0, 1, 2, 3), p2_layouts=2, keep2=5,
             p2_iters=4),
@@ -1066,7 +1104,9 @@ def _encode_astc_jnp(
     for ccs in plan["dp_ccs"]:
         lay = menu[(12, "dp")][0] if menu[(12, "dp")] else None
         if lay is not None:
-            q0, q1, gq, err = _fit_dual_layout(colors, lay, ccs, iters)
+            q0, q1, gq, err = _fit_dual_layout(
+                colors, lay, ccs, plan.get("iters12", iters)
+            )
             consider(_pack_block(lay, q0[:, None], q1[:, None], gq, ccs=ccs), err)
 
     # Luminance CEMs: eligible only for near-gray blocks (same per-block
@@ -1107,7 +1147,8 @@ def _encode_astc_jnp(
             colors, block_w, block_h, plan["seeds3"], nparts=3
         )
         for seed_k in _rank_seeds(
-            colors, seeds, plan["seeds3"], lay3, block_w, block_h, nparts=3
+            colors, seeds, plan["seeds3"], lay3, block_w, block_h, nparts=3,
+            keep=plan.get("keep3", 1),
         ):
             mask = _mask_for_seeds(seed_k, block_w, block_h, nparts=3)
             q0, q1, gq, err = _fit_layout(colors, lay3, mask, iters)

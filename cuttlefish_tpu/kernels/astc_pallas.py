@@ -741,12 +741,12 @@ def _kernel_a(x_ref, *refs, quality, clut_levels, bw, bh, grid_keys,
         for lay, ccs in tasks:
             clut = cluts.get(lay.clevels)
             grid = grids.get((lay.gw, lay.gh))
-            it_n = iters12 if (lay.cem == 12 and ccs is None) else iters
+            it_n = iters12 if lay.cem == 12 else iters
             if ccs is None:
                 q0, q1, gq, lerr = _fit_1part(px, lay, it_n, clut, grid)
                 lwords = _pack_1part(lay, q0, q1, gq, lerr.shape, pack_tbls)
             else:
-                q0, q1, gq, lerr = _fit_dual(px, lay, ccs, iters, clut, grid)
+                q0, q1, gq, lerr = _fit_dual(px, lay, ccs, it_n, clut, grid)
                 lwords = _pack_1part(
                     lay, q0, q1, gq, lerr.shape, pack_tbls, ccs
                 )
@@ -1068,9 +1068,11 @@ def _kernel_c(x_ref, p1_ref, p2_ref, p1t_ref, p2t_ref, trit_ref, quint_ref,
         )
         sse = jnp.where(iota == seed, jnp.inf, sse)
         seeds_l.append(seed)
-    if topk > 1:
-        # Estimate-then-refine (see _kernel_b / kernels/astc.py:_rank_seeds).
-        bs, be = None, None
+    keep3 = min(max(1, plan.get("keep3", 1)), topk)
+    if topk > keep3:
+        # Estimate-then-refine (see _kernel_b / kernels/astc.py:_rank_seeds):
+        # one unrefined fit per seed, deep-fit the per-block top-keep3.
+        ests = []
         for seed in seeds_l:
             onehot = (iota == seed).astype(jnp.float32)
             m1 = _mm(p1t_ref[:], onehot)
@@ -1079,13 +1081,26 @@ def _kernel_c(x_ref, p1_ref, p2_ref, p1t_ref, p2t_ref, trit_ref, quint_ref,
                 px, (1.0 - m1 - m2, m1, m2), lay, 1,
                 cluts.get(lay.clevels), grid,
             )
-            if bs is None:
-                bs, be = seed, e
-            else:
-                take = e < be
-                bs = jnp.where(take, seed, bs)
-                be = jnp.minimum(e, be)
-        seeds_l = [bs]
+            ests.append(e)
+        chosen = [jnp.zeros_like(e, jnp.bool_) for e in ests]
+        winners = []
+        for _ in range(keep3):
+            bi = be = bseed = None
+            for i, (seed, e) in enumerate(zip(seeds_l, ests)):
+                ee = jnp.where(chosen[i], jnp.inf, e)
+                if bi is None:
+                    bi = jnp.zeros_like(e, jnp.int32)
+                    be = ee
+                    bseed = seed
+                else:
+                    take = ee < be
+                    bi = jnp.where(take, i, bi)
+                    be = jnp.minimum(ee, be)
+                    bseed = jnp.where(take, seed, bseed)
+            winners.append(bseed)
+            for i in range(len(ests)):
+                chosen[i] = chosen[i] | (bi == i)
+        seeds_l = winners
 
     words = None
     err = None

@@ -312,6 +312,12 @@ void build_color_range(int levels, ColorRange* r) {
     r->kind = 1; r->bits = 6;
     for (int v = 0; v < 192; ++v) r->unq[v] = kColor192[v];
   }
+  else if (levels == 12) {
+    static const int kColor12[12] = {0,   255, 69,  186, 23,  232,
+                                     92,  163, 46,  209, 116, 139};
+    r->kind = 1; r->bits = 2;
+    for (int v = 0; v < 12; ++v) r->unq[v] = kColor12[v];
+  }
   for (int x = 0; x < 256; ++x) {
     int best = 0, bd = 1 << 30;
     for (int v = 0; v < r->levels; ++v) {
@@ -381,11 +387,15 @@ int select_partition(int seed, int x, int y, int partition_count) {
 
 struct PartTables {
   uint8_t part2[1024][16];
+  uint8_t part3[1024][16];
   PartTables() {
     for (int seed = 0; seed < 1024; ++seed)
-      for (int t = 0; t < 16; ++t)
+      for (int t = 0; t < 16; ++t) {
         part2[seed][t] =
             (uint8_t)select_partition(seed, t % 4, t / 4, 2);
+        part3[seed][t] =
+            (uint8_t)select_partition(seed, t % 4, t / 4, 3);
+      }
   }
 };
 const PartTables& part_tables() {
@@ -401,13 +411,13 @@ struct Layout {
   int block_mode;   // 11-bit field (4x4 grid, single plane)
   const WRange* w;  // weight range
   int cem;          // 8 or 12
-  int nparts;       // 1 or 2
+  int nparts;       // 1, 2 or 3
   const ColorRange* color;
 };
 
 struct Fitted {
   double err;
-  int q[2][8];    // per-partition quantized color values (v0..)
+  int q[3][8];    // per-partition quantized color values (v0..)
   int wq[16];     // quantized weights per texel
 };
 
@@ -423,7 +433,7 @@ double fit_layout(const float* px, const Layout& L, const uint8_t* part_of,
                   int iters, Fitted* out) {
   int nch = L.cem == 12 ? 4 : 3;
   // per-partition float endpoints
-  float e0[2][4], e1[2][4];
+  float e0[3][4], e1[3][4];
   for (int p = 0; p < L.nparts; ++p) {
     // PCA seed
     float mean[4] = {0, 0, 0, 0};
@@ -474,7 +484,7 @@ double fit_layout(const float* px, const Layout& L, const uint8_t* part_of,
   double best_err = 1e30;
   for (int it = 0; it <= iters; ++it) {
     // quantize endpoints; enforce no-blue-contract ordering (s0 <= s1)
-    int d0[2][4], d1[2][4], qv[2][8];
+    int d0[3][4], d1[3][4], qv[3][8];
     for (int p = 0; p < L.nparts; ++p) {
       for (int c = 0; c < nch; ++c) {
         int x0 = (int)std::lround(e0[p][c]);
@@ -585,7 +595,7 @@ void pack_block(const Layout& L, const Fitted& f, int seed, uint8_t* blk) {
   }
   // color ISE
   int nper = 2 * ((L.cem >> 2) + 1);
-  int vals[16];
+  int vals[24];
   for (int p = 0; p < L.nparts; ++p)
     for (int i = 0; i < nper; ++i) vals[p * nper + i] = f.q[p][i];
   std::vector<uint8_t> cbits;
@@ -600,12 +610,191 @@ void pack_block(const Layout& L, const Fitted& f, int seed, uint8_t* blk) {
 }
 
 // ---------------------------------------------------------------------------
+// Dual-plane fit (CEM 12, 1 partition): plane 0 drives every channel
+// except `ccs`, plane 1 drives `ccs` (spec C.2.10) — the thorough-tier
+// layout astcenc's "1 plane of 2" trials cover at THOROUGH/EXHAUSTIVE.
+// ---------------------------------------------------------------------------
+
+struct FittedDP {
+  double err;
+  int q[8];                 // CEM 12 quantized color values
+  int wq0[16], wq1[16];     // per-texel quantized weights, plane 0 / 1
+};
+
+double fit_dual(const float* px, const WRange* W, const ColorRange* C,
+                int ccs, int iters, FittedDP* out) {
+  int rest[3], nr = 0;
+  for (int c = 0; c < 4; ++c)
+    if (c != ccs) rest[nr++] = c;
+
+  // plane-0 seed: PCA over the rest channels; plane-1 seed: min/max.
+  float mean[3] = {0, 0, 0};
+  for (int t = 0; t < 16; ++t)
+    for (int i = 0; i < 3; ++i) mean[i] += px[t * 4 + rest[i]];
+  for (int i = 0; i < 3; ++i) mean[i] /= 16.0f;
+  double cov[3][3] = {};
+  for (int t = 0; t < 16; ++t)
+    for (int i = 0; i < 3; ++i)
+      for (int j = 0; j < 3; ++j)
+        cov[i][j] += (px[t * 4 + rest[i]] - mean[i]) *
+                     (px[t * 4 + rest[j]] - mean[j]);
+  double axis[3] = {1, 1, 1};
+  for (int it = 0; it < 4; ++it) {
+    double nv[3] = {}, nn = 0;
+    for (int i = 0; i < 3; ++i)
+      for (int j = 0; j < 3; ++j) nv[i] += cov[i][j] * axis[j];
+    for (int i = 0; i < 3; ++i) nn += nv[i] * nv[i];
+    nn = std::sqrt(nn);
+    if (nn < 1e-10) break;
+    for (int i = 0; i < 3; ++i) axis[i] = nv[i] / nn;
+  }
+  float tmin = 1e30f, tmax = -1e30f, amin = 1e30f, amax = -1e30f;
+  for (int t = 0; t < 16; ++t) {
+    float tt = 0;
+    for (int i = 0; i < 3; ++i)
+      tt += (px[t * 4 + rest[i]] - mean[i]) * (float)axis[i];
+    tmin = std::min(tmin, tt);
+    tmax = std::max(tmax, tt);
+    amin = std::min(amin, px[t * 4 + ccs]);
+    amax = std::max(amax, px[t * 4 + ccs]);
+  }
+  float e0[4], e1[4];
+  for (int i = 0; i < 3; ++i) {
+    e0[rest[i]] =
+        std::min(255.f, std::max(0.f, mean[i] + (float)axis[i] * tmin));
+    e1[rest[i]] =
+        std::min(255.f, std::max(0.f, mean[i] + (float)axis[i] * tmax));
+  }
+  e0[ccs] = amin;
+  e1[ccs] = amax;
+
+  double best_err = 1e30;
+  for (int it = 0; it <= iters; ++it) {
+    int d0[4], d1[4], qv[8];
+    for (int c = 0; c < 4; ++c) {
+      int x0 = std::min(255, std::max(0, (int)std::lround(e0[c])));
+      int x1 = std::min(255, std::max(0, (int)std::lround(e1[c])));
+      int q0 = C->nearest[x0], q1 = C->nearest[x1];
+      d0[c] = C->unq[q0];
+      d1[c] = C->unq[q1];
+      qv[2 * c] = q0;
+      qv[2 * c + 1] = q1;
+    }
+    // no-blue-contract ordering: swap BOTH planes' endpoints as a unit
+    // (decode swaps e0/e1 globally); weights re-chosen below.
+    int s0 = d0[0] + d0[1] + d0[2];
+    int s1 = d1[0] + d1[1] + d1[2];
+    if (s0 > s1) {
+      for (int c = 0; c < 4; ++c) std::swap(d0[c], d1[c]);
+      for (int c = 0; c < 4; ++c) std::swap(qv[2 * c], qv[2 * c + 1]);
+    }
+    double err = 0;
+    int wq0[16], wq1[16];
+    float wf0[16], wf1[16];
+    for (int t = 0; t < 16; ++t) {
+      double be = 1e30;
+      int bw = 0;
+      for (int w = 0; w < W->levels; ++w) {
+        int w64 = W->unq[w];
+        double e = 0;
+        for (int i = 0; i < 3; ++i) {
+          int c = rest[i];
+          int dc = decode_texel(d0[c], d1[c], w64);
+          double d = px[t * 4 + c] - dc;
+          e += d * d;
+        }
+        if (e < be) { be = e; bw = w; }
+      }
+      wq0[t] = bw;
+      wf0[t] = W->unq[bw] / 64.0f;
+      err += be;
+      be = 1e30;
+      bw = 0;
+      for (int w = 0; w < W->levels; ++w) {
+        int dc = decode_texel(d0[ccs], d1[ccs], W->unq[w]);
+        double d = px[t * 4 + ccs] - dc;
+        if (d * d < be) { be = d * d; bw = w; }
+      }
+      wq1[t] = bw;
+      wf1[t] = W->unq[bw] / 64.0f;
+      err += be;
+    }
+    if (err < best_err) {
+      best_err = err;
+      std::memcpy(out->wq0, wq0, sizeof wq0);
+      std::memcpy(out->wq1, wq1, sizeof wq1);
+      std::memcpy(out->q, qv, sizeof qv);
+    }
+    if (it == iters) break;
+    // LS refine per plane
+    for (int pl = 0; pl < 2; ++pl) {
+      const float* wf = pl == 0 ? wf0 : wf1;
+      double a = 0, b = 0, c2 = 0;
+      double r0[4] = {}, r1[4] = {};
+      for (int t = 0; t < 16; ++t) {
+        double w = wf[t];
+        a += w * w;
+        b += w * (1 - w);
+        c2 += (1 - w) * (1 - w);
+        if (pl == 0) {
+          for (int i = 0; i < 3; ++i) {
+            r1[rest[i]] += w * px[t * 4 + rest[i]];
+            r0[rest[i]] += (1 - w) * px[t * 4 + rest[i]];
+          }
+        } else {
+          r1[ccs] += w * px[t * 4 + ccs];
+          r0[ccs] += (1 - w) * px[t * 4 + ccs];
+        }
+      }
+      double det = a * c2 - b * b;
+      if (std::fabs(det) < 1e-6) continue;
+      for (int c = 0; c < 4; ++c) {
+        bool mine = (pl == 1) == (c == ccs);
+        if (!mine) continue;
+        double n1 = (c2 * r1[c] - b * r0[c]) / det;
+        double n0 = (a * r0[c] - b * r1[c]) / det;
+        e1[c] = (float)std::min(255.0, std::max(0.0, n1));
+        e0[c] = (float)std::min(255.0, std::max(0.0, n0));
+      }
+    }
+  }
+  out->err = best_err;
+  return best_err;
+}
+
+void pack_block_dp(int block_mode, const FittedDP& f, int ccs,
+                   const WRange* W, const ColorRange* C, uint8_t* blk) {
+  std::memset(blk, 0, 16);
+  for (int i = 0; i < 11; ++i) set_bit(blk, i, (block_mode >> i) & 1);
+  // nparts = 1: bits 11..12 zero; CEM 12 at 13..16
+  for (int i = 0; i < 4; ++i) set_bit(blk, 13 + i, (12 >> i) & 1);
+  std::vector<uint8_t> cbits;
+  ise_encode(f.q, 8, C->kind, C->bits, &cbits);
+  for (size_t i = 0; i < cbits.size(); ++i)
+    set_bit(blk, 17 + (int)i, cbits[i]);
+  // plane-interleaved weights, reversed from bit 127
+  int wv[32];
+  for (int t = 0; t < 16; ++t) {
+    wv[2 * t] = f.wq0[t];
+    wv[2 * t + 1] = f.wq1[t];
+  }
+  std::vector<uint8_t> wbits;
+  ise_encode(wv, 32, W->kind, W->bits, &wbits);
+  for (size_t i = 0; i < wbits.size(); ++i)
+    set_bit(blk, 127 - (int)i, wbits[i]);
+  // CCS: two bits directly below the weight data
+  int ccs_pos = 128 - (int)wbits.size() - 2;
+  set_bit(blk, ccs_pos, ccs & 1);
+  set_bit(blk, ccs_pos + 1, (ccs >> 1) & 1);
+}
+
+// ---------------------------------------------------------------------------
 // Per-block encode
 // ---------------------------------------------------------------------------
 
 struct Ranges {
-  ColorRange c256, c192, c96, c64, c40, c24, c16;
-  WRange w4, w6, w8, w12, w16, w24;
+  ColorRange c256, c192, c96, c64, c40, c24, c16, c12;
+  WRange w4, w5, w6, w8, w12, w16, w24;
   Ranges() {
     build_color_range(256, &c256);
     build_color_range(192, &c192);
@@ -614,7 +803,9 @@ struct Ranges {
     build_color_range(40, &c40);
     build_color_range(24, &c24);
     build_color_range(16, &c16);
+    build_color_range(12, &c12);
     build_weight_range(4, &w4);
+    build_weight_range(5, &w5);
     build_weight_range(6, &w6);
     build_weight_range(8, &w8);
     build_weight_range(12, &w12);
@@ -727,7 +918,75 @@ void encode_block(const float* px, int quality, uint8_t* out_blk) {
       }
     }
   }
-  pack_block(best_L, best_f, best_seed, out_blk);
+
+  // Thorough tier (astcenc THOROUGH/EXHAUSTIVE breadth,
+  // AstcConverter.cpp:174-195): 3-partition sweep + dual-plane trials.
+  bool best_is_dp = false;
+  FittedDP best_dp;
+  int best_ccs = 0;
+  if (quality >= 4) {
+    // 3-partition CEM 8 (grid 4x4, 4-level weights, 12-level color —
+    // the implied-range layout, mirroring the TPU menu's kernel C).
+    struct Scored3 { double sse; int seed; };
+    std::vector<Scored3> sc3;
+    sc3.reserve(1024);
+    for (int seed = 0; seed < 1024; ++seed) {
+      const uint8_t* po = part_tables().part3[seed];
+      double sum[3][4] = {}, sq = 0;
+      int cnt[3] = {};
+      for (int t = 0; t < 16; ++t) {
+        int p = po[t];
+        ++cnt[p];
+        for (int c = 0; c < 4; ++c) {
+          sum[p][c] += px[t * 4 + c];
+          sq += px[t * 4 + c] * px[t * 4 + c];
+        }
+      }
+      if (!cnt[0] || !cnt[1] || !cnt[2]) continue;
+      double expl = 0;
+      for (int p = 0; p < 3; ++p) {
+        double m2 = 0;
+        for (int c = 0; c < 4; ++c) m2 += sum[p][c] * sum[p][c];
+        expl += m2 / cnt[p];
+      }
+      sc3.push_back({sq - expl, seed});
+    }
+    const int K3 = 4;
+    std::partial_sort(
+        sc3.begin(), sc3.begin() + std::min<size_t>(K3, sc3.size()),
+        sc3.end(), [](const Scored3& a, const Scored3& b) {
+          return a.sse < b.sse;
+        });
+    Layout L3 = {bm4, &R.w4, 8, 3, &R.c12};
+    for (int k = 0; k < (int)std::min<size_t>(K3, sc3.size()); ++k) {
+      int seed = sc3[k].seed;
+      if (fit_layout(px, L3, part_tables().part3[seed], iters, &f) < best) {
+        best = f.err;
+        best_f = f;
+        best_L = L3;
+        best_seed = seed;
+      }
+    }
+
+    // Dual-plane CEM 12 (grid 4x4, 5-level weights, 16-level color), all
+    // four CCS candidates.
+    const int bm5dp = 1106;  // block_mode_field(4, 4, 5, dual=True)
+    FittedDP fdp;
+    for (int ccs = 0; ccs < 4; ++ccs) {
+      if (fit_dual(px, &R.w5, &R.c16, ccs, iters, &fdp) < best) {
+        best = fdp.err;
+        best_dp = fdp;
+        best_ccs = ccs;
+        best_is_dp = true;
+      }
+    }
+    (void)bm5dp;
+  }
+
+  if (best_is_dp)
+    pack_block_dp(1106, best_dp, best_ccs, &R.w5, &R.c16, out_blk);
+  else
+    pack_block(best_L, best_f, best_seed, out_blk);
 }
 
 
@@ -1249,7 +1508,7 @@ void pack_block_g(const LayoutG& L, const FittedG& f, int seed,
     color_start = 29;
   }
   int nper = 2 * ((L.cem >> 2) + 1);
-  int vals[16];
+  int vals[24];
   for (int p = 0; p < L.nparts; ++p)
     for (int i = 0; i < nper; ++i) vals[p * nper + i] = f.q[p][i];
   std::vector<uint8_t> cbits;

@@ -118,7 +118,9 @@ void put_pixel_bits(uint64_t* blk, const int* idx8_a, const int* sel_a,
 
 double encode_etc1(const Block& B, int quality, uint64_t* out) {
   double best = 1e30;
-  int nbh = quality >= 2 ? 1 : 0;  // base neighborhood radius
+  // base neighborhood radius: effort-100 class widens to 2 at Highest
+  // (EtcConverter.cpp:34-54 maps quality 4 -> etc2comp effort 100)
+  int nbh = quality >= 4 ? 2 : (quality >= 2 ? 1 : 0);
   for (int flip = 0; flip < 2; ++flip) {
     int idx0[8], idx1[8];
     subblock_indices(flip, 0, idx0);
@@ -402,7 +404,7 @@ double encode_h(const Block& B, const int c1[3], const int c2[3],
 
 // decode: v = (x*(H-O) + y*(V-O) + 4*O + 2) >> 2 — linear in O/H/V, so fit
 // by least squares with design row [(4-x-y), x, y] / 4 and quantize.
-double encode_planar(const Block& B, uint64_t* out) {
+double encode_planar(const Block& B, int quality, uint64_t* out) {
   // normal equations for the fixed 16x3 design matrix
   double ata[3][3] = {}, atb[3][3] = {};
   for (int y = 0; y < 4; ++y)
@@ -442,6 +444,39 @@ double encode_planar(const Block& B, uint64_t* out) {
   int O[3] = {q6(ohv[0][0]), q7(ohv[0][1]), q6(ohv[0][2])};
   int H[3] = {q6(ohv[1][0]), q7(ohv[1][1]), q6(ohv[1][2])};
   int V[3] = {q6(ohv[2][0]), q7(ohv[2][1]), q6(ohv[2][2])};
+  if (quality >= 4) {
+    // effort-100 tier: the rounded (O,H,V) triple is not the exact-error
+    // argmin (decode clamps and truncates); per channel the error is
+    // independent, so sweep the 27-combo +-1 neighborhood exactly.
+    for (int c = 0; c < 3; ++c) {
+      int maxq = c == 1 ? 127 : 63;
+      auto ext = [&](int v) {
+        return c == 1 ? ((v << 1) | (v >> 6)) : ((v << 2) | (v >> 4));
+      };
+      double cbest = 1e30;
+      int bo = O[c], bh = H[c], bv = V[c];
+      for (int d0 = -1; d0 <= 1; ++d0)
+        for (int d1 = -1; d1 <= 1; ++d1)
+          for (int d2 = -1; d2 <= 1; ++d2) {
+            int o = clampi(O[c] + d0, 0, maxq);
+            int h = clampi(H[c] + d1, 0, maxq);
+            int v = clampi(V[c] + d2, 0, maxq);
+            int oe = ext(o), he = ext(h), ve = ext(v);
+            double e = 0;
+            for (int y = 0; y < 4; ++y)
+              for (int x = 0; x < 4; ++x) {
+                int dv = clamp255(
+                    (x * (he - oe) + y * (ve - oe) + 4 * oe + 2) >> 2);
+                double d = B.px[4 * y + x][c] - dv;
+                e += d * d;
+              }
+            if (e < cbest) { cbest = e; bo = o; bh = h; bv = v; }
+          }
+      O[c] = bo;
+      H[c] = bh;
+      V[c] = bv;
+    }
+  }
   int Oe[3] = {ext6(O[0]), ext7(O[1]), ext6(O[2])};
   int He[3] = {ext6(H[0]), ext7(H[1]), ext6(H[2])};
   int Ve[3] = {ext6(V[0]), ext7(V[1]), ext6(V[2])};
@@ -483,6 +518,38 @@ double encode_planar(const Block& B, uint64_t* out) {
   return err;
 }
 
+// Greedy coordinate descent over the six 4-bit palette-color
+// coordinates (the effort-100 T/H refinement): each step re-runs the
+// full distance sweep, so the search sees the exact final objective.
+template <class EncodeFn>
+double refine_th(const Block& B, int c1[3], int c2[3], EncodeFn enc,
+                 double best, uint64_t* out) {
+  bool improved = true;
+  for (int pass = 0; pass < 4 && improved; ++pass) {
+    improved = false;
+    for (int ci = 0; ci < 6; ++ci) {
+      int* col = ci < 3 ? c1 : c2;
+      int c = ci % 3;
+      for (int dd = -1; dd <= 1; dd += 2) {
+        int orig = col[c];
+        int v = clampi(orig + dd, 0, 15);
+        if (v == orig) continue;
+        col[c] = v;
+        uint64_t tb;
+        double e = enc(B, c1, c2, &tb);
+        if (e < best) {
+          best = e;
+          *out = tb;
+          improved = true;
+        } else {
+          col[c] = orig;
+        }
+      }
+    }
+  }
+  return best;
+}
+
 void encode_block(const Block& B, int quality, bool etc2, uint8_t* out8) {
   uint64_t best_blk = 0, blk;
   double best = encode_etc1(B, quality, &best_blk);
@@ -496,7 +563,39 @@ void encode_block(const Block& B, int quality, bool etc2, uint8_t* out8) {
     if (e < best) { best = e; best_blk = blk; }
     e = encode_h(B, c1, c2, &blk);
     if (e < best) { best = e; best_blk = blk; }
-    e = encode_planar(B, &blk);
+    if (quality >= 4) {
+      // effort-100 tier: coordinate-descent the T/H palette colors.
+      int t1[3], t2[3];
+      uint64_t rb;
+      std::memcpy(t1, c1, sizeof t1);
+      std::memcpy(t2, c2, sizeof t2);
+      e = refine_th(
+          B, t1, t2,
+          [](const Block& b, int* a, int* bb, uint64_t* o) {
+            return encode_t(b, a, bb, o);
+          },
+          best, &rb);
+      if (e < best) { best = e; best_blk = rb; }
+      std::memcpy(t1, c2, sizeof t1);
+      std::memcpy(t2, c1, sizeof t2);
+      e = refine_th(
+          B, t1, t2,
+          [](const Block& b, int* a, int* bb, uint64_t* o) {
+            return encode_t(b, a, bb, o);
+          },
+          best, &rb);
+      if (e < best) { best = e; best_blk = rb; }
+      std::memcpy(t1, c1, sizeof t1);
+      std::memcpy(t2, c2, sizeof t2);
+      e = refine_th(
+          B, t1, t2,
+          [](const Block& b, int* a, int* bb, uint64_t* o) {
+            return encode_h(b, a, bb, o);
+          },
+          best, &rb);
+      if (e < best) { best = e; best_blk = rb; }
+    }
+    e = encode_planar(B, quality, &blk);
     if (e < best) { best = e; best_blk = blk; }
   }
   for (int i = 0; i < 8; ++i)
