@@ -231,8 +231,13 @@ def _quant_planar(c, bits):
     return v, dec.astype(jnp.float32)
 
 
-def _planar_candidate(colors):
-    """Least-squares plane fit -> (err [M], (O,H,V) quantized fields, decs)."""
+def _planar_candidate(colors, refine: int = 0):
+    """Least-squares plane fit -> (err [M], (O,H,V) quantized fields, decs).
+
+    ``refine`` (Highest quality): the rounded (O,H,V) triple is not the
+    exact-error argmin (the decode clamps and truncates), and per channel
+    the error is independent — sweep the 27-combo +-1 neighborhood
+    exactly per channel, matching the effort-100 etc2_cpu.cpp tier."""
     # Model: p(x,y) = O + x/4*(H-O) + y/4*(V-O).  LS over (1, x/4, y/4).
     x = _PLANAR_XW / 4.0
     y = _PLANAR_YW / 4.0
@@ -243,30 +248,62 @@ def _planar_candidate(colors):
     ginv = jnp.linalg.inv(g)
     proj = ginv @ basis  # [3,16]
     coef = jnp.einsum("kp,npc->nkc", proj, colors)  # [N,3,3] = O,H,V
-    qo_r, do_r = _quant_planar(coef[:, 0, 0], 6)
-    qo_g, do_g = _quant_planar(coef[:, 0, 1], 7)
-    qo_b, do_b = _quant_planar(coef[:, 0, 2], 6)
-    qh_r, dh_r = _quant_planar(coef[:, 1, 0], 6)
-    qh_g, dh_g = _quant_planar(coef[:, 1, 1], 7)
-    qh_b, dh_b = _quant_planar(coef[:, 1, 2], 6)
-    qv_r, dv_r = _quant_planar(coef[:, 2, 0], 6)
-    qv_g, dv_g = _quant_planar(coef[:, 2, 1], 7)
-    qv_b, dv_b = _quant_planar(coef[:, 2, 2], 6)
-    dO = jnp.stack([do_r, do_g, do_b], -1)
-    dH = jnp.stack([dh_r, dh_g, dh_b], -1)
-    dV = jnp.stack([dv_r, dv_g, dv_b], -1)
-    # Exact decoder model: (x*(H-O) + y*(V-O) + 4*O + 2) >> 2, clamped.
-    xi = _PLANAR_XW[..., None]
-    yi = _PLANAR_YW[..., None]
-    val = (
-        xi * (dH[:, None, :] - dO[:, None, :])
-        + yi * (dV[:, None, :] - dO[:, None, :])
-        + 4.0 * dO[:, None, :]
-        + 2.0
+    bits_of = (6, 7, 6)
+    xi = _PLANAR_XW[0].astype(jnp.float32)  # [16]
+    yi = _PLANAR_YW[0].astype(jnp.float32)
+
+    def chan_dec(do_, dh_, dv_):
+        val = (
+            xi[None, :] * (dh_ - do_)[:, None]
+            + yi[None, :] * (dv_ - do_)[:, None]
+            + 4.0 * do_[:, None]
+            + 2.0
+        )
+        return jnp.clip(jnp.floor(val / 4.0), 0, 255)  # [M,16]
+
+    qs = []
+    err_chs = []
+    for c in range(3):
+        bits = bits_of[c]
+        maxv = (1 << bits) - 1
+        qo, do_ = _quant_planar(coef[:, 0, c], bits)
+        qh, dh_ = _quant_planar(coef[:, 1, c], bits)
+        qv, dv_ = _quant_planar(coef[:, 2, c], bits)
+        err_c = ((colors[:, :, c] - chan_dec(do_, dh_, dv_)) ** 2)
+        if refine:
+            best_e = err_c.sum(1)
+            for d0 in (-1, 0, 1):
+                for d1 in (-1, 0, 1):
+                    for d2 in (-1, 0, 1):
+                        if d0 == 0 and d1 == 0 and d2 == 0:
+                            continue
+                        o = jnp.clip(qo + d0, 0, maxv)
+                        h = jnp.clip(qh + d1, 0, maxv)
+                        v = jnp.clip(qv + d2, 0, maxv)
+                        if bits == 6:
+                            eo = ((o << 2) | (o >> 4)).astype(jnp.float32)
+                            eh = ((h << 2) | (h >> 4)).astype(jnp.float32)
+                            ev = ((v << 2) | (v >> 4)).astype(jnp.float32)
+                        else:
+                            eo = ((o << 1) | (o >> 6)).astype(jnp.float32)
+                            eh = ((h << 1) | (h >> 6)).astype(jnp.float32)
+                            ev = ((v << 1) | (v >> 6)).astype(jnp.float32)
+                        e_px = (colors[:, :, c] - chan_dec(eo, eh, ev)) ** 2
+                        e = e_px.sum(1)
+                        take = e < best_e
+                        qo = jnp.where(take, o, qo)
+                        qh = jnp.where(take, h, qh)
+                        qv = jnp.where(take, v, qv)
+                        err_c = jnp.where(take[:, None], e_px, err_c)
+                        best_e = jnp.minimum(e, best_e)
+        qs.append((qo, qh, qv))
+        err_chs.append(err_c)
+    err_px = jnp.stack(err_chs, -1)
+    fields = (
+        qs[0][0], qs[1][0], qs[2][0],
+        qs[0][1], qs[1][1], qs[2][1],
+        qs[0][2], qs[1][2], qs[2][2],
     )
-    dec = jnp.clip(jnp.floor(val / 4.0), 0, 255)
-    err_px = (colors - dec) ** 2
-    fields = (qo_r, qo_g, qo_b, qh_r, qh_g, qh_b, qv_r, qv_g, qv_b)
     return err_px, fields
 
 
@@ -336,6 +373,11 @@ def _pack_planar(fields, m):
 
 _ETC2_DIST_NP = np.array([3, 6, 11, 16, 23, 32, 41, 64], np.int32)
 _ETC2_DIST = jnp.asarray(_ETC2_DIST_NP)
+
+# one-hot rows for the +-1 coordinate-descent steps (refine passes)
+_COORD_OH = [
+    jnp.asarray(np.eye(3, dtype=np.int32)[c][None, :]) for c in range(3)
+]
 
 
 def _quant444(c):
@@ -409,7 +451,7 @@ def _pca_split(colors, weight=None):
     return cmean(split), cmean((1.0 - split) * w)
 
 
-def _etc2_t_candidate(colors, ch_w, alpha_mask=None):
+def _etc2_t_candidate(colors, ch_w, alpha_mask=None, refine: int = 0):
     """Best T-mode encoding: cluster split + distance search.
 
     colors [M,16,3] 0..255 -> (err [M], (hi, lo)).  With `alpha_mask`
@@ -417,11 +459,33 @@ def _etc2_t_candidate(colors, ch_w, alpha_mask=None):
     black: opaque texels may not use it, transparent texels must
     (Khronos DFS §C.2.3 punch-through tables), and the opaque bit is
     cleared in the packed word.
-    """
+
+    ``refine`` passes of +-1 coordinate descent over the six 4-bit color
+    coordinates (at the per-block best distance, then a final distance
+    re-sweep) — the effort-100 T refinement of etc2_cpu.cpp."""
     m = colors.shape[0]
     punch = alpha_mask is not None
     mean_pos, mean_neg = _pca_split(colors, alpha_mask)
     texel_w = jnp.ones(colors.shape[:2]) if not punch else alpha_mask
+
+    def t_eval(q1, q2, dist_f):
+        """Palette eval for per-block distance dist_f [M] -> (idx, err)."""
+        d1 = _expand4(q1).astype(jnp.float32)
+        d2 = _expand4(q2).astype(jnp.float32)
+        df = dist_f[:, None]
+        pal = jnp.stack(
+            [d1, jnp.clip(d2 + df, 0, 255), d2, jnp.clip(d2 - df, 0, 255)],
+            axis=1,
+        )  # [M,4,3]
+        diff = colors[:, :, None, :] - pal[:, None, :, :]
+        e = jnp.einsum("npkc,c->npk", diff * diff, ch_w)
+        if punch:
+            e = e.at[:, :, 2].set(jnp.inf)
+        idx = e.argmin(-1).astype(jnp.int32)
+        err = (e.min(-1) * texel_w).sum(1)
+        if punch:
+            idx = jnp.where(alpha_mask < 0.5, 2, idx)
+        return idx, err
 
     best = None
     for c1f, c2f in ((mean_pos, mean_neg), (mean_neg, mean_pos)):
@@ -429,23 +493,7 @@ def _etc2_t_candidate(colors, ch_w, alpha_mask=None):
         q2, d2 = _quant444(c2f)
         for di in range(8):
             dist = float(_ETC2_DIST_NP[di])
-            pal = jnp.stack(
-                [
-                    d1,
-                    jnp.clip(d2 + dist, 0, 255),
-                    d2,
-                    jnp.clip(d2 - dist, 0, 255),
-                ],
-                axis=1,
-            )  # [M,4,3]
-            diff = colors[:, :, None, :] - pal[:, None, :, :]
-            e = jnp.einsum("npkc,c->npk", diff * diff, ch_w)
-            if punch:
-                e = e.at[:, :, 2].set(jnp.inf)
-            idx = e.argmin(-1).astype(jnp.int32)
-            err = (e.min(-1) * texel_w).sum(1)
-            if punch:
-                idx = jnp.where(alpha_mask < 0.5, 2, idx)
+            idx, err = t_eval(q1, q2, jnp.full((m,), dist, jnp.float32))
             cand = (q1, q2, jnp.full((m,), di, jnp.int32), idx, err)
             if best is None:
                 best = cand
@@ -456,6 +504,44 @@ def _etc2_t_candidate(colors, ch_w, alpha_mask=None):
                     for c, b in zip(cand, best)
                 )
     q1, q2, didx, idx, err = best
+    if refine:
+        for _ in range(refine):
+            for which in (0, 1):
+                for c in range(3):
+                    for dd in (-1, 1):
+                        step = dd * _COORD_OH[c]
+                        if which == 0:
+                            q1n = jnp.clip(q1 + step, 0, 15)
+                            q2n = q2
+                        else:
+                            q1n = q1
+                            q2n = jnp.clip(q2 + step, 0, 15)
+                        # distance and color interact (the C2 +- d arms
+                        # span the cluster), so each step also tries the
+                        # adjacent distance rungs
+                        for dstep in (-1, 0, 1):
+                            didxn = jnp.clip(didx + dstep, 0, 7)
+                            dist_f = jnp.take(
+                                _ETC2_DIST.astype(jnp.float32), didxn
+                            )
+                            idxn, errn = t_eval(q1n, q2n, dist_f)
+                            take = errn < err
+                            q1 = jnp.where(take[:, None], q1n, q1)
+                            q2 = jnp.where(take[:, None], q2n, q2)
+                            didx = jnp.where(take, didxn, didx)
+                            idx = jnp.where(take[:, None], idxn, idx)
+                            err = jnp.minimum(errn, err)
+            # distance re-sweep with the refined colors, feeding the
+            # next pass's working distance
+            for di in range(8):
+                dist = float(_ETC2_DIST_NP[di])
+                idxn, errn = t_eval(
+                    q1, q2, jnp.full((m,), dist, jnp.float32)
+                )
+                take = errn < err
+                didx = jnp.where(take, di, didx)
+                idx = jnp.where(take[:, None], idxn, idx)
+                err = jnp.minimum(errn, err)
     hi, lo = _pack_t(q1, q2, didx, idx)
     if punch:
         hi = hi & ~jnp.uint32(2)  # opaque bit 33 = 0
@@ -516,45 +602,59 @@ def _pack_h(q1, q2, didx, idx_raster):
     return hi, lo
 
 
-def _etc2_h_candidate(colors, ch_w, alpha_mask=None):
+def _etc2_h_candidate(colors, ch_w, alpha_mask=None, refine: int = 0):
     """Best H-mode encoding: cluster split + distance search with the
     ordering-encoded low distance bit.  colors [M,16,3] 0..255.  With
     `alpha_mask` (punch-through) palette entry 2 (= C2+d) becomes
-    transparent black, same rules as the T variant."""
+    transparent black, same rules as the T variant.
+
+    ``refine``: +-1 coordinate-descent passes on the colors (effort-100
+    tier).  Perturbed candidates are canonicalized — the color pair is
+    swapped when the packed ordering no longer matches the distance LSB
+    (the palette is symmetric under the swap), so every step stays
+    encodable."""
     m = colors.shape[0]
     punch = alpha_mask is not None
     mean_pos, mean_neg = _pca_split(colors, alpha_mask)
     texel_w = jnp.ones(colors.shape[:2]) if not punch else alpha_mask
 
+    def h_eval(q1, q2, dist_f):
+        """Palette eval at per-block distance [M] -> (idx, err_raw)."""
+        d1 = _expand4(q1).astype(jnp.float32)
+        d2 = _expand4(q2).astype(jnp.float32)
+        df = dist_f[:, None]
+        pal = jnp.stack(
+            [
+                jnp.clip(d1 + df, 0, 255),
+                jnp.clip(d1 - df, 0, 255),
+                jnp.clip(d2 + df, 0, 255),
+                jnp.clip(d2 - df, 0, 255),
+            ],
+            axis=1,
+        )
+        diff = colors[:, :, None, :] - pal[:, None, :, :]
+        e = jnp.einsum("npkc,c->npk", diff * diff, ch_w)
+        if punch:
+            e = e.at[:, :, 2].set(jnp.inf)
+        idx = e.argmin(-1).astype(jnp.int32)
+        err = (e.min(-1) * texel_w).sum(1)
+        if punch:
+            idx = jnp.where(alpha_mask < 0.5, 2, idx)
+        return idx, err
+
+    def packed(q):
+        return (q[:, 0] << 8) | (q[:, 1] << 4) | q[:, 2]
+
     best = None
     for c1f, c2f in ((mean_pos, mean_neg), (mean_neg, mean_pos)):
         q1, _ = _quant444(c1f)
         q2, _ = _quant444(c2f)
-        d1 = _expand4(q1).astype(jnp.float32)
-        d2 = _expand4(q2).astype(jnp.float32)
-        packed1 = (q1[:, 0] << 8) | (q1[:, 1] << 4) | q1[:, 2]
-        packed2 = (q2[:, 0] << 8) | (q2[:, 1] << 4) | q2[:, 2]
-        ord_bit = (packed1 >= packed2).astype(jnp.int32)
+        ord_bit = (packed(q1) >= packed(q2)).astype(jnp.int32)
         for di in range(8):
             dist = float(_ETC2_DIST_NP[di])
             valid = (di & 1) == ord_bit
-            pal = jnp.stack(
-                [
-                    jnp.clip(d1 + dist, 0, 255),
-                    jnp.clip(d1 - dist, 0, 255),
-                    jnp.clip(d2 + dist, 0, 255),
-                    jnp.clip(d2 - dist, 0, 255),
-                ],
-                axis=1,
-            )
-            diff = colors[:, :, None, :] - pal[:, None, :, :]
-            e = jnp.einsum("npkc,c->npk", diff * diff, ch_w)
-            if punch:
-                e = e.at[:, :, 2].set(jnp.inf)
-            idx = e.argmin(-1).astype(jnp.int32)
-            err = (e.min(-1) * texel_w).sum(1) + jnp.where(valid, 0.0, jnp.inf)
-            if punch:
-                idx = jnp.where(alpha_mask < 0.5, 2, idx)
+            idx, err = h_eval(q1, q2, jnp.full((m,), dist, jnp.float32))
+            err = err + jnp.where(valid, 0.0, jnp.inf)
             cand = (q1, q2, jnp.full((m,), di, jnp.int32), idx, err)
             if best is None:
                 best = cand
@@ -565,6 +665,62 @@ def _etc2_h_candidate(colors, ch_w, alpha_mask=None):
                     for c, b in zip(cand, best)
                 )
     q1, q2, didx, idx, err = best
+    if refine:
+
+        def canon(q1n, q2n, want):
+            p1 = packed(q1n)
+            p2 = packed(q2n)
+            swap = ((p1 >= p2).astype(jnp.int32) != want)
+            q1c = jnp.where(swap[:, None], q2n, q1n)
+            q2c = jnp.where(swap[:, None], q1n, q2n)
+            p1c = jnp.where(swap, p2, p1)
+            p2c = jnp.where(swap, p1, p2)
+            ok = (p1c >= p2c).astype(jnp.int32) == want
+            return q1c, q2c, ok
+
+        for _ in range(refine):
+            for which in (0, 1):
+                for c in range(3):
+                    for dd in (-1, 1):
+                        step = dd * _COORD_OH[c]
+                        if which == 0:
+                            q1n = jnp.clip(q1 + step, 0, 15)
+                            q2n = q2
+                        else:
+                            q1n = q1
+                            q2n = jnp.clip(q2 + step, 0, 15)
+                        for dstep in (-1, 0, 1):
+                            didxn = jnp.clip(didx + dstep, 0, 7)
+                            dist_f = jnp.take(
+                                _ETC2_DIST.astype(jnp.float32), didxn
+                            )
+                            q1c, q2c, ok = canon(q1n, q2n, didxn & 1)
+                            idxn, errn = h_eval(q1c, q2c, dist_f)
+                            errn = errn + jnp.where(ok, 0.0, jnp.inf)
+                            take = errn < err
+                            q1 = jnp.where(take[:, None], q1c, q1)
+                            q2 = jnp.where(take[:, None], q2c, q2)
+                            didx = jnp.where(take, didxn, didx)
+                            idx = jnp.where(take[:, None], idxn, idx)
+                            err = jnp.minimum(errn, err)
+            # distance re-sweep: canonicalize the refined colors to each
+            # distance's LSB and keep the best, feeding the next pass.
+            q1f, q2f, didxf, idxf, errf = q1, q2, didx, idx, err
+            for di in range(8):
+                want_d = jnp.full((m,), di & 1, jnp.int32)
+                q1c, q2c, ok = canon(q1, q2, want_d)
+                idxn, errn = h_eval(
+                    q1c, q2c,
+                    jnp.full((m,), float(_ETC2_DIST_NP[di]), jnp.float32),
+                )
+                errn = errn + jnp.where(ok, 0.0, jnp.inf)
+                take = errn < errf
+                q1f = jnp.where(take[:, None], q1c, q1f)
+                q2f = jnp.where(take[:, None], q2c, q2f)
+                didxf = jnp.where(take, di, didxf)
+                idxf = jnp.where(take[:, None], idxn, idxf)
+                errf = jnp.minimum(errn, errf)
+            q1, q2, didx, idx, err = q1f, q2f, didxf, idxf, errf
     hi, lo = _pack_h(q1, q2, didx, idx)
     if punch:
         hi = hi & ~jnp.uint32(2)  # opaque bit 33 = 0
@@ -605,6 +761,11 @@ _ETC_OFFSETS = {
     1: ("round", ((0, 0, 0),)),
     2: ("round", _offset_cube(-1, 1)),
     3: ("round", _offset_cube(-1, 1)),
+    # q4 (effort 100): radius-1 cube + luma diagonals, ranked by the
+    # restricted-table proxy and deep-fit top-8 (est_keep below).  A
+    # measured radius-2 cube moved no harness row (the CPU bar's q4 edge
+    # is its T/H/planar refinement, not base breadth) while exploding
+    # the unrolled-trace compile time, so Highest keeps this set.
     4: ("round", _offset_cube(-1, 1) + ((-2, -2, -2), (2, 2, 2),
                                         (-3, -3, -3), (3, 3, 3))),
 }
@@ -878,11 +1039,12 @@ def _encode_etc_rgb_jnp(
     best = None
     floor_mode = _ETC_OFFSETS[quality][0] == "floor"
     offsets = _ETC_OFFSETS[quality][1]
-    # q2/q3: estimate-then-refine over the offset cube (ranking with the
+    # Estimate-then-refine over the offset cube (ranking with the
     # table restricted to the center fit's top-2, index free; deep-fit
-    # the per-block top-4) — ~2x the exhaustive q2 throughput, still >=
-    # the CPU reference on the corpus; q4 stays exhaustive.
-    est_keep = 4 if quality in (2, 3) else 0
+    # the per-block top-k) — ~2x the exhaustive q2 throughput, still >=
+    # the CPU reference on the corpus.  q4 ranks the full radius-2 cube
+    # (125 offsets) and deep-fits 8.
+    est_keep = 4 if quality in (2, 3) else (8 if quality >= 4 else 0)
     for flip in (0, 1):
         sub2 = _SUB2[flip][None, :]
         sub1 = 1.0 - sub2
@@ -919,19 +1081,23 @@ def _encode_etc_rgb_jnp(
             best_err = jnp.where(take, ierr, best_err)
 
     if etc2:
-        err_px, fields = _planar_candidate(colors)
+        # Highest quality: effort-100-class refinement (planar exact
+        # 27-combo neighborhoods, 2 coordinate-descent passes on the T/H
+        # palette colors), mirroring the strengthened etc2_cpu.cpp bar.
+        refine = 2 if quality >= 4 else 0
+        err_px, fields = _planar_candidate(colors, refine=refine)
         perr = jnp.einsum("npc,c->n", err_px, ch_w)
         hi, lo = _pack_planar(fields, colors.shape[0])
         take = perr < best_err
         best = tuple(jnp.where(take, w, b) for w, b in zip((hi, lo), best))
         best_err = jnp.where(take, perr, best_err)
 
-        terr, twords = _etc2_t_candidate(colors, ch_w)
+        terr, twords = _etc2_t_candidate(colors, ch_w, refine=refine)
         take = terr < best_err
         best = tuple(jnp.where(take, w, b) for w, b in zip(twords, best))
         best_err = jnp.where(take, terr, best_err)
 
-        herr, hwords = _etc2_h_candidate(colors, ch_w)
+        herr, hwords = _etc2_h_candidate(colors, ch_w, refine=refine)
         take = herr < best_err
         best = tuple(jnp.where(take, w, b) for w, b in zip(hwords, best))
         best_err = jnp.where(take, herr, best_err)

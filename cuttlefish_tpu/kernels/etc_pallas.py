@@ -482,7 +482,7 @@ def _quant_planar(c, bits):
     return v, dec.astype(jnp.float32)
 
 
-def _planar_candidate(px, chw):
+def _planar_candidate(px, chw, refine: int = 0):
     proj = _planar_proj()
     coef = [[None] * 3 for _ in range(3)]  # [O/H/V][channel]
     for k in range(3):
@@ -501,17 +501,45 @@ def _planar_candidate(px, chw):
     it = _iota16(px[0].shape)
     xi = (it % 4).astype(jnp.float32)
     yi = (it // 4).astype(jnp.float32)
+
+    def chan_err(c, do_, dh_, dv_):
+        val = xi * (dh_ - do_) + yi * (dv_ - do_) + 4.0 * do_ + 2.0
+        d = jnp.clip(jnp.floor(val * 0.25), 0.0, 255.0)
+        return chw[c] * (px[c] - d) ** 2
+
     err = None
     for c in range(3):
-        val = (
-            xi * (dec[1][c] - dec[0][c])
-            + yi * (dec[2][c] - dec[0][c])
-            + 4.0 * dec[0][c]
-            + 2.0
-        )
-        d = jnp.clip(jnp.floor(val * 0.25), 0.0, 255.0)
-        e = chw[c] * (px[c] - d) ** 2
-        err = e if err is None else err + e
+        e_px = chan_err(c, dec[0][c], dec[1][c], dec[2][c])
+        if refine:
+            # exact 27-combo +-1 neighborhood per channel (effort-100;
+            # mirrors kernels/etc.py:_planar_candidate)
+            maxv = (1 << bits[c]) - 1
+            best_e = _rt(e_px)
+            for d0 in (-1, 0, 1):
+                for d1 in (-1, 0, 1):
+                    for d2 in (-1, 0, 1):
+                        if d0 == 0 and d1 == 0 and d2 == 0:
+                            continue
+                        o = jnp.clip(q[0][c] + d0, 0, maxv)
+                        h = jnp.clip(q[1][c] + d1, 0, maxv)
+                        v = jnp.clip(q[2][c] + d2, 0, maxv)
+                        if bits[c] == 6:
+                            eo = ((o << 2) | (o >> 4)).astype(jnp.float32)
+                            eh = ((h << 2) | (h >> 4)).astype(jnp.float32)
+                            ev = ((v << 2) | (v >> 4)).astype(jnp.float32)
+                        else:
+                            eo = ((o << 1) | (o >> 6)).astype(jnp.float32)
+                            eh = ((h << 1) | (h >> 6)).astype(jnp.float32)
+                            ev = ((v << 1) | (v >> 6)).astype(jnp.float32)
+                        en_px = chan_err(c, eo, eh, ev)
+                        en = _rt(en_px)
+                        take = en < best_e
+                        q[0][c] = jnp.where(take, o, q[0][c])
+                        q[1][c] = jnp.where(take, h, q[1][c])
+                        q[2][c] = jnp.where(take, v, q[2][c])
+                        e_px = jnp.where(take, en_px, e_px)
+                        best_e = jnp.minimum(en, best_e)
+        err = e_px if err is None else err + e_px
     fields = (
         q[0][0], q[0][1], q[0][2],
         q[1][0], q[1][1], q[1][2],
@@ -668,8 +696,28 @@ def _pack_h(q1, q2, didx, idx):
     return hi, _index_words(idx)
 
 
-def _etc2_t_candidate(px, chw):
+def _dist_of(didx):
+    v = jnp.zeros(didx.shape, jnp.float32)
+    for di in range(8):
+        v = jnp.where(didx == di, float(_ETC2_DIST_NP[di]), v)
+    return v
+
+
+def _etc2_t_candidate(px, chw, refine: int = 0):
     mp, mn = _pca_split_means(px, chw)
+
+    def t_eval(q1, q2, dist_f):
+        d1 = [_expand4(v).astype(jnp.float32) for v in q1]
+        d2 = [_expand4(v).astype(jnp.float32) for v in q2]
+        pal = [
+            d1,
+            [jnp.clip(d + dist_f, 0.0, 255.0) for d in d2],
+            d2,
+            [jnp.clip(d - dist_f, 0.0, 255.0) for d in d2],
+        ]
+        idx, e = _pal_err_idx(px, pal, chw)
+        return idx, _rt(e)
+
     best = None
     for c1f, c2f in ((mp, mn), (mn, mp)):
         q1, d1 = _quant444(c1f)
@@ -698,19 +746,84 @@ def _etc2_t_candidate(px, chw):
                     jnp.minimum(err, best[4]),
                 )
     q1, q2, didx, idx, err = best
+    if refine:
+        # +-1 coordinate descent over the six color coordinates with the
+        # adjacent distance rungs tried per step, then a distance
+        # re-sweep per pass (mirrors kernels/etc.py).
+        for _ in range(refine):
+            for which in (0, 1):
+                for c in range(3):
+                    for dd in (-1, 1):
+                        if which == 0:
+                            q1n = [
+                                jnp.clip(q1[i] + dd, 0, 15) if i == c
+                                else q1[i]
+                                for i in range(3)
+                            ]
+                            q2n = q2
+                        else:
+                            q1n = q1
+                            q2n = [
+                                jnp.clip(q2[i] + dd, 0, 15) if i == c
+                                else q2[i]
+                                for i in range(3)
+                            ]
+                        for dstep in (-1, 0, 1):
+                            didxn = jnp.clip(didx + dstep, 0, 7)
+                            idxn, errn = t_eval(q1n, q2n, _dist_of(didxn))
+                            take = errn < err
+                            q1 = _sel(take, q1n, q1)
+                            q2 = _sel(take, q2n, q2)
+                            didx = jnp.where(take, didxn, didx)
+                            idx = jnp.where(take, idxn, idx)
+                            err = jnp.minimum(errn, err)
+            for di in range(8):
+                dist_f = jnp.full_like(err, float(_ETC2_DIST_NP[di]))
+                idxn, errn = t_eval(q1, q2, dist_f)
+                take = errn < err
+                didx = jnp.where(take, di, didx)
+                idx = jnp.where(take, idxn, idx)
+                err = jnp.minimum(errn, err)
     return err, _pack_t(q1, q2, didx, idx)
 
 
-def _etc2_h_candidate(px, chw):
+def _etc2_h_candidate(px, chw, refine: int = 0):
     mp, mn = _pca_split_means(px, chw)
+
+    def packed(q):
+        return (q[0] << 8) | (q[1] << 4) | q[2]
+
+    def h_eval(q1, q2, dist_f):
+        d1 = [_expand4(v).astype(jnp.float32) for v in q1]
+        d2 = [_expand4(v).astype(jnp.float32) for v in q2]
+        pal = [
+            [jnp.clip(d + dist_f, 0.0, 255.0) for d in d1],
+            [jnp.clip(d - dist_f, 0.0, 255.0) for d in d1],
+            [jnp.clip(d + dist_f, 0.0, 255.0) for d in d2],
+            [jnp.clip(d - dist_f, 0.0, 255.0) for d in d2],
+        ]
+        idx, e = _pal_err_idx(px, pal, chw)
+        return idx, _rt(e)
+
+    def canon(q1n, q2n, want):
+        p1 = packed(q1n)
+        p2 = packed(q2n)
+        swap = (p1 >= p2).astype(jnp.int32) != want
+        q1c = _sel(swap, q2n, q1n)
+        q2c = _sel(swap, q1n, q2n)
+        p1c = jnp.where(swap, p2, p1)
+        p2c = jnp.where(swap, p1, p2)
+        ok = ((p1c >= p2c).astype(jnp.int32) == want).astype(jnp.float32)
+        return q1c, q2c, ok
+
     best = None
     for c1f, c2f in ((mp, mn), (mn, mp)):
         q1, _ = _quant444(c1f)
         q2, _ = _quant444(c2f)
         d1 = [_expand4(v).astype(jnp.float32) for v in q1]
         d2 = [_expand4(v).astype(jnp.float32) for v in q2]
-        packed1 = (q1[0] << 8) | (q1[1] << 4) | q1[2]
-        packed2 = (q2[0] << 8) | (q2[1] << 4) | q2[2]
+        packed1 = packed(q1)
+        packed2 = packed(q2)
         ord_bit = (packed1 >= packed2).astype(jnp.int32)
         for di in range(8):
             dist = float(_ETC2_DIST_NP[di])
@@ -737,6 +850,52 @@ def _etc2_h_candidate(px, chw):
                     jnp.minimum(err, best[4]),
                 )
     q1, q2, didx, idx, err = best
+    if refine:
+        for _ in range(refine):
+            for which in (0, 1):
+                for c in range(3):
+                    for dd in (-1, 1):
+                        if which == 0:
+                            q1n = [
+                                jnp.clip(q1[i] + dd, 0, 15) if i == c
+                                else q1[i]
+                                for i in range(3)
+                            ]
+                            q2n = q2
+                        else:
+                            q1n = q1
+                            q2n = [
+                                jnp.clip(q2[i] + dd, 0, 15) if i == c
+                                else q2[i]
+                                for i in range(3)
+                            ]
+                        for dstep in (-1, 0, 1):
+                            didxn = jnp.clip(didx + dstep, 0, 7)
+                            q1c, q2c, ok = canon(q1n, q2n, didxn & 1)
+                            idxn, errn = h_eval(
+                                q1c, q2c, _dist_of(didxn)
+                            )
+                            errn = errn + (1.0 - ok) * _BIG
+                            take = errn < err
+                            q1 = _sel(take, q1c, q1)
+                            q2 = _sel(take, q2c, q2)
+                            didx = jnp.where(take, didxn, didx)
+                            idx = jnp.where(take, idxn, idx)
+                            err = jnp.minimum(errn, err)
+            q1f, q2f, didxf, idxf, errf = q1, q2, didx, idx, err
+            for di in range(8):
+                want_d = jnp.full_like(didx, di & 1)
+                q1c, q2c, ok = canon(q1, q2, want_d)
+                dist_f = jnp.full_like(err, float(_ETC2_DIST_NP[di]))
+                idxn, errn = h_eval(q1c, q2c, dist_f)
+                errn = errn + (1.0 - ok) * _BIG
+                take = errn < errf
+                q1f = _sel(take, q1c, q1f)
+                q2f = _sel(take, q2c, q2f)
+                didxf = jnp.where(take, di, didxf)
+                idxf = jnp.where(take, idxn, idxf)
+                errf = jnp.minimum(errn, errf)
+            q1, q2, didx, idx, err = q1f, q2f, didxf, idxf, errf
     return err, _pack_h(q1, q2, didx, idx)
 
 
@@ -991,7 +1150,7 @@ def _rgb_words(px, quality, etc2, chw):
     best = None
     floor_mode = _ETC_OFFSETS[quality][0] == "floor"
     offsets = _ETC_OFFSETS[quality][1]
-    est_keep = 4 if quality in (2, 3) else 0
+    est_keep = 4 if quality in (2, 3) else (8 if quality >= 4 else 0)
     for flip in (0, 1):
         sub1, sub2 = _sub_masks(px[0].shape, flip)
         n1 = _rt(sub1)
@@ -1028,13 +1187,14 @@ def _rgb_words(px, quality, etc2, chw):
             best = tuple(jnp.where(take, w, b) for w, b in zip(words, best))
             best_err = jnp.minimum(ierr, best_err)
     if etc2:
-        perr, fields = _planar_candidate(px, chw)
+        refine = 2 if quality >= 4 else 0
+        perr, fields = _planar_candidate(px, chw, refine=refine)
         hi, lo = _pack_planar(fields)
         take = perr < best_err
         best = tuple(jnp.where(take, w, b) for w, b in zip((hi, lo), best))
         best_err = jnp.minimum(perr, best_err)
         for cand_fn in (_etc2_t_candidate, _etc2_h_candidate):
-            err, words = cand_fn(px, chw)
+            err, words = cand_fn(px, chw, refine=refine)
             take = err < best_err
             best = tuple(jnp.where(take, w, b) for w, b in zip(words, best))
             best_err = jnp.minimum(err, best_err)
