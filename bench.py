@@ -298,12 +298,16 @@ def measure_full_matrix() -> dict:
     out["bc6h_q4_kernel"] = {"mtexels_per_s": round(1024 * 1024 / dt / 1e6, 2)}
     log(f"bc6h_q4_kernel: {out['bc6h_q4_kernel']}")
     # Config 5: ASTC 4x4 + 8x8 kernels (sRGB/cube orchestration is host-side).
-    # Same gray gate the converter applies: colored content skips CEM 0/4.
+    # Same content gates the converter applies: colored content skips the
+    # CEM 0/4 fits, opaque content the CEM 12 / dual-plane fits.
     gray = kastc.has_gray_blocks(blocks)
-    log(f"astc gray gate: {gray}")
+    has_alpha = kastc.has_alpha_blocks(blocks)
+    log(f"astc gates: gray={gray} alpha={has_alpha}")
     for q in (2, 3, 4):
         dt = _time_chained(
-            lambda b, q=q: kastc.encode_astc(b, 4, 4, quality=q, gray=gray),
+            lambda b, q=q: kastc.encode_astc(
+                b, 4, 4, quality=q, gray=gray, alpha=has_alpha
+            ),
             blocks, 4, chain=4,
         )
         key = f"astc4x4_q{q}_kernel"
@@ -313,7 +317,7 @@ def measure_full_matrix() -> dict:
         blocks_b, _, _ = extract_blocks(surf, bw, bh)
         dt = _time_chained(
             lambda b, bw=bw, bh=bh: kastc.encode_astc(
-                b, bw, bh, quality=2, gray=gray
+                b, bw, bh, quality=2, gray=gray, alpha=has_alpha
             ),
             blocks_b, 4, chain=4,
         )

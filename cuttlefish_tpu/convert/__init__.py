@@ -37,6 +37,9 @@ class EncodeParams:
     # refine_params): near-gray blocks present?  ASTC gates its luminance
     # CEM 0/4 fits on this; True (conservative) means "keep the fits".
     content_gray: bool = True
+    # Non-opaque alpha present?  ASTC gates its CEM 12 / dual-plane fits
+    # on this (CEM 8's implicit alpha is exact for opaque batches).
+    content_alpha: bool = True
     # BC6H candidate-selection error domain: "value" (linear SSE, peak-
     # relative PSNR) or "code" (half-bit/log SSE, the ispc-class HDR
     # objective).  See kernels/bc6h.py:encode_bc6h; ignored elsewhere.

@@ -41,7 +41,9 @@ class AstcConverter(BlockConverter):
         if self.hdr:
             return params  # HDR profiles use CEM 11/14 only
         return dataclasses.replace(
-            params, content_gray=astc.has_gray_blocks(host_blocks)
+            params,
+            content_gray=astc.has_gray_blocks(host_blocks),
+            content_alpha=astc.has_alpha_blocks(host_blocks),
         )
 
     def encode_blocks(self, blocks, params: EncodeParams):
@@ -63,6 +65,7 @@ class AstcConverter(BlockConverter):
             block_h=self.block_h,
             quality=int(params.quality),
             gray=params.content_gray,
+            alpha=params.content_alpha,
         )
 
 

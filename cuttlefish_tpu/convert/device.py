@@ -318,6 +318,7 @@ def _encode_pyramid(
         h, w, s, levels, filter_name, srgb, normal_opts,
         params.quality, params.alpha_type,
         repr(params.color_mask), params.color_space, params.content_gray,
+        params.content_alpha,
         repr(get_mesh()),
     )
     fused = _PYRAMID_FNS.get(key)

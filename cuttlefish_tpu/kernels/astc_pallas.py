@@ -45,7 +45,10 @@ from cuttlefish_tpu.kernels.astc_ise import (
     quint_pack_table,
     weight_unquant,
 )
-from cuttlefish_tpu.kernels.astc_partition import partition_table
+from cuttlefish_tpu.kernels.astc_partition import (
+    partition_table,
+    unique_partition_seeds,
+)
 
 TN_A = 512
 TN_B = 128
@@ -654,7 +657,7 @@ def _void_extent(px, t_count):
 # ---------------------------------------------------------------------------
 
 
-def _tasks_a(bw, bh, quality, gray=True):
+def _tasks_a(bw, bh, quality, gray=True, alpha=True):
     """Kernel-A work lists ``(base, gray_tasks)``: base = 1-partition CEM
     8/12 layouts (ccs None) plus one dual-plane fit per plan dp_ccs
     candidate; gray_tasks = the luminance CEM 0/4 layouts, run only for
@@ -667,9 +670,9 @@ def _tasks_a(bw, bh, quality, gray=True):
     base = [
         (lay, None)
         for lay in menu[(8, 1)][: plan["cem8_layouts"]]
-        + menu[(12, 1)][: plan["cem12_layouts"]]
+        + menu[(12, 1)][: plan["cem12_layouts"] if alpha else 0]
     ]
-    if plan["dp_ccs"] and menu[(12, "dp")]:
+    if plan["dp_ccs"] and menu[(12, "dp")] and alpha:
         lay = menu[(12, "dp")][0]
         for ccs in plan["dp_ccs"]:
             base.append((lay, ccs))
@@ -709,7 +712,7 @@ def _prepared_grid(bw, bh, gw, gh):
 
 
 def _kernel_a(x_ref, *refs, quality, clut_levels, bw, bh, grid_keys,
-              gray=True):
+              gray=True, alpha=True):
     """grid_keys: tuple of (gw, gh) grid shapes that carry decimated
     grids; for each, two refs (a, pinv) follow the cluts in `rest`.
     When ``gray`` a per-tile flag array (SMEM, one int per grid step)
@@ -757,7 +760,7 @@ def _kernel_a(x_ref, *refs, quality, clut_levels, bw, bh, grid_keys,
             err = jnp.where(take, lerr, err)
         return words, err
 
-    base, gray_tasks = _tasks_a(bw, bh, quality, gray)
+    base, gray_tasks = _tasks_a(bw, bh, quality, gray, alpha)
     words, err = _void_extent(px, t_count)
     words, err = run(base, words, err)
 
@@ -786,11 +789,11 @@ def _kernel_a(x_ref, *refs, quality, clut_levels, bw, bh, grid_keys,
 # ---------------------------------------------------------------------------
 
 
-def _layouts_b(bw, bh, quality):
+def _layouts_b(bw, bh, quality, alpha=True):
     plan = plan_for(quality, bw, bh)
     menu = layout_menu(bw, bh)
     lays = list(menu[(8, 2)][: plan.get("p2_layouts", 1)])
-    if quality >= 3 and menu[(12, 2)]:
+    if quality >= 3 and menu[(12, 2)] and alpha:
         lays.append(menu[(12, 2)][0])
     return lays
 
@@ -914,8 +917,8 @@ def _pack_2part(lay, qs, gq, seed, shape, pack_tbls):
     return words
 
 
-def _kernel_b(x_ref, pt_ref, ptt_ref, trit_ref, quint_ref, *rest,
-              quality, bw, bh, clut_levels, grid_layidx):
+def _kernel_b(x_ref, pt_ref, ptt_ref, smap_ref, trit_ref, quint_ref, *rest,
+              quality, bw, bh, clut_levels, grid_layidx, alpha=True):
     clut_refs = rest[: len(clut_levels)]
     grid_refs = rest[len(clut_levels) : len(clut_levels) + 2 * len(grid_layidx)]
     out_ref, err_ref = rest[-2], rest[-1]
@@ -929,13 +932,16 @@ def _kernel_b(x_ref, pt_ref, ptt_ref, trit_ref, quint_ref, *rest,
     plan = plan_for(quality, bw, bh)
     iters = plan["iters"]
     topk = max(1, plan["seeds2"])
-    lays = _layouts_b(bw, bh, quality)
+    lays = _layouts_b(bw, bh, quality, alpha)
     t_count = float(bw * bh)
 
-    # --- screening: within-cluster SSE proxy over all 1024 seeds (MXU).
-    pt = pt_ref[:]  # [1024,T] membership of subset 1
-    ns = jnp.sum(pt, axis=1, keepdims=True)  # [1024,1]
-    s1 = [_mm(pt, px[c]) for c in range(4)]  # [1024,TN]
+    # --- screening: within-cluster SSE proxy over the DISTINCT
+    # partition patterns (unique_partition_seeds; rows are padded with
+    # zero masks, screened out as degenerate).  smap_ref maps the row
+    # back to a real 10-bit seed for packing.
+    pt = pt_ref[:]  # [U,T] membership of subset 1
+    ns = jnp.sum(pt, axis=1, keepdims=True)  # [U,1]
+    s1 = [_mm(pt, px[c]) for c in range(4)]  # [U,TN]
     sq_all = _rt(sum(px[c] * px[c] for c in range(4)))  # [1,TN]
     s_all = [_rt(px[c]) for c in range(4)]
     n1 = ns + 1e-6
@@ -948,28 +954,54 @@ def _kernel_b(x_ref, pt_ref, ptt_ref, trit_ref, quint_ref, *rest,
     sse = jnp.where(degenerate, jnp.inf, sse)
     iota = jax.lax.broadcasted_iota(jnp.int32, sse.shape, 0)
 
-    seeds_l = []
+    nrows = pt.shape[0]
+    seeds_l = []  # pattern-row indices
     for k in range(topk):
         smin = jnp.min(sse, axis=0, keepdims=True)
         seed = jnp.min(
-            jnp.where(sse == smin, iota, 1024), axis=0, keepdims=True
+            jnp.where(sse == smin, iota, nrows), axis=0, keepdims=True
         )
         sse = jnp.where(iota == seed, jnp.inf, sse)
         seeds_l.append(seed)
     keep = min(max(1, plan.get("keep2", 1)), topk)
     if topk > keep:
-        # Estimate-then-refine (mirrors kernels/astc.py:_rank_seeds): one
-        # unrefined fit of the first layout per seed, deep-fit only the
-        # per-block top-`keep` ranked seeds.
+        # Estimate-then-refine via the continuous-SSE rank (mirrors
+        # kernels/astc.py:_rank_seeds_cont): per-subset masked-PCA line
+        # residual — a few elementwise reductions per seed instead of an
+        # unrefined quantized fit, same ranking quality on the harness.
+        def cont_sse(m1):
+            tot = None
+            for m in (1.0 - m1, m1):
+                cnt = _rt(m) + 1e-6
+                mean = [_rt(px[c] * m) / cnt for c in range(4)]
+                cent = [(px[c] - mean[c]) * m for c in range(4)]
+                cov = [
+                    [_rt(cent[a] * cent[d]) for d in range(4)]
+                    for a in range(4)
+                ]
+                v = [jnp.ones_like(cnt) for _ in range(4)]
+                for _ in range(3):
+                    nv = [
+                        sum(cov[a][d] * v[d] for d in range(4))
+                        for a in range(4)
+                    ]
+                    nn = jnp.sqrt(sum(x * x for x in nv))
+                    v = [
+                        jnp.where(nn > 1e-10, nv[a] / (nn + 1e-20), v[a])
+                        for a in range(4)
+                    ]
+                proj = sum(cent[c] * v[c] for c in range(4))
+                e = _rt(sum(cent[c] * cent[c] for c in range(4))) - _rt(
+                    proj * proj
+                )
+                tot = e if tot is None else tot + e
+            return tot
+
         ests = []
         for seed in seeds_l:
             onehot = (iota == seed).astype(jnp.float32)
             m1 = _mm(ptt_ref[:], onehot)
-            _, _, e = _fit_2part(
-                px, (1.0 - m1, m1), lays[0], 1,
-                cluts.get(lays[0].clevels), grids.get(0),
-            )
-            ests.append(e)
+            ests.append(cont_sse(m1))
         chosen = [jnp.zeros_like(e, jnp.bool_) for e in ests]
         winners = []
         for _ in range(keep):
@@ -995,15 +1027,19 @@ def _kernel_b(x_ref, pt_ref, ptt_ref, trit_ref, quint_ref, *rest,
     words = None
     err = None
     p2_iters = plan.get("p2_iters", iters)
+    smap = smap_ref[:]  # [U,1] float seed ids
     for seed in seeds_l:
-        onehot = (iota == seed).astype(jnp.float32)  # [1024,TN]
+        onehot = (iota == seed).astype(jnp.float32)  # [U,TN]
         m1 = _mm(ptt_ref[:], onehot)  # [T,TN]
+        seed_id = jnp.sum(
+            smap * onehot, axis=0, keepdims=True
+        ).astype(jnp.int32)  # [1,TN] real 10-bit seed
         for li, lay in enumerate(lays):
             qs, gq, lerr = _fit_2part(
                 px, (1.0 - m1, m1), lay, p2_iters,
                 cluts.get(lay.clevels), grids.get(li),
             )
-            lwords = _pack_2part(lay, qs, gq, seed, lerr.shape, pack_tbls)
+            lwords = _pack_2part(lay, qs, gq, seed_id, lerr.shape, pack_tbls)
             if words is None:
                 words, err = lwords, lerr
             else:
@@ -1023,8 +1059,8 @@ def _kernel_b(x_ref, pt_ref, ptt_ref, trit_ref, quint_ref, *rest,
 # ---------------------------------------------------------------------------
 
 
-def _kernel_c(x_ref, p1_ref, p2_ref, p1t_ref, p2t_ref, trit_ref, quint_ref,
-              *rest, quality, bw, bh, clut_levels, has_grid):
+def _kernel_c(x_ref, p1_ref, p2_ref, p1t_ref, p2t_ref, smap_ref, trit_ref,
+              quint_ref, *rest, quality, bw, bh, clut_levels, has_grid):
     clut_refs = rest[: len(clut_levels)]
     grid_refs = rest[len(clut_levels) : len(clut_levels) + (2 if has_grid else 0)]
     out_ref, err_ref = rest[-2], rest[-1]
@@ -1038,9 +1074,10 @@ def _kernel_c(x_ref, p1_ref, p2_ref, p1t_ref, p2t_ref, trit_ref, quint_ref,
     lay = layout_menu(bw, bh)[(8, 3)][0]
     t_count = float(bw * bh)
 
-    # 3-cluster within-SSE proxy over all 1024 seeds (two membership
-    # tables on the MXU; mirrors astc.py:_screen_partitions nparts=3).
-    p1 = p1_ref[:]  # [1024,T]
+    # 3-cluster within-SSE proxy over the DISTINCT patterns (two
+    # membership tables on the MXU; unique_partition_seeds rows, padded
+    # with zero masks -> screened out as degenerate).
+    p1 = p1_ref[:]  # [U,T]
     p2 = p2_ref[:]
     n1 = jnp.sum(p1, axis=1, keepdims=True)
     n2 = jnp.sum(p2, axis=1, keepdims=True)
@@ -1060,11 +1097,12 @@ def _kernel_c(x_ref, p1_ref, p2_ref, p1t_ref, p2t_ref, trit_ref, quint_ref,
     sse = jnp.where(degenerate, jnp.inf, sse)
     iota = jax.lax.broadcasted_iota(jnp.int32, sse.shape, 0)
 
-    seeds_l = []
+    nrows = p1.shape[0]
+    seeds_l = []  # pattern-row indices
     for k in range(topk):
         smin = jnp.min(sse, axis=0, keepdims=True)
         seed = jnp.min(
-            jnp.where(sse == smin, iota, 1024), axis=0, keepdims=True
+            jnp.where(sse == smin, iota, nrows), axis=0, keepdims=True
         )
         sse = jnp.where(iota == seed, jnp.inf, sse)
         seeds_l.append(seed)
@@ -1104,15 +1142,19 @@ def _kernel_c(x_ref, p1_ref, p2_ref, p1t_ref, p2t_ref, trit_ref, quint_ref,
 
     words = None
     err = None
+    smap = smap_ref[:]  # [U,1] float seed ids
     for seed in seeds_l:
         onehot = (iota == seed).astype(jnp.float32)
         m1 = _mm(p1t_ref[:], onehot)  # [T,TN]
         m2 = _mm(p2t_ref[:], onehot)
+        seed_id = jnp.sum(
+            smap * onehot, axis=0, keepdims=True
+        ).astype(jnp.int32)
         qs, gq, lerr = _fit_2part(
             px, (1.0 - m1 - m2, m1, m2), lay, iters,
             cluts.get(lay.clevels), grid,
         )
-        lwords = _pack_2part(lay, qs, gq, seed, lerr.shape, pack_tbls)
+        lwords = _pack_2part(lay, qs, gq, seed_id, lerr.shape, pack_tbls)
         if words is None:
             words, err = lwords, lerr
         else:
@@ -1253,7 +1295,9 @@ def _layouts_d(bw, bh):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_w", "block_h", "quality", "interpret", "gray"),
+    static_argnames=(
+        "block_w", "block_h", "quality", "interpret", "gray", "alpha"
+    ),
 )
 def encode_astc_pallas(
     blocks: jnp.ndarray,
@@ -1262,6 +1306,7 @@ def encode_astc_pallas(
     quality: int = 2,
     interpret: bool = False,
     gray: bool = True,
+    alpha: bool = True,
 ) -> jnp.ndarray:
     """Encode [N,bw*bh,4] float RGBA (0..1) -> ASTC [N,4] uint32 words.
 
@@ -1310,7 +1355,8 @@ def encode_astc_pallas(
     quint_tbl = jnp.asarray(
         quint_pack_table().reshape(1, -1).astype(np.float32)
     )  # [1,125]
-    base_a, gray_a = _tasks_a(bw, bh, quality, gray)
+    alpha = bool(alpha)
+    base_a, gray_a = _tasks_a(bw, bh, quality, gray, alpha)
     tasks_a = base_a + gray_a
     clut_levels = tuple(
         sorted({lay.clevels for lay, _ in tasks_a if lay.clevels != 256})
@@ -1350,6 +1396,7 @@ def encode_astc_pallas(
         functools.partial(
             _kernel_a, quality=quality, clut_levels=clut_levels,
             bw=bw, bh=bh, grid_keys=grid_keys, gray=bool(flag_args_a),
+            alpha=alpha,
         ),
         grid=(npad_a // tn_a,),
         in_specs=[
@@ -1381,14 +1428,20 @@ def encode_astc_pallas(
     words = jnp.transpose(words_a)[:n]
     err = err_a[0, :n]
 
-    lays_b = _layouts_b(bw, bh, quality)
+    lays_b = _layouts_b(bw, bh, quality, alpha)
     if plan["seeds2"] and lays_b:
         full_tn_b = TN_B if t_count <= 64 else 128
         tn_b = full_tn_b if n >= full_tn_b else -(-n // 128) * 128
         xb, npad_b = pad_to(tn_b)
-        pt = jnp.asarray(
-            (partition_table(bw, bh, 2) == 1).astype(np.float32)
-        )  # [1024,T]
+        us2 = unique_partition_seeds(bw, bh, 2)
+        upad = -(-len(us2) // 8) * 8
+        pt_np = (partition_table(bw, bh, 2)[us2] == 1).astype(np.float32)
+        pt_np = np.pad(pt_np, ((0, upad - len(us2)), (0, 0)))
+        smap_np = np.pad(
+            us2.astype(np.float32), (0, upad - len(us2))
+        )[:, None]
+        pt = jnp.asarray(pt_np)  # [Upad,T]
+        smap = jnp.asarray(smap_np)  # [Upad,1]
         clut_levels_b = tuple(
             sorted({l.clevels for l in lays_b if l.clevels != 256})
         )
@@ -1415,6 +1468,7 @@ def encode_astc_pallas(
             functools.partial(
                 _kernel_b, quality=quality, bw=bw, bh=bh,
                 clut_levels=clut_levels_b, grid_layidx=grid_layidx_b,
+                alpha=alpha,
             ),
             grid=(npad_b // tn_b,),
             in_specs=[
@@ -1423,11 +1477,12 @@ def encode_astc_pallas(
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1024, t_count), const, memory_space=pltpu.VMEM
+                    (upad, t_count), const, memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec(
-                    (t_count, 1024), const, memory_space=pltpu.VMEM
+                    (t_count, upad), const, memory_space=pltpu.VMEM
                 ),
+                pl.BlockSpec((upad, 1), const, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 243), const, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 125), const, memory_space=pltpu.VMEM),
             ]
@@ -1450,7 +1505,7 @@ def encode_astc_pallas(
             ],
             interpret=interpret,
         )(
-            xb, pt, jnp.transpose(pt), trit_tbl, quint_tbl,
+            xb, pt, jnp.transpose(pt), smap, trit_tbl, quint_tbl,
             *cluts_b, *gridb_arrs,
         )
         wb = jnp.transpose(words_b)[:n]
@@ -1465,9 +1520,20 @@ def encode_astc_pallas(
         full_tn_c = TN_B if t_count <= 64 else 128
         tn_c = full_tn_c if n >= full_tn_c else -(-n // 128) * 128
         xc, npad_c = pad_to(tn_c)
-        tab3 = partition_table(bw, bh, 3)
-        p1 = jnp.asarray((tab3 == 1).astype(np.float32))
-        p2 = jnp.asarray((tab3 == 2).astype(np.float32))
+        us3 = unique_partition_seeds(bw, bh, 3)
+        upad3 = -(-len(us3) // 8) * 8
+        tab3 = partition_table(bw, bh, 3)[us3]
+        p1_np = np.pad(
+            (tab3 == 1).astype(np.float32), ((0, upad3 - len(us3)), (0, 0))
+        )
+        p2_np = np.pad(
+            (tab3 == 2).astype(np.float32), ((0, upad3 - len(us3)), (0, 0))
+        )
+        smap3 = jnp.asarray(
+            np.pad(us3.astype(np.float32), (0, upad3 - len(us3)))[:, None]
+        )
+        p1 = jnp.asarray(p1_np)
+        p2 = jnp.asarray(p2_np)
         clut_levels_c = (
             (lay3.clevels,) if lay3.clevels != 256 else ()
         )
@@ -1496,10 +1562,11 @@ def encode_astc_pallas(
                     (4, t_count, tn_c), lambda i: (0, 0, i),
                     memory_space=pltpu.VMEM,
                 ),
-                pl.BlockSpec((1024, t_count), const, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1024, t_count), const, memory_space=pltpu.VMEM),
-                pl.BlockSpec((t_count, 1024), const, memory_space=pltpu.VMEM),
-                pl.BlockSpec((t_count, 1024), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((upad3, t_count), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((upad3, t_count), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((t_count, upad3), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((t_count, upad3), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((upad3, 1), const, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 243), const, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 125), const, memory_space=pltpu.VMEM),
             ]
@@ -1522,7 +1589,7 @@ def encode_astc_pallas(
             ],
             interpret=interpret,
         )(
-            xc, p1, p2, jnp.transpose(p1), jnp.transpose(p2),
+            xc, p1, p2, jnp.transpose(p1), jnp.transpose(p2), smap3,
             trit_tbl, quint_tbl, *cluts_c, *gridc_arrs,
         )
         wc = jnp.transpose(words_c)[:n]

@@ -98,3 +98,26 @@ def partition_table(bw: int, bh: int, partition_count: int) -> np.ndarray:
         seeds, xs[None, :], ys[None, :], np.zeros((1, bw * bh), np.int64),
         partition_count, small,
     ).astype(np.int8)
+
+
+@functools.lru_cache(maxsize=32)
+def unique_partition_seeds(bw: int, bh: int, partition_count: int):
+    """Representative seed ids for the distinct partition patterns.
+
+    The 10-bit seed hash maps many seeds to the same texel->partition
+    pattern (4x4 2-subset: 438 distinct of 1024, counting a pattern and
+    its complement once — the 2-subset fit is symmetric in the subsets);
+    screening only the representatives shrinks the partition matmul and
+    the top-k extraction proportionally.  Returns a sorted int32 array
+    of the lowest seed per pattern.
+    """
+    table = partition_table(bw, bh, partition_count)
+    seen = {}
+    for seed in range(1024):
+        key = tuple(int(v) for v in table[seed])
+        if partition_count == 2:
+            comp = tuple(1 - v for v in key)
+            key = min(key, comp)
+        if key not in seen:
+            seen[key] = seed
+    return np.asarray(sorted(seen.values()), np.int32)

@@ -532,33 +532,40 @@ def _encode_bc6h_jnp(
         k2 = _PART_SEEDS[max(0, min(4, int(quality)))]
         seeds = _screen_partitions2(proxy, k2)  # [N,k2]
         d = seeds[:, 0]
+        cand_ds = [d]
         if k2 > 1:
             # Estimate-then-refine: rank the cluster-SSE seeds by a
-            # SHALLOW (2-iter) continuous line-fit SSE, then deep-fit only
-            # the per-block winner.  The thorough-class CPU bar
-            # (native/src/bc6h_cpu.cpp q4) showed argmin-1 misranks noise
-            # content by ~0.6 dB; 2-iter ranking recovers all but
-            # ~0.02 dB of full-depth ranking at ~40% of its cost.
+            # SHALLOW (2-iter) continuous line-fit SSE, then deep-fit the
+            # per-block winner PLUS the cluster-SSE argmin (the lower
+            # qualities' only candidate, so the ladder stays monotone
+            # when the continuous rank mis-chooses).  The thorough-class
+            # CPU bar (native/src/bc6h_cpu.cpp q4) showed argmin-1
+            # misranks noise content by ~0.6 dB.
             mask, anchor_oh = _region_geometry(proxy, d)
             _, _, fit_sse = _fit_regions_float(
                 proxy, pxs, mask, anchor_oh, 2
             )
+            dwin = d
             for kk in range(1, k2):
                 dk = seeds[:, kk]
                 mk, ak = _region_geometry(proxy, dk)
                 _, _, sk = _fit_regions_float(proxy, pxs, mk, ak, 2)
                 take = sk < fit_sse
-                d = jnp.where(take, dk, d)
+                dwin = jnp.where(take, dk, dwin)
                 fit_sse = jnp.minimum(fit_sse, sk)
-        mask, anchor_oh = _region_geometry(proxy, d)
-        e0, e1, _ = _fit_regions_float(proxy, pxs, mask, anchor_oh, iters)
-        for mode_id in mode_ids:
-            fields, idx2, err2 = _fit_two_region(
-                proxy, pxv, pxs, mask, anchor_oh, e0, e1, mode_id, signed,
-                code=code,
+            cand_ds = [dwin, d]
+        for dk in cand_ds:
+            mask, anchor_oh = _region_geometry(proxy, dk)
+            e0, e1, _ = _fit_regions_float(
+                proxy, pxs, mask, anchor_oh, iters
             )
-            w2 = _pack_two_region(mode_id, fields, d, idx2)
-            take = err2 < best_err
-            words = jnp.where(take[:, None], w2, words)
-            best_err = jnp.minimum(best_err, err2)
+            for mode_id in mode_ids:
+                fields, idx2, err2 = _fit_two_region(
+                    proxy, pxv, pxs, mask, anchor_oh, e0, e1, mode_id,
+                    signed, code=code,
+                )
+                w2 = _pack_two_region(mode_id, fields, dk, idx2)
+                take = err2 < best_err
+                words = jnp.where(take[:, None], w2, words)
+                best_err = jnp.minimum(best_err, err2)
     return words

@@ -634,7 +634,12 @@ def _kernel(x_ref, part32_ref, part32t_ref, anchors_ref, out_ref, *, quality,
         # content by ~0.6 dB).
         cands = _screen2(px, part32, k2)
         d = cands[0]
+        cand_ds = [d]
         if k2 > 1:
+            # rank winner PLUS the cluster-SSE argmin (lower qualities'
+            # only candidate) so the quality ladder stays monotone when
+            # the continuous rank mis-chooses (see kernels/bc6h.py).
+            dwin = d
             fit_sse = None
             for dk in cands:
                 m1k, _, anchor_ohk = _geometry(dk)
@@ -645,20 +650,24 @@ def _kernel(x_ref, part32_ref, part32t_ref, anchors_ref, out_ref, *, quality,
                     fit_sse = ssek
                 else:
                     take = ssek < fit_sse
-                    d = jnp.where(take, dk, d)
+                    dwin = jnp.where(take, dk, dwin)
                     fit_sse = jnp.minimum(fit_sse, ssek)
-        m1, anchor1, anchor_oh = _geometry(d)
-        masks = (1.0 - m1, m1)
-        e0, e1, _ = _fit_regions_float(px, pxs, masks, anchor_oh, iters)
-        for mode_id in mode_ids:
-            fields, idx2, err2 = _fit_two_region(
-                px, pxv, pxs, masks, anchor_oh, e0, e1, mode_id,
-                signed, code=code,
+            cand_ds = [dwin, d]
+        for dk in cand_ds:
+            m1, anchor1, anchor_oh = _geometry(dk)
+            masks = (1.0 - m1, m1)
+            e0, e1, _ = _fit_regions_float(
+                px, pxs, masks, anchor_oh, iters
             )
-            w2 = _pack_two_region(mode_id, fields, d, idx2, anchor1)
-            take = err2 < best_err
-            words = [jnp.where(take, a, b) for a, b in zip(w2, words)]
-            best_err = jnp.minimum(best_err, err2)
+            for mode_id in mode_ids:
+                fields, idx2, err2 = _fit_two_region(
+                    px, pxv, pxs, masks, anchor_oh, e0, e1, mode_id,
+                    signed, code=code,
+                )
+                w2 = _pack_two_region(mode_id, fields, dk, idx2, anchor1)
+                take = err2 < best_err
+                words = [jnp.where(take, a, b) for a, b in zip(w2, words)]
+                best_err = jnp.minimum(best_err, err2)
 
     for w in range(4):
         out_ref[w : w + 1, :] = words[w]

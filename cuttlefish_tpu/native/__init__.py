@@ -110,6 +110,9 @@ def _configure(lib):
         c.POINTER(c.c_float), c.c_int, c.c_int, c.c_int, c.c_int, c.c_int,
         u8p,
     ]
+    lib.ctpu_astc_hdr_encode.argtypes = [
+        c.POINTER(c.c_float), c.c_int, c.c_int, c.c_int, c.c_int, u8p,
+    ]
     lib.ctpu_etc2_rgb_encode.argtypes = [
         c.POINTER(c.c_float), c.c_int, c.c_int, c.c_int, c.c_int, u8p,
     ]
@@ -486,6 +489,32 @@ def eac_r11_encode_cpu(vals, quality: int = 2, threads: int = 0):
     _lib.ctpu_eac_r11_encode(
         vals.ctypes.data_as(c.POINTER(c.c_float)), n, int(quality),
         int(threads), out.ctypes.data_as(c.POINTER(c.c_uint8)),
+    )
+    return out
+
+
+def astc_hdr_encode_cpu(blocks, quality: int = 2, alpha_ldr: bool = True,
+                        threads: int = 0):
+    """CPU ASTC 4x4 HDR encode (CEM 11 direct / CEM 14) — the
+    astcenc-fast-class bar for the HDR profiles.
+
+    blocks: [N,16,4] float32, RGB HDR (>= 0), A in [0,1] -> [N,16]
+    uint8 ASTC blocks.  See native/src/astc_cpu.cpp encode_block_hdr.
+    """
+    import ctypes as c
+
+    import numpy as np
+
+    _build_and_load()
+    if _lib is None:
+        raise RuntimeError(f"native codec unavailable: {_load_error}")
+    blocks = np.ascontiguousarray(blocks, np.float32)
+    n = blocks.shape[0]
+    out = np.zeros((n, 16), np.uint8)
+    _lib.ctpu_astc_hdr_encode(
+        blocks.ctypes.data_as(c.POINTER(c.c_float)), n, int(quality),
+        int(bool(alpha_ldr)), int(threads),
+        out.ctypes.data_as(c.POINTER(c.c_uint8)),
     )
     return out
 

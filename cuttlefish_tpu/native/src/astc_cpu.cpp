@@ -1612,6 +1612,221 @@ void encode_block_g(const float* px, int bw, int bh, int quality,
 
 }  // namespace
 
+// ---------------------------------------------------------------------------
+// HDR tier (CEM 11 direct submode / CEM 14) — the astcenc-fast-class
+// bar for the HDR / HDR_RGB_LDR_A profiles the reference maps UFloat to
+// (/root/reference/lib/src/AstcConverter.cpp:151-163).  Fitting runs in
+// the spec's LNS16 code space for RGB (approximately relative error) and
+// UNORM16 for alpha, mirroring kernels/astc.py:_fit_hdr_layout's error
+// model; weights assign against the exact 16-bit decode interpolation.
+// ---------------------------------------------------------------------------
+
+// f32 -> half bits (unsigned clamp, round-to-nearest-even).
+uint16_t hdr_f32_to_half(float f) {
+  if (!(f > 0.0f)) return 0;
+  if (f >= 65504.0f) return 0x7BFF;
+  uint32_t bits;
+  std::memcpy(&bits, &f, 4);
+  uint32_t exp = (bits >> 23) & 0xFF;
+  uint32_t man = bits & 0x7FFFFF;
+  int e = (int)exp - 127 + 15;
+  if (e <= 0) {
+    if (e < -10) return 0;
+    man |= 0x800000;
+    int shift = 14 - e;
+    uint32_t half = man >> shift;
+    uint32_t rem = man & ((1u << shift) - 1);
+    uint32_t halfway = 1u << (shift - 1);
+    if (rem > halfway || (rem == halfway && (half & 1))) ++half;
+    return (uint16_t)half;
+  }
+  uint32_t half = ((uint32_t)e << 10) | (man >> 13);
+  uint32_t rem = man & 0x1FFF;
+  if (rem > 0x1000 || (rem == 0x1000 && (half & 1))) ++half;
+  return (uint16_t)std::min(half, 0x7BFFu);
+}
+
+// half bits -> 16-bit LNS code (kernels/astc.py:_sf16_to_lns_jnp).
+int hdr_half_to_lns(uint16_t h) {
+  h = (uint16_t)std::min<int>(h, 0x7BFF);
+  int e = h >> 10;
+  int mt = (h & 0x3FF) << 3;
+  int m;
+  if (mt < 3 * 512) m = (mt + 1) / 3;
+  else if (mt < 4 * 1536 - 512) m = (mt + 514) / 4;
+  else m = (mt + 2050) / 5;
+  return (e << 11) | std::min(m, 0x7FF);
+}
+
+// Fit CEM 11 (use_alpha=false, 3ch) / CEM 14 (4ch): t16 [16][4] float
+// LNS16 RGB + UNORM16 A targets.  Writes quantized ISE values (6 or 8)
+// and weight values; returns the LNS/UNORM16-domain SSE over nch
+// channels.
+double fit_hdr_layout(const float t16[16][4], const WRange* W,
+                      bool use_alpha, int quality, int q_out[8],
+                      int wq_out[16]) {
+  int nch = use_alpha ? 4 : 3;
+  // PCA seed in the 16-bit target domain.
+  double mean[4] = {0, 0, 0, 0};
+  for (int t = 0; t < 16; ++t)
+    for (int c = 0; c < nch; ++c) mean[c] += t16[t][c] / 16.0;
+  double cov[4][4] = {};
+  for (int t = 0; t < 16; ++t)
+    for (int c = 0; c < nch; ++c)
+      for (int d = 0; d < nch; ++d)
+        cov[c][d] += (t16[t][c] - mean[c]) * (t16[t][d] - mean[d]);
+  double axis[4] = {1, 1, 1, 1};
+  for (int it = 0; it < 4; ++it) {
+    double nv[4] = {}, nn = 0;
+    for (int c = 0; c < nch; ++c)
+      for (int d = 0; d < nch; ++d) nv[c] += cov[c][d] * axis[d];
+    for (int c = 0; c < nch; ++c) nn += nv[c] * nv[c];
+    nn = std::sqrt(nn);
+    if (nn < 1e-10) break;
+    for (int c = 0; c < nch; ++c) axis[c] = nv[c] / nn;
+  }
+  double tmin = 1e30, tmax = -1e30;
+  for (int t = 0; t < 16; ++t) {
+    double tt = 0;
+    for (int c = 0; c < nch; ++c) tt += (t16[t][c] - mean[c]) * axis[c];
+    tmin = std::min(tmin, tt);
+    tmax = std::max(tmax, tt);
+  }
+  double e0[4], e1[4];
+  for (int c = 0; c < nch; ++c) {
+    e0[c] = std::min(65535.0, std::max(0.0, mean[c] + axis[c] * tmin));
+    e1[c] = std::min(65535.0, std::max(0.0, mean[c] + axis[c] * tmax));
+  }
+
+  // Quantize to the CEM 11 direct-submode fields (r,g: 8-bit * 256;
+  // b: 7-bit * 512 with the major-component-3 flag; a: 8-bit * 257).
+  auto quantize = [&](const double e[4], int vals[4], double dec[4]) {
+    int r = clampi((int)std::lround(e[0] / 256.0), 0, 255);
+    int g = clampi((int)std::lround(e[1] / 256.0), 0, 255);
+    int b7 = clampi((int)std::lround(e[2] / 512.0), 0, 127);
+    vals[0] = r;
+    vals[1] = g;
+    vals[2] = 0x80 | b7;
+    dec[0] = r * 256.0;
+    dec[1] = g * 256.0;
+    dec[2] = b7 * 512.0;
+    if (use_alpha) {
+      int a8 = clampi((int)std::lround(e[3] / 257.0), 0, 255);
+      vals[3] = a8;
+      dec[3] = a8 * 257.0;
+    }
+  };
+
+  double best_err = 1e30;
+  int iters = quality <= 0 ? 1 : (quality >= 4 ? 5 : quality + 1);
+  for (int it = 0; it <= iters; ++it) {
+    int v0[4], v1[4];
+    double d0[4], d1[4];
+    quantize(e0, v0, d0);
+    quantize(e1, v1, d1);
+    // exact per-texel weight sweep against the 16-bit decode model
+    double err = 0;
+    int wq[16];
+    float wfrac[16];
+    for (int t = 0; t < 16; ++t) {
+      double be = 1e30;
+      int bw2 = 0;
+      for (int w = 0; w < W->levels; ++w) {
+        int w64 = W->unq[w];
+        double e = 0;
+        for (int c = 0; c < nch; ++c) {
+          double c16 = std::floor(
+              (d0[c] * (64 - w64) + d1[c] * w64 + 32.0) / 64.0);
+          double d = c16 - t16[t][c];
+          e += d * d;
+        }
+        if (e < be) { be = e; bw2 = w; }
+      }
+      wq[t] = bw2;
+      wfrac[t] = W->unq[bw2] / 64.0f;
+      err += be;
+    }
+    if (err < best_err) {
+      best_err = err;
+      std::memcpy(wq_out, wq, sizeof wq);
+      for (int c = 0; c < 3; ++c) {
+        q_out[2 * c] = v0[c];
+        q_out[2 * c + 1] = v1[c];
+      }
+      if (use_alpha) {
+        q_out[6] = v0[3];
+        q_out[7] = v1[3];
+      }
+    }
+    if (it == iters) break;
+    // LS refine in the 16-bit interpolation domain
+    double a = 0, b = 0, c2 = 0, r0[4] = {}, r1[4] = {};
+    for (int t = 0; t < 16; ++t) {
+      double w = wfrac[t];
+      a += w * w;
+      b += w * (1 - w);
+      c2 += (1 - w) * (1 - w);
+      for (int c = 0; c < nch; ++c) {
+        r1[c] += w * t16[t][c];
+        r0[c] += (1 - w) * t16[t][c];
+      }
+    }
+    double det = a * c2 - b * b;
+    if (std::fabs(det) < 1e-9) break;
+    for (int c = 0; c < nch; ++c) {
+      double n1 = (c2 * r1[c] - b * r0[c]) / det;
+      double n0 = (a * r0[c] - b * r1[c]) / det;
+      e1[c] = std::min(65535.0, std::max(0.0, n1));
+      e0[c] = std::min(65535.0, std::max(0.0, n0));
+    }
+  }
+  return best_err;
+}
+
+// rgba [16][4] float: RGB non-negative HDR, A in [0,1].
+void encode_block_hdr(const float* rgba, int quality, int alpha_ldr,
+                      uint8_t* out_blk) {
+  const Ranges& R = ranges();
+  const int bm6 = 3 | (2 << 5);                          // 6-level weights
+  const int bm12 = 1 | (1 << 4) | (2 << 5) | (1 << 9);   // 12-level
+
+  float t16[16][4];
+  bool has_alpha = false;
+  for (int t = 0; t < 16; ++t) {
+    for (int c = 0; c < 3; ++c)
+      t16[t][c] =
+          (float)hdr_half_to_lns(hdr_f32_to_half(rgba[t * 4 + c]));
+    float a = std::min(1.0f, std::max(0.0f, rgba[t * 4 + 3]));
+    t16[t][3] = a * 65535.0f;
+    if (a < 254.5f / 255.0f) has_alpha = true;
+  }
+
+  // CEM 11 (alpha decodes to exactly 1.0): grid 4x4, 12-level weights,
+  // mirroring kernels/astc.py hdr_layout_menu(4,4).
+  Fitted f;
+  int q11[8], wq11[16];
+  double err11 = fit_hdr_layout(t16, &R.w12, false, quality, q11, wq11);
+  for (int t = 0; t < 16; ++t)
+    err11 += (t16[t][3] - 65535.0) * (t16[t][3] - 65535.0);
+
+  Layout L11 = {bm12, &R.w12, 11, 1, &R.c256};
+  Layout L14 = {bm6, &R.w6, 14, 1, &R.c256};
+  int q14[8], wq14[16];
+  double err14 = 1e30;
+  if (alpha_ldr && has_alpha)
+    err14 = fit_hdr_layout(t16, &R.w6, true, quality, q14, wq14);
+
+  if (err14 < err11) {
+    std::memcpy(f.q[0], q14, sizeof q14);
+    std::memcpy(f.wq, wq14, sizeof wq14);
+    pack_block(L14, f, 0, out_blk);
+  } else {
+    std::memcpy(f.q[0], q11, sizeof q11);
+    std::memcpy(f.wq, wq11, sizeof wq11);
+    pack_block(L11, f, 0, out_blk);
+  }
+}
+
 extern "C" {
 
 // rgba: N * 16 * 4 floats in [0,1]; out: N * 16 bytes (ASTC 4x4 blocks).
@@ -1634,6 +1849,35 @@ void ctpu_astc4x4_encode(const float* rgba, int n, int quality, int threads,
           px[i] = std::min(255.0f, std::max(0.0f, rgba[b * 64 + i] * 255.0f));
         encode_block(px, quality, out + b * 16);
       }
+    }
+  };
+  if (threads <= 1) {
+    worker();
+    return;
+  }
+  std::vector<std::thread> pool;
+  for (int t = 0; t < threads; ++t) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
+}
+
+
+// rgba: N * 16 * 4 floats (RGB HDR >= 0, A in [0,1]); out: N * 16 bytes
+// of ASTC 4x4 HDR blocks (CEM 11 / CEM 14 when alpha_ldr and alpha
+// varies).
+void ctpu_astc_hdr_encode(const float* rgba, int n, int quality,
+                          int alpha_ldr, int threads, uint8_t* out) {
+  ranges();
+  ise_tables();
+  if (threads <= 0) threads = (int)std::thread::hardware_concurrency();
+  std::atomic<int> counter{0};
+  const int kChunk = 32;
+  auto worker = [&]() {
+    for (;;) {
+      int start = counter.fetch_add(kChunk);
+      if (start >= n) break;
+      int end = std::min(n, start + kChunk);
+      for (int b = start; b < end; ++b)
+        encode_block_hdr(rgba + b * 64, quality, alpha_ldr, out + b * 16);
     }
   };
   if (threads <= 1) {
