@@ -1340,11 +1340,42 @@ def _fit_hdr_layout(t16, lay: Layout, iters):
         w64 = jnp.clip(jnp.round(jnp.clip(g, 0.0, 1.0) * 64.0), 0, 64).astype(jnp.int32)
         return jnp.take(wq_lut, w64)
 
+    up_np, dn_np = _weight_neighbors(lay.wlevels)
+    up_tab = jnp.asarray(up_np)
+    dn_tab = jnp.asarray(dn_np)
+    full_res = lay.gw == lay.bw and lay.gh == lay.bh
+
+    def refine_grid(d0, d1, gq):
+        """+-1 ladder-rung steps by exact decode error (the rounding in
+        quant_grid is not the exact argmin; the HDR CPU bar's exhaustive
+        sweep measured ~0.05 dB ahead without this).  Full-res grids
+        choose per-texel independently, so keep-best needs no guard."""
+        if not full_res:
+            return gq
+        for _ in range(2):
+            best_g, best_e = gq, None
+            for cand in (gq, jnp.take(up_tab, gq), jnp.take(dn_tab, gq)):
+                w64 = texel_w64(cand).astype(jnp.float32)[..., None]
+                c16 = jnp.floor(
+                    (d0[:, None, :] * (64.0 - w64) + d1[:, None, :] * w64
+                     + 32.0) / 64.0
+                )
+                e = ((c16 - target) ** 2).sum(-1)
+                if best_e is None:
+                    best_e = e
+                else:
+                    take = e < best_e
+                    best_g = jnp.where(take, cand, best_g)
+                    best_e = jnp.minimum(e, best_e)
+            gq = best_g
+        return gq
+
     best = None
     for it in range(max(1, iters)):
         q0, d0 = quant(e0)
         q1, d1 = quant(e1)
         gq = quant_grid(ideal_t(d0, d1))
+        gq = refine_grid(d0, d1, gq)
         err = eval_exact(d0, d1, gq)
         cand = (q0[:, None, :], q1[:, None, :], gq, err)
         if best is None:

@@ -247,6 +247,45 @@ def test_bc6h_hdr_probe(hdr_probe):
 # ---------------------------------------------------------------------------
 
 
+def test_astc_hdr_probe(hdr_probe):
+    """ASTC HDR (CEM 11) on the real HDR probe: floor + TPU >= the
+    astcenc-fast-class HDR CPU bar (VERDICT r4 item 6)."""
+    from cuttlefish_tpu import native
+    from cuttlefish_tpu.decode.astc import decode_astc_hdr
+    from cuttlefish_tpu.kernels.astc import encode_astc_hdr
+
+    surface = np.concatenate(
+        [hdr_probe, np.ones((*hdr_probe.shape[:2], 1), np.float32)], -1
+    )
+    blocks = _blocks(surface)
+    rgb = blocks[..., :3]
+
+    def log_psnr(dec16):
+        dec = (
+            np.frombuffer(
+                np.ascontiguousarray(dec16[..., :3]).astype("<u2").tobytes(),
+                np.float16,
+            )
+            .reshape(rgb.shape)
+            .astype(np.float64)
+        )
+        a = np.log2(np.maximum(dec, 1e-6))
+        b = np.log2(np.maximum(rgb, 1e-6))
+        mse = ((a - b) ** 2).mean()
+        span = b.max() - b.min()
+        return 10 * np.log10(span**2 / max(mse, 1e-12))
+
+    wt = np.asarray(encode_astc_hdr(blocks, 4, 4, quality=2)).astype("<u4")
+    p_tpu = log_psnr(
+        decode_astc_hdr(np.ascontiguousarray(wt).view(np.uint8), 4, 4)
+    )
+    assert p_tpu >= 30.0, p_tpu
+    if native.available():
+        wc = native.astc_hdr_encode_cpu(blocks, quality=2)
+        p_cpu = log_psnr(decode_astc_hdr(wc.reshape(-1), 4, 4))
+        assert p_tpu >= p_cpu - 0.05, (p_tpu, p_cpu)
+
+
 def test_bc1a_ui_atlas_alpha_mask(ui_atlas):
     from cuttlefish_tpu.decode.s3tc import decode_bc1
     from cuttlefish_tpu.kernels.bc import encode_bc1

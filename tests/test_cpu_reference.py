@@ -339,6 +339,66 @@ class TestEacR11VsCpuReference:
         assert p_tpu >= p_cpu - TIE_DB, (content, quality, p_tpu, p_cpu)
 
 
+class TestAstcHdrVsCpuReference:
+    """TPU-path ASTC 4x4 HDR (CEM 11 direct / CEM 14) >= the
+    astcenc-fast-class HDR CPU encoder (native/src/astc_cpu.cpp
+    encode_block_hdr) — both fit in the spec's LNS16 code space, the
+    reference's HDR / HDR_RGB_LDR_A profiles
+    (AstcConverter.cpp:151-163)."""
+
+    @staticmethod
+    def _content(name, n=256):
+        rng = np.random.default_rng(13)
+        if name == "lerp":
+            c0 = rng.random((n, 1, 3), np.float32) * 8
+            c1 = rng.random((n, 1, 3), np.float32) * 8
+            t = rng.random((n, 16, 1), np.float32)
+            rgb = (c0 + (c1 - c0) * t).astype(np.float32)
+        else:
+            rgb = (rng.random((n, 16, 3)) * 8).astype(np.float32)
+        a = np.ones((n, 16, 1), np.float32)
+        if name == "alpha":
+            a = (0.2 + 0.7 * rng.random((n, 16, 1))).astype(np.float32)
+        return np.concatenate([rgb, a], -1)
+
+    @staticmethod
+    def _log_psnr(dec16, rgb):
+        dec = (
+            np.frombuffer(
+                np.ascontiguousarray(dec16[..., :3]).astype("<u2").tobytes(),
+                np.float16,
+            )
+            .reshape(rgb.shape)
+            .astype(np.float64)
+        )
+        a = np.log2(np.maximum(dec, 1e-6))
+        r = np.log2(np.maximum(rgb, 1e-6))
+        mse = ((a - r) ** 2).mean()
+        span = r.max() - r.min()
+        return 10 * np.log10(span * span / max(mse, 1e-12))
+
+    @pytest.mark.parametrize("content", ["lerp", "noise", "alpha"])
+    @pytest.mark.parametrize("quality", [2, 4])
+    def test_astc_hdr_psnr_not_below_cpu_reference(self, content, quality):
+        from cuttlefish_tpu.decode.astc import decode_astc_hdr
+        from cuttlefish_tpu.kernels.astc import encode_astc_hdr
+
+        b = self._content(content)
+        rgb = b[..., :3]
+        wt = np.asarray(
+            encode_astc_hdr(b, 4, 4, quality=quality)
+        ).astype("<u4")
+        p_tpu = self._log_psnr(
+            decode_astc_hdr(
+                np.ascontiguousarray(wt).view(np.uint8), 4, 4
+            ),
+            rgb,
+        )
+        wc = native.astc_hdr_encode_cpu(b, quality=quality)
+        p_cpu = self._log_psnr(decode_astc_hdr(wc.reshape(-1), 4, 4), rgb)
+        assert p_tpu >= p_cpu - TIE_DB, (content, quality, p_tpu, p_cpu)
+
+
 def _sized_content(name: str, bw: int, bh: int, n: int = 128) -> np.ndarray:
     rng = np.random.default_rng(23)
     T = bw * bh
