@@ -425,10 +425,10 @@ class TestAstcSizedVsCpuReference:
     refine, 2-partition screening without the small-block coordinate
     doubling) — the north-star bar beyond 4x4."""
 
-    # 10x10 ties the bar (-0.01); 12x12 sits 0.06 below it on synthetic
-    # lerp (the bar's sequential Gauss-Seidel grid refine vs the kernel's
-    # vectorized simultaneous steps) — tracked in TODO, not asserted.
-    @pytest.mark.parametrize("bw,bh", [(6, 6), (8, 8), (10, 10)])
+    # Round 5: the Pallas fitters run the same Gauss-Seidel grid refine
+    # on decimated grids (checkerboard-class steps, kernels/astc_pallas
+    # _gs_refine), closing the 12x12 gap — all four sizes asserted.
+    @pytest.mark.parametrize("bw,bh", [(6, 6), (8, 8), (10, 10), (12, 12)])
     @pytest.mark.parametrize("content", ["lerp", "pop"])
     @pytest.mark.parametrize(
         "quality",

@@ -305,3 +305,75 @@ class TestPvrtc2Hard:
             )
             ps.append(_psnr(dec, surf))
         assert ps[0] <= ps[1] + 1e-6 and ps[1] <= ps[2] + 1e-6, ps
+
+
+class TestHandDecodedFixtures:
+    """Hand-derived block fixtures (VERDICT r4 item 5): the expected
+    texel values below are computed LONGHAND from the documented PVRTC1
+    format (IMG/PVRTDecompress field layout: B at bits 16..31 with
+    opaque-flag bit 31 and 5.5.5 color, A at bits 0..15 with opaque-flag
+    bit 15 and 5.5.4 color, 2-bit modulation with weights 0/3/5/8 in
+    eighths, punch-through flag bit 0 remapping weights to 0/4/4/8 with
+    index 2 forcing alpha 0) — NOT via the in-repo decoder, breaking the
+    encoder/decoder circularity PARITY.md row 13 flags.  An all-equal
+    block grid makes the bilinear upscale exact (constant), so the
+    expectations are closed-form."""
+
+    @staticmethod
+    def _surface(cw: int, mod: int, n: int = 4):
+        words = np.zeros((n, 2), np.uint32)
+        words[:, 0] = mod
+        words[:, 1] = cw
+        return np.ascontiguousarray(words).view(np.uint8).reshape(-1)
+
+    def test_opaque_block_modulation_ladder(self):
+        from cuttlefish_tpu.decode.pvrtc import decode_pvrtc1
+
+        # A: opaque 5.5.4 (r=10, g=20, b4=5); B: opaque 5.5.5
+        # (r=31, g=0, b=16).  Hand expansion:
+        #   A = (expand5(10), expand5(20), expand5((5<<1)|(5>>3)))
+        #     = (82, 165, 82), alpha 255
+        #   B = (255, 0, 132), alpha 255
+        field_a = (1 << 15) | (10 << 10) | (20 << 5) | (5 << 1)
+        field_b = (1 << 15) | (31 << 10) | (0 << 5) | 16
+        cw = (field_b << 16) | field_a
+        # modulation indices cycle 0,1,2,3 per texel (0xE4 per byte)
+        dec = decode_pvrtc1(self._surface(cw, 0xE4E4E4E4), 8, 8)
+        A = np.array([82, 165, 82, 255], np.float64)
+        B = np.array([255, 0, 132, 255], np.float64)
+        for k, w in enumerate((0, 3, 5, 8)):
+            want = ((A * (8 - w) + B * w) / 8.0 / 255.0).astype(np.float32)
+            got = dec[0, k]  # texel x=k has index k
+            assert np.allclose(got, want, atol=1e-6), (k, got, want)
+
+    def test_translucent_color_a_expansion(self):
+        from cuttlefish_tpu.decode.pvrtc import decode_pvrtc1
+
+        # A translucent (bit 15 clear): a3=2, r4=15, g4=0, b3=4.
+        #   alpha = expand4(2 << 1) = 68; r = expand4(15) = 255; g = 0;
+        #   b = expand4((4 << 1) | (4 >> 2)) = expand4(9) = 153.
+        field_a = (2 << 12) | (15 << 8) | (0 << 4) | (4 << 1)
+        field_b = (1 << 15) | (31 << 10) | (0 << 5) | 16
+        cw = (field_b << 16) | field_a
+        dec = decode_pvrtc1(self._surface(cw, 0), 8, 8)  # all-A texels
+        want = np.array([255, 0, 153, 68], np.float64) / 255.0
+        assert np.allclose(dec[0, 0], want, atol=1e-6), dec[0, 0]
+
+    def test_punch_through_modulation(self):
+        from cuttlefish_tpu.decode.pvrtc import decode_pvrtc1
+
+        # Punch flag (bit 0): weights become 0/4/4/8; index 2 zeroes
+        # alpha of the half-blend.
+        field_a = (1 << 15) | (10 << 10) | (20 << 5) | (5 << 1) | 1
+        field_b = (1 << 15) | (31 << 10) | (0 << 5) | 16
+        cw = (field_b << 16) | field_a
+        dec = decode_pvrtc1(self._surface(cw, 0xE4E4E4E4), 8, 8)
+        A = np.array([82, 165, 82, 255], np.float64)
+        B = np.array([255, 0, 132, 255], np.float64)
+        half = (A + B) / 2.0 / 255.0
+        # index 1 -> half blend, alpha kept
+        assert np.allclose(dec[0, 1], half, atol=1e-6), dec[0, 1]
+        # index 2 -> half blend with alpha forced to 0
+        want2 = half.copy()
+        want2[3] = 0.0
+        assert np.allclose(dec[0, 2], want2, atol=1e-6), dec[0, 2]
