@@ -57,6 +57,13 @@ def _test_surface(size: int) -> np.ndarray:
     return np.clip(surf, 0.0, 1.0)
 
 
+_TUNNEL_NOTE = (
+    "tunnel-bound e2e config: the axon tunnel's ~25-45 ms fixed "
+    "round-trip latency per dispatch dominates wall time; on a directly "
+    "attached TPU this config collapses to the kernel-row throughput"
+)
+
+
 def _time_chained(encode_fn, blocks, nwords: int, chain: int = CHAIN) -> float:
     """Seconds per encode call, tunnel-latency amortized: queue K async
     dispatches (device executes in order), fetch once; report
@@ -158,6 +165,7 @@ def measure_full_matrix() -> dict:
             "seconds": round(dt, 3),
             "cold_seconds": round(cold, 3),
             "bytes": len(data),
+            "note": _TUNNEL_NOTE,
         }
         log(f"{name}: {out[name]}")
 
@@ -194,6 +202,7 @@ def measure_full_matrix() -> dict:
             "seconds": round(dt, 3),
             "cold_seconds": round(cold, 3),
             "bytes": len(data),
+            "note": _TUNNEL_NOTE,
         }
         log(f"bc3_mips_fused_ktx: {out['bc3_mips_fused_ktx']}")
 
@@ -237,6 +246,7 @@ def measure_full_matrix() -> dict:
             "seconds": round(dt, 3),
             "cold_seconds": round(cold, 3),
             "bytes": len(data),
+            "note": _TUNNEL_NOTE,
         }
         log(f"astc_cube_srgb_nm_ktx: {out['astc_cube_srgb_nm_ktx']}")
 
@@ -279,6 +289,7 @@ def measure_full_matrix() -> dict:
             "seconds": round(dt, 3),
             "cold_seconds": round(cold, 3),
             "bytes": len(data),
+            "note": _TUNNEL_NOTE,
         }
         log(f"astc_cube_srgb_nm_fused_ktx: {out['astc_cube_srgb_nm_fused_ktx']}")
 
