@@ -54,7 +54,9 @@ def _test_surface(size: int) -> np.ndarray:
         axis=-1,
     ).astype(np.float32)
     surf += rng.normal(0, 0.02, surf.shape).astype(np.float32)
-    return np.clip(surf, 0.0, 1.0)
+    surf = np.clip(surf, 0.0, 1.0)
+    surf[..., 3] = 1.0  # opaque fixture: the noise must not leak into alpha
+    return surf
 
 
 _TUNNEL_NOTE = (

@@ -550,8 +550,13 @@ def _fit_1part(px, lay: Layout, iters: int, clut, grid=None):
             )
             t = jnp.clip(proj / denom, 0.0, 1.0)
             gq, unq = _grid_quant(t, lay, grid)
-            gq = _gs_refine(px, d0x, d1x, nche, gq, lay, grid)
-            unq = _infill_w64(gq, lay, grid)
+            if lay.bw * lay.bh > 64:
+                # Gauss-Seidel pays off where decimation is forced
+                # (10x10/12x12, >64 texels); the smaller sizes' decimated
+                # ALTERNATIVE layouts pass the sized bar without it and
+                # the sweep costs ~3x their kernel time.
+                gq = _gs_refine(px, d0x, d1x, nche, gq, lay, grid)
+                unq = _infill_w64(gq, lay, grid)
         err = _eval_exact(px, d0x, d1x, unq, nche)
         cand = (q0, q1, gq, unq, err)
         if best is None:
@@ -943,8 +948,9 @@ def _fit_2part(px, masks, lay, iters, clut, grid):
             proj = sum((pxf[c] - d0t[c]) * df[c] for c in range(nch))
             t = jnp.clip(proj / denom, 0.0, 1.0)
             gq, unq = _grid_quant(t, lay, grid)
-            gq = _gs_refine(px, d0i, d1i, nche, gq, lay, grid)
-            unq = _infill_w64(gq, lay, grid)
+            if lay.bw * lay.bh > 64:
+                gq = _gs_refine(px, d0i, d1i, nche, gq, lay, grid)
+                unq = _infill_w64(gq, lay, grid)
         err = _eval_exact(px, d0i, d1i, unq, nche)
         cand = (qs, gq, unq, err)
         if best is None:

@@ -554,12 +554,17 @@ def _encode_bc6h_jnp(
                 dwin = jnp.where(take, dk, dwin)
                 fit_sse = jnp.minimum(fit_sse, sk)
             cand_ds = [dwin, d]
-        for dk in cand_ds:
+        for gi, dk in enumerate(cand_ds):
+            # The argmin geometry (gi == 1) exists to keep the ladder
+            # monotone: lower qualities search exactly modes (1, 2, 10)
+            # on it, so covering that subset suffices — the rank winner
+            # carries the full q4 mode breadth.
+            gmodes = mode_ids if gi == 0 else _TWO_REGION_PLAN[2]
             mask, anchor_oh = _region_geometry(proxy, dk)
             e0, e1, _ = _fit_regions_float(
                 proxy, pxs, mask, anchor_oh, iters
             )
-            for mode_id in mode_ids:
+            for mode_id in gmodes:
                 fields, idx2, err2 = _fit_two_region(
                     proxy, pxv, pxs, mask, anchor_oh, e0, e1, mode_id,
                     signed, code=code,

@@ -653,13 +653,16 @@ def _kernel(x_ref, part32_ref, part32t_ref, anchors_ref, out_ref, *, quality,
                     dwin = jnp.where(take, dk, dwin)
                     fit_sse = jnp.minimum(fit_sse, ssek)
             cand_ds = [dwin, d]
-        for dk in cand_ds:
+        for gi, dk in enumerate(cand_ds):
+            # argmin geometry covers only the lower qualities' mode set
+            # (ladder monotonicity); see kernels/bc6h.py.
+            gmodes = mode_ids if gi == 0 else _TWO_REGION_PLAN[2]
             m1, anchor1, anchor_oh = _geometry(dk)
             masks = (1.0 - m1, m1)
             e0, e1, _ = _fit_regions_float(
                 px, pxs, masks, anchor_oh, iters
             )
-            for mode_id in mode_ids:
+            for mode_id in gmodes:
                 fields, idx2, err2 = _fit_two_region(
                     px, pxv, pxs, masks, anchor_oh, e0, e1, mode_id,
                     signed, code=code,
