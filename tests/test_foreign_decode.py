@@ -290,6 +290,7 @@ def test_foreign_hdr_void_extent_decodes_to_error_color():
     raw = blk.to_bytes(16, "little")
     ours = decode.decode_astc(np.frombuffer(raw, np.uint8), 4, 4)
     assert (ours == np.asarray([255, 0, 255, 255], np.uint8)).all()
+    _check_blocks(raw, 4, 4)  # Mesa also error-colors it (byte-equal)
 
     data = _ktx2_with_block(raw)
     img = Image(data)
@@ -311,6 +312,7 @@ def test_foreign_hdr_endpoint_cem_decodes_to_error_color():
                        [0, 1] * 8, 2)
     ours = decode.decode_astc(np.frombuffer(blk, np.uint8), 4, 4)
     assert (ours == np.asarray([255, 0, 255, 255], np.uint8)).all()
+    _check_blocks(blk, 4, 4)  # Mesa also error-colors it (byte-equal)
 
     img = Image(_ktx2_with_block(blk))
     assert img.valid
