@@ -1476,19 +1476,20 @@ def encode_etc2_a1(
                 jnp.where(take, w, b) for w, b in zip(words, best_o)
             )
             best_err = jnp.where(take, derr, best_err)
-    err_px, fields = _planar_candidate(colors)
+    refine = 2 if quality >= 4 else 0
+    err_px, fields = _planar_candidate(colors, refine=refine)
     perr = jnp.einsum("npc,c->n", err_px, ch_w)
     hi_p, lo_p = _pack_planar(fields, colors.shape[0])
     take = perr < best_err
     best_o = tuple(jnp.where(take, w, b) for w, b in zip((hi_p, lo_p), best_o))
     best_err = jnp.where(take, perr, best_err)
 
-    terr, twords = _etc2_t_candidate(colors, ch_w)
+    terr, twords = _etc2_t_candidate(colors, ch_w, refine=refine)
     take = terr < best_err
     best_o = tuple(jnp.where(take, w, b) for w, b in zip(twords, best_o))
     best_err = jnp.where(take, terr, best_err)
 
-    herr, hwords = _etc2_h_candidate(colors, ch_w)
+    herr, hwords = _etc2_h_candidate(colors, ch_w, refine=refine)
     take = herr < best_err
     best_o = tuple(jnp.where(take, w, b) for w, b in zip(hwords, best_o))
 
@@ -1510,7 +1511,9 @@ def encode_etc2_a1(
             )
             terr = jnp.where(take, err, terr)
     for cand_fn in (_etc2_t_candidate, _etc2_h_candidate):
-        err, words = cand_fn(colors, ch_w, alpha_mask=alpha_mask)
+        err, words = cand_fn(
+            colors, ch_w, alpha_mask=alpha_mask, refine=refine
+        )
         take = err < terr
         best_t = tuple(jnp.where(take, w, b) for w, b in zip(words, best_t))
         terr = jnp.where(take, err, terr)
