@@ -310,6 +310,12 @@ def measure_full_matrix() -> dict:
     )
     out["bc6h_q4_kernel"] = {"mtexels_per_s": round(1024 * 1024 / dt / 1e6, 2)}
     log(f"bc6h_q4_kernel: {out['bc6h_q4_kernel']}")
+    dt = _time_chained(
+        lambda b: kbc6h.encode_bc6h(b[..., :3] * 4.0, quality=2), blocks, 4,
+        chain=4,
+    )
+    out["bc6h_q2_kernel"] = {"mtexels_per_s": round(1024 * 1024 / dt / 1e6, 2)}
+    log(f"bc6h_q2_kernel: {out['bc6h_q2_kernel']}")
     # Config 5: ASTC 4x4 + 8x8 kernels (sRGB/cube orchestration is host-side).
     # Same content gates the converter applies: colored content skips the
     # CEM 0/4 fits, opaque content the CEM 12 / dual-plane fits.
