@@ -273,17 +273,37 @@ def load(source) -> tuple[np.ndarray, ImageFormat]:
                 return _native_to_format(arr, 8)
         except Exception:
             pass
+    if data.startswith(b"GIF87a") or data.startswith(b"GIF89a"):
+        try:
+            from cuttlefish_tpu import native
+
+            if native.available():
+                arr = native.gif_decode(data)
+                return _native_to_format(arr, 8)
+        except Exception:
+            pass
+    if data.startswith(b"II*\x00") or data.startswith(b"MM\x00*"):
+        # Baseline strip TIFF natively; tiles/planar/JPEG-in-TIFF raise
+        # and fall through to PIL.
+        try:
+            from cuttlefish_tpu import native
+
+            if native.available():
+                arr, depth = native.tiff_decode(data)
+                return _native_to_format(arr, depth)
+        except Exception:
+            pass
     if not _HAVE_PIL:
         # Dependency boundary (mirrors the reference's FreeImage ~30-format
-        # surface, README.md:21-36): PNG/JPEG/TGA/BMP/HDR/PFM/EXR and the
-        # DDS/KTX/KTX2/PVR containers decode natively; everything else
-        # (GIF/TIFF/WEBP/PSD/ICO/...) requires the optional Pillow
-        # dependency (`pip install cuttlefish-tpu[codecs]`).
+        # surface, README.md:21-36): PNG/JPEG/GIF/TIFF/TGA/BMP/HDR/PFM/EXR
+        # and the DDS/KTX/KTX2/PVR containers decode natively; everything
+        # else (WEBP/PSD/ICO/...) requires the optional Pillow dependency
+        # (`pip install cuttlefish-tpu[codecs]`).
         raise DecodeError(
             "unrecognized or non-built-in image format; built-in codecs "
-            "cover PNG/JPEG/TGA/BMP/HDR/PFM/EXR + DDS/KTX/KTX2/PVR — "
-            "install the optional Pillow dependency "
-            "(cuttlefish-tpu[codecs]) for the long tail (GIF/TIFF/WEBP/...)"
+            "cover PNG/JPEG/GIF/TIFF/TGA/BMP/HDR/PFM/EXR + "
+            "DDS/KTX/KTX2/PVR — install the optional Pillow dependency "
+            "(cuttlefish-tpu[codecs]) for the long tail (WEBP/PSD/...)"
         )
     try:
         img = _pil.open(io.BytesIO(data))

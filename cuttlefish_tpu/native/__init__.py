@@ -52,13 +52,13 @@ def _build_and_load():
         os.makedirs(cache_dir, exist_ok=True)
         so_path = os.path.join(cache_dir, f"libctpu_{digest}.so")
         if not os.path.exists(so_path):
+            cpps = [f for f in hashed if f.endswith(".cpp")]
             with tempfile.TemporaryDirectory() as td:
                 tmp = os.path.join(td, "libctpu.so")
                 subprocess.run(
                     [
                         "g++", "-O2", "-shared", "-fPIC", "-std=c++17",
-                        _SRC, _SRC_JPEG, _SRC_BC7, _SRC_ASTC, _SRC_ETC2,
-                        _SRC_BC1, _SRC_BC6H, "-lz", "-pthread", "-o", tmp,
+                        *cpps, "-lz", "-pthread", "-o", tmp,
                     ],
                     check=True,
                     capture_output=True,
@@ -95,6 +95,15 @@ def _configure(lib):
     lib.ctpu_jpeg_decode.argtypes = [
         u8p, c.c_size_t, c.POINTER(u8p),
         c.POINTER(c.c_uint32), c.POINTER(c.c_uint32), c.POINTER(c.c_uint32),
+    ]
+    lib.ctpu_gif_decode.argtypes = [
+        u8p, c.c_size_t, c.POINTER(u8p),
+        c.POINTER(c.c_uint32), c.POINTER(c.c_uint32), c.POINTER(c.c_uint32),
+    ]
+    lib.ctpu_tiff_decode.argtypes = [
+        u8p, c.c_size_t, c.POINTER(u8p),
+        c.POINTER(c.c_uint32), c.POINTER(c.c_uint32),
+        c.POINTER(c.c_uint32), c.POINTER(c.c_uint32),
     ]
     lib.ctpu_extract_blocks.argtypes = [
         c.POINTER(c.c_float), c.c_int, c.c_int, c.c_int, c.c_int, c.c_int,
@@ -209,6 +218,80 @@ def jpeg_decode(data: bytes):
     if ch.value == 1:
         arr = arr[:, :, 0]
     return arr.copy()
+
+
+def gif_decode(data: bytes):
+    """GIF bytes -> uint8 array [h,w,3] (opaque) or [h,w,4] (transparent).
+
+    First frame composed onto the logical screen; see
+    native/src/extracodecs.cpp.  Raises ValueError on failure (callers
+    fall back to PIL).
+    """
+    import numpy as np
+
+    _build_and_load()
+    if _lib is None:
+        raise RuntimeError(f"native codec unavailable: {_load_error}")
+    c = ctypes
+    buf = (c.c_uint8 * len(data)).from_buffer_copy(data)
+    out = c.POINTER(c.c_uint8)()
+    w = c.c_uint32()
+    h = c.c_uint32()
+    ch = c.c_uint32()
+    rc = _lib.ctpu_gif_decode(
+        buf, len(data), c.byref(out), c.byref(w), c.byref(h), c.byref(ch)
+    )
+    if rc != 0:
+        raise ValueError(f"GIF decode failed (code {rc})")
+    try:
+        nbytes = w.value * h.value * ch.value
+        raw = c.cast(out, c.POINTER(c.c_uint8 * nbytes)).contents
+        arr = np.frombuffer(bytes(raw), np.uint8).reshape(
+            h.value, w.value, ch.value
+        )
+    finally:
+        _lib.ctpu_free(out)
+    return arr.copy()
+
+
+def tiff_decode(data: bytes):
+    """Baseline TIFF bytes -> (array, depth).  Array is [h,w] (gray) or
+    [h,w,c] uint8/uint16; depth 8 or 16.
+
+    Strip-organized, compression none/PackBits/LZW (+ horizontal
+    predictor), gray/palette/RGB/RGBA; see native/src/extracodecs.cpp.
+    Raises ValueError on unsupported streams (tiles, JPEG-in-TIFF,
+    planar) — callers fall back to PIL.
+    """
+    import numpy as np
+
+    _build_and_load()
+    if _lib is None:
+        raise RuntimeError(f"native codec unavailable: {_load_error}")
+    c = ctypes
+    buf = (c.c_uint8 * len(data)).from_buffer_copy(data)
+    out = c.POINTER(c.c_uint8)()
+    w = c.c_uint32()
+    h = c.c_uint32()
+    ch = c.c_uint32()
+    depth = c.c_uint32()
+    rc = _lib.ctpu_tiff_decode(
+        buf, len(data), c.byref(out), c.byref(w), c.byref(h), c.byref(ch),
+        c.byref(depth),
+    )
+    if rc != 0:
+        raise ValueError(f"TIFF decode failed (code {rc})")
+    try:
+        nbytes = w.value * h.value * ch.value * (depth.value // 8)
+        raw = c.cast(out, c.POINTER(c.c_uint8 * nbytes)).contents
+        arr = np.frombuffer(
+            bytes(raw), np.uint16 if depth.value == 16 else np.uint8
+        ).reshape(h.value, w.value, ch.value)
+    finally:
+        _lib.ctpu_free(out)
+    if ch.value == 1:
+        arr = arr[:, :, 0]
+    return arr.copy(), depth.value
 
 
 def png_encode(arr) -> bytes:

@@ -254,3 +254,146 @@ class TestJpegDecode:
             decoded, fmt = codecs.load(buf.getvalue())
             assert decoded.shape == (24, 24, 3)
             assert np.abs(decoded.astype(int) - 128).max() <= 2
+
+
+class TestGifDecode:
+    """Native GIF decoder vs PIL (the independent oracle): palettes,
+    interlace, transparency — the FreeImage long-tail analog
+    (native/src/extracodecs.cpp)."""
+
+    @staticmethod
+    def _gif_bytes(img, **save):
+        buf = io.BytesIO()
+        img.save(buf, format="GIF", **save)
+        return buf.getvalue()
+
+    def test_palette_gif_matches_pil(self):
+        import PIL.Image
+
+        rng = np.random.default_rng(0)
+        arr = rng.integers(0, 255, (37, 53, 3)).astype(np.uint8)
+        data = self._gif_bytes(
+            PIL.Image.fromarray(arr).convert(
+                "P", palette=PIL.Image.Palette.ADAPTIVE
+            )
+        )
+        ours = native.gif_decode(data)
+        ref = np.asarray(PIL.Image.open(io.BytesIO(data)).convert("RGB"))
+        assert np.array_equal(ours, ref)
+
+    def test_interlaced_gif_matches_pil(self):
+        import PIL.Image
+
+        rng = np.random.default_rng(1)
+        arr = rng.integers(0, 255, (29, 31, 3)).astype(np.uint8)
+        data = self._gif_bytes(PIL.Image.fromarray(arr), interlace=True)
+        ours = native.gif_decode(data)
+        ref = np.asarray(PIL.Image.open(io.BytesIO(data)).convert("RGB"))
+        assert np.array_equal(ours, ref)
+
+    def test_transparent_gif_matches_pil(self):
+        import PIL.Image
+
+        arr = np.zeros((16, 16, 3), np.uint8)
+        arr[::2] = (255, 0, 0)
+        arr[:, ::3] = (0, 255, 0)
+        pimg = PIL.Image.fromarray(arr).convert(
+            "P", palette=PIL.Image.Palette.ADAPTIVE
+        )
+        data = self._gif_bytes(pimg, transparency=0)
+        ours = native.gif_decode(data)
+        assert ours.shape[-1] == 4
+        ref = np.asarray(PIL.Image.open(io.BytesIO(data)).convert("RGBA"))
+        assert np.array_equal(ours[..., 3], ref[..., 3])
+        m = ours[..., 3] > 0
+        assert np.array_equal(ours[m], ref[m])
+
+    def test_gif_through_image_load(self):
+        import PIL.Image
+
+        from cuttlefish_tpu.image import codecs
+
+        rng = np.random.default_rng(2)
+        arr = rng.integers(0, 255, (20, 24, 3)).astype(np.uint8)
+        data = self._gif_bytes(
+            PIL.Image.fromarray(arr).convert(
+                "P", palette=PIL.Image.Palette.ADAPTIVE
+            )
+        )
+        decoded, fmt = codecs.load(data)
+        ref = np.asarray(PIL.Image.open(io.BytesIO(data)).convert("RGB"))
+        assert np.array_equal(decoded, ref)
+
+
+class TestTiffDecode:
+    """Native baseline-TIFF decoder vs PIL: strips, none/PackBits/LZW
+    (+ horizontal predictor), 8/16-bit, gray/RGB/RGBA."""
+
+    @staticmethod
+    def _tiff_bytes(arr, **save):
+        import PIL.Image
+
+        buf = io.BytesIO()
+        PIL.Image.fromarray(arr).save(buf, format="TIFF", **save)
+        return buf.getvalue()
+
+    @pytest.mark.parametrize(
+        "comp", [None, "packbits", "tiff_lzw"]
+    )
+    def test_rgb_compressions_match_pil(self, comp):
+        import PIL.Image
+
+        rng = np.random.default_rng(3)
+        # smooth content exercises the LZW horizontal predictor
+        arr = np.clip(
+            np.cumsum(rng.integers(-3, 4, (48, 52, 3)), axis=1) + 128,
+            0, 255,
+        ).astype(np.uint8)
+        kw = {"compression": comp} if comp else {}
+        data = self._tiff_bytes(arr, **kw)
+        ours, depth = native.tiff_decode(data)
+        ref = np.asarray(PIL.Image.open(io.BytesIO(data)))
+        assert depth == 8
+        assert np.array_equal(ours, ref)
+
+    def test_rgba_and_gray_match_pil(self):
+        import PIL.Image
+
+        rng = np.random.default_rng(4)
+        rgba = rng.integers(0, 255, (33, 47, 4)).astype(np.uint8)
+        data = self._tiff_bytes(rgba, compression="tiff_lzw")
+        ours, _ = native.tiff_decode(data)
+        assert np.array_equal(
+            ours, np.asarray(PIL.Image.open(io.BytesIO(data)))
+        )
+        gray = rng.integers(0, 255, (40, 40)).astype(np.uint8)
+        data = self._tiff_bytes(gray, compression="packbits")
+        ours, _ = native.tiff_decode(data)
+        assert np.array_equal(
+            ours, np.asarray(PIL.Image.open(io.BytesIO(data)))
+        )
+
+    def test_gray16_matches_pil(self):
+        import PIL.Image
+
+        rng = np.random.default_rng(5)
+        arr = rng.integers(0, 65535, (21, 19)).astype(np.uint16)
+        buf = io.BytesIO()
+        PIL.Image.fromarray(arr).save(buf, format="TIFF")
+        data = buf.getvalue()
+        ours, depth = native.tiff_decode(data)
+        assert depth == 16
+        assert np.array_equal(
+            ours, np.asarray(PIL.Image.open(io.BytesIO(data)))
+        )
+
+    def test_tiff_through_image_load(self):
+        import PIL.Image
+
+        from cuttlefish_tpu.image import codecs
+
+        rng = np.random.default_rng(6)
+        arr = rng.integers(0, 255, (20, 24, 3)).astype(np.uint8)
+        data = self._tiff_bytes(arr, compression="tiff_lzw")
+        decoded, fmt = codecs.load(data)
+        assert np.array_equal(decoded, arr)
