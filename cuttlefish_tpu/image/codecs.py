@@ -205,6 +205,208 @@ def _from_pil(img) -> tuple[np.ndarray, ImageFormat]:
     return arr, fmt
 
 
+
+# ---------------------------------------------------------------------------
+# ICO / PSD (the remaining common FreeImage formats; WEBP stays PIL-only).
+# ---------------------------------------------------------------------------
+
+
+def decode_ico(data: bytes) -> tuple[np.ndarray, ImageFormat]:
+    """ICO container -> the largest icon entry as RGBA8.
+
+    Entries are PNG (delegated to the PNG path) or BMP DIBs
+    (BITMAPINFOHEADER with doubled height and a 1-bit AND mask);
+    1/4/8-bit palette, 24-bit, and 32-bit DIBs are supported.
+    """
+    if len(data) < 6 or data[:4] != b"\x00\x00\x01\x00":
+        raise DecodeError("not an ICO file")
+    count = struct.unpack_from("<H", data, 4)[0]
+    if count == 0:
+        raise DecodeError("empty ICO")
+    best = None
+    for i in range(count):
+        off = 6 + 16 * i
+        if off + 16 > len(data):
+            raise DecodeError("truncated ICO directory")
+        w, h, _colors, _r, _planes, bpp, size, doff = struct.unpack_from(
+            "<BBBBHHII", data, off
+        )
+        w = w or 256
+        h = h or 256
+        key = (w * h, bpp)
+        if best is None or key > best[0]:
+            best = (key, size, doff)
+    _, size, doff = best
+    if doff + size > len(data):
+        raise DecodeError("truncated ICO entry")
+    entry = data[doff : doff + size]
+    if entry.startswith(b"\x89PNG\r\n\x1a\n"):
+        arr, fmt = load(entry)
+        return arr, fmt
+    # BMP DIB
+    if len(entry) < 40:
+        raise DecodeError("truncated ICO DIB")
+    (hsz, bw, bh2, _planes, bpp, comp) = struct.unpack_from(
+        "<IiihHI", entry, 0
+    )
+    if hsz != 40 or comp != 0:
+        raise DecodeError("unsupported ICO DIB")
+    bh = bh2 // 2  # height counts the XOR + AND masks
+    if bw <= 0 or bh <= 0:
+        raise DecodeError("bad ICO DIB dims")
+
+    def row_stride(bits):
+        return ((bw * bits + 31) // 32) * 4
+
+    pos = hsz
+    palette = None
+    if bpp <= 8:
+        ncolors = 1 << bpp
+        palette = np.frombuffer(
+            entry, np.uint8, ncolors * 4, pos
+        ).reshape(ncolors, 4)[:, [2, 1, 0]]
+        pos += ncolors * 4
+    xor_stride = row_stride(bpp)
+    xor = entry[pos : pos + xor_stride * bh]
+    pos += xor_stride * bh
+    and_stride = row_stride(1)
+    andm = entry[pos : pos + and_stride * bh]
+
+    out = np.zeros((bh, bw, 4), np.uint8)
+    for y in range(bh):
+        dy = bh - 1 - y  # bottom-up
+        row = xor[y * xor_stride : (y + 1) * xor_stride]
+        if bpp == 32:
+            px = np.frombuffer(row, np.uint8, bw * 4).reshape(bw, 4)
+            out[dy, :, 0] = px[:, 2]
+            out[dy, :, 1] = px[:, 1]
+            out[dy, :, 2] = px[:, 0]
+            out[dy, :, 3] = px[:, 3]
+        elif bpp == 24:
+            px = np.frombuffer(row, np.uint8, bw * 3).reshape(bw, 3)
+            out[dy, :, :3] = px[:, [2, 1, 0]]
+            out[dy, :, 3] = 255
+        elif bpp == 8:
+            idx = np.frombuffer(row, np.uint8, bw)
+            out[dy, :, :3] = palette[idx]
+            out[dy, :, 3] = 255
+        elif bpp == 4:
+            b = np.frombuffer(row, np.uint8, (bw + 1) // 2)
+            idx = np.empty(bw, np.uint8)
+            idx[0::2] = b[: (bw + 1) // 2] >> 4
+            idx[1::2] = b[: bw // 2] & 0xF
+            out[dy, :, :3] = palette[idx]
+            out[dy, :, 3] = 255
+        elif bpp == 1:
+            bits = np.unpackbits(
+                np.frombuffer(row, np.uint8, (bw + 7) // 8)
+            )[:bw]
+            out[dy, :, :3] = palette[bits]
+            out[dy, :, 3] = 255
+        else:
+            raise DecodeError(f"unsupported ICO bpp {bpp}")
+        if bpp != 32 and andm:
+            arow = andm[y * and_stride : (y + 1) * and_stride]
+            mask = np.unpackbits(
+                np.frombuffer(arow, np.uint8, (bw + 7) // 8)
+            )[:bw]
+            out[dy, :, 3] = np.where(mask == 1, 0, out[dy, :, 3])
+    return out, ImageFormat.RGBA8
+
+
+def decode_psd(data: bytes) -> tuple[np.ndarray, ImageFormat]:
+    """PSD flattened composite -> array (8/16-bit gray/RGB/RGBA).
+
+    Parses the '8BPS' v1 header, skips the color-mode/resources/layers
+    sections, and reads the merged image data (compression 0 = raw or
+    1 = PackBits-per-scanline with a row-length table); channels beyond
+    the mode's are alpha.
+    """
+    if len(data) < 26 or data[:4] != b"8BPS":
+        raise DecodeError("not a PSD file")
+    version, = struct.unpack_from(">H", data, 4)
+    if version != 1:
+        raise DecodeError("unsupported PSD version")
+    channels, height, width, depth, mode = struct.unpack_from(
+        ">HIIHH", data, 12
+    )
+    if depth not in (8, 16) or mode not in (1, 3):
+        raise DecodeError("unsupported PSD depth/mode")
+    if channels < 1 or channels > 8:
+        raise DecodeError("bad PSD channel count")
+    pos = 26
+    for _ in range(3):  # color mode data, resources, layers
+        if pos + 4 > len(data):
+            raise DecodeError("truncated PSD")
+        ln, = struct.unpack_from(">I", data, pos)
+        pos += 4 + ln
+    if pos + 2 > len(data):
+        raise DecodeError("truncated PSD")
+    comp, = struct.unpack_from(">H", data, pos)
+    pos += 2
+    bpp = depth // 8
+    planes = []
+    if comp == 0:
+        need = channels * height * width * bpp
+        if pos + need > len(data):
+            raise DecodeError("truncated PSD raw data")
+        dt = np.dtype(">u2") if depth == 16 else np.uint8
+        for ch in range(channels):
+            plane = np.frombuffer(
+                data, dt, height * width, pos + ch * height * width * bpp
+            ).reshape(height, width)
+            planes.append(plane.astype(plane.dtype.newbyteorder("=")))
+    elif comp == 1:
+        nrows = channels * height
+        lens = np.frombuffer(data, ">u2", nrows, pos).astype(np.int64)
+        pos += nrows * 2
+        raw = bytearray()
+        want_row = width * bpp
+        for ri in range(nrows):
+            end = pos + int(lens[ri])
+            row = bytearray()
+            i = pos
+            while i < end and len(row) < want_row:
+                c = data[i]
+                i += 1
+                if c < 128:
+                    row += data[i : i + c + 1]
+                    i += c + 1
+                elif c > 128:
+                    row += data[i : i + 1] * (257 - c)
+                    i += 1
+            if len(row) < want_row:
+                row += b"\x00" * (want_row - len(row))
+            raw += row[:want_row]
+            pos = end
+        dt = np.dtype(">u2") if depth == 16 else np.uint8
+        arr = np.frombuffer(bytes(raw), dt).reshape(channels, height, width)
+        planes = [
+            arr[ch].astype(arr.dtype.newbyteorder("=")) for ch in range(channels)
+        ]
+    else:
+        raise DecodeError("unsupported PSD compression")
+
+    base = 1 if mode == 1 else 3
+    nch = base + (1 if channels > base else 0)
+    stacked = np.stack(planes[:nch], axis=-1)
+    if nch == 1:
+        stacked = stacked[..., 0]
+    if depth == 16:
+        if stacked.ndim == 2:
+            return stacked.astype(np.uint16), ImageFormat.UInt16
+        return (
+            stacked.astype(np.float32) / 65535.0,
+            ImageFormat.RGBF if nch == 3 else ImageFormat.RGBAF,
+        )
+    fmt = {
+        1: ImageFormat.Gray8,
+        3: ImageFormat.RGB8,
+        4: ImageFormat.RGBA8,
+    }[nch if stacked.ndim == 3 else 1]
+    return stacked.astype(np.uint8), fmt
+
+
 def load(source) -> tuple[np.ndarray, ImageFormat]:
     """Load from path / bytes / file-like; sniffs type from content.
 
@@ -282,6 +484,16 @@ def load(source) -> tuple[np.ndarray, ImageFormat]:
                 return _native_to_format(arr, 8)
         except Exception:
             pass
+    if data.startswith(b"\x00\x00\x01\x00") and len(data) >= 6:
+        try:
+            return decode_ico(data)
+        except DecodeError:
+            pass  # fall through to PIL
+    if data.startswith(b"8BPS"):
+        try:
+            return decode_psd(data)
+        except DecodeError:
+            pass  # fall through to PIL
     if data.startswith(b"II*\x00") or data.startswith(b"MM\x00*"):
         # Baseline strip TIFF natively; tiles/planar/JPEG-in-TIFF raise
         # and fall through to PIL.
@@ -301,9 +513,9 @@ def load(source) -> tuple[np.ndarray, ImageFormat]:
         # (`pip install cuttlefish-tpu[codecs]`).
         raise DecodeError(
             "unrecognized or non-built-in image format; built-in codecs "
-            "cover PNG/JPEG/GIF/TIFF/TGA/BMP/HDR/PFM/EXR + "
+            "cover PNG/JPEG/GIF/TIFF/TGA/BMP/ICO/PSD/HDR/PFM/EXR + "
             "DDS/KTX/KTX2/PVR — install the optional Pillow dependency "
-            "(cuttlefish-tpu[codecs]) for the long tail (WEBP/PSD/...)"
+            "(cuttlefish-tpu[codecs]) for the long tail (WEBP/...)"
         )
     try:
         img = _pil.open(io.BytesIO(data))

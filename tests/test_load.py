@@ -330,3 +330,112 @@ def test_1d_texture_roundtrip(fmt, quality, file_type):
     assert loaded.mip_levels == tex.mip_levels
     for mip in range(tex.mip_levels):
         assert loaded.data(mip_level=mip) == tex.data(mip_level=mip)
+
+
+class TestIcoPsd:
+    """Built-in ICO / PSD ingest vs PIL (codecs.decode_ico/_psd)."""
+
+    def test_ico_png_entry_matches_pil(self):
+        import io
+
+        import PIL.Image
+
+        from cuttlefish_tpu.image import codecs
+
+        rng = np.random.default_rng(0)
+        arr = rng.integers(0, 255, (32, 32, 4)).astype(np.uint8)
+        buf = io.BytesIO()
+        PIL.Image.fromarray(arr).save(buf, format="ICO")
+        dec, fmt = codecs.load(buf.getvalue())
+        ref = np.asarray(
+            PIL.Image.open(io.BytesIO(buf.getvalue())).convert("RGBA")
+        )
+        assert np.array_equal(np.asarray(dec), ref)
+
+    def test_ico_bmp_dib_entry(self):
+        import struct
+
+        from cuttlefish_tpu.image import codecs
+        from cuttlefish_tpu.image.format import ImageFormat
+
+        # Hand-built 4x2 32-bpp DIB entry (BGRA bottom-up + AND mask).
+        w, h = 4, 2
+        px = np.arange(w * h * 4, dtype=np.uint8).reshape(h, w, 4)
+        # BITMAPINFOHEADER: 20 packed bytes + 20 zero bytes = biSize 40
+        dib = struct.pack("<IiihHI", 40, w, h * 2, 1, 32, 0) + b"\x00" * 20
+        for y in range(h - 1, -1, -1):  # bottom-up rows
+            row = px[y][:, [2, 1, 0, 3]]  # RGBA -> BGRA
+            dib += row.tobytes()
+        dib += b"\x00" * 4 * h  # AND mask (ignored at 32 bpp)
+        entry_off = 6 + 16
+        data = (
+            b"\x00\x00\x01\x00\x01\x00"
+            + struct.pack(
+                "<BBBBHHII", w, h, 0, 0, 1, 32, len(dib), entry_off
+            )
+            + dib
+        )
+        dec, fmt = codecs.load(data)
+        assert fmt is ImageFormat.RGBA8
+        assert np.array_equal(np.asarray(dec), px)
+
+    @staticmethod
+    def _psd_bytes(a, comp):
+        import struct
+
+        h, w = a.shape[:2]
+        nch = a.shape[2]
+        hdr = (
+            b"8BPS"
+            + struct.pack(">H", 1)
+            + b"\x00" * 6
+            + struct.pack(">HIIHH", nch, h, w, 8, 3)
+        )
+        body = hdr + struct.pack(">I", 0) * 3
+        planes = [a[..., c].tobytes() for c in range(nch)]
+        if comp == 0:
+            return body + struct.pack(">H", 0) + b"".join(planes)
+        rows = []
+        lens = []
+        for c in range(nch):
+            for y in range(h):
+                row = a[y, :, c].tobytes()
+                enc = b""
+                i = 0
+                while i < len(row):
+                    chunk = row[i : i + 128]
+                    enc += bytes([len(chunk) - 1]) + chunk
+                    i += len(chunk)
+                rows.append(enc)
+                lens.append(len(enc))
+        return (
+            body
+            + struct.pack(">H", 1)
+            + b"".join(struct.pack(">H", ln) for ln in lens)
+            + b"".join(rows)
+        )
+
+    @pytest.mark.parametrize("comp", [0, 1])
+    def test_psd_rgb_matches_pil(self, comp):
+        import io
+
+        import PIL.Image
+
+        from cuttlefish_tpu.image import codecs
+
+        rng = np.random.default_rng(comp)
+        a = rng.integers(0, 255, (21, 17, 3)).astype(np.uint8)
+        data = self._psd_bytes(a, comp)
+        dec, fmt = codecs.load(data)
+        ref = np.asarray(PIL.Image.open(io.BytesIO(data)))
+        assert np.array_equal(np.asarray(dec), ref)
+
+    def test_psd_rgba(self):
+        from cuttlefish_tpu.image import codecs
+        from cuttlefish_tpu.image.format import ImageFormat
+
+        rng = np.random.default_rng(9)
+        a = rng.integers(0, 255, (12, 15, 4)).astype(np.uint8)
+        dec, fmt = codecs.load(self._psd_bytes(a, 1))
+        assert fmt is ImageFormat.RGBA8
+        assert np.array_equal(np.asarray(dec), a)
