@@ -494,6 +494,16 @@ def load(source) -> tuple[np.ndarray, ImageFormat]:
             return decode_psd(data)
         except DecodeError:
             pass  # fall through to PIL
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        # Lossless (VP8L) WebP decodes built-in; lossy VP8 raises and
+        # falls through to PIL.
+        from cuttlefish_tpu.image import webp as _webp
+
+        try:
+            arr = _webp.decode_webp_lossless(data)
+            return arr, ImageFormat.RGBA8
+        except _webp.WebpError:
+            pass
     if data.startswith(b"II*\x00") or data.startswith(b"MM\x00*"):
         # Baseline strip TIFF natively; tiles/planar/JPEG-in-TIFF raise
         # and fall through to PIL.
@@ -513,9 +523,10 @@ def load(source) -> tuple[np.ndarray, ImageFormat]:
         # (`pip install cuttlefish-tpu[codecs]`).
         raise DecodeError(
             "unrecognized or non-built-in image format; built-in codecs "
-            "cover PNG/JPEG/GIF/TIFF/TGA/BMP/ICO/PSD/HDR/PFM/EXR + "
-            "DDS/KTX/KTX2/PVR — install the optional Pillow dependency "
-            "(cuttlefish-tpu[codecs]) for the long tail (WEBP/...)"
+            "cover PNG/JPEG/GIF/TIFF/TGA/BMP/ICO/PSD/WebP-lossless/HDR/"
+            "PFM/EXR + DDS/KTX/KTX2/PVR — install the optional Pillow "
+            "dependency (cuttlefish-tpu[codecs]) for lossy WebP and "
+            "exotica"
         )
     try:
         img = _pil.open(io.BytesIO(data))

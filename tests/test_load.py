@@ -439,3 +439,75 @@ class TestIcoPsd:
         dec, fmt = codecs.load(self._psd_bytes(a, 1))
         assert fmt is ImageFormat.RGBA8
         assert np.array_equal(np.asarray(dec), a)
+
+
+class TestWebpLossless:
+    """Built-in VP8L decoder vs PIL (lossless -> byte equality IS the
+    spec); lossy VP8 falls through to PIL."""
+
+    @staticmethod
+    def _webp(arr, **save):
+        import io
+
+        import PIL.Image
+
+        buf = io.BytesIO()
+        PIL.Image.fromarray(arr).save(
+            buf, format="WEBP", lossless=True, **save
+        )
+        return buf.getvalue()
+
+    @pytest.mark.parametrize("method", [0, 4, 6])
+    def test_photo_matches_pil(self, method):
+        import io
+
+        import PIL.Image
+
+        from cuttlefish_tpu.image import webp
+
+        rng = np.random.default_rng(method)
+        arr = np.clip(
+            np.cumsum(rng.integers(-4, 5, (48, 56, 3)), axis=0)
+            .cumsum(axis=1) // 8 + 128,
+            0, 255,
+        ).astype(np.uint8)
+        data = self._webp(arr, method=method)
+        ours = webp.decode_webp_lossless(data)
+        ref = np.asarray(PIL.Image.open(io.BytesIO(data)).convert("RGBA"))
+        assert np.array_equal(ours, ref)
+
+    def test_rgba_and_palette_match_pil(self):
+        import io
+
+        import PIL.Image
+
+        from cuttlefish_tpu.image import webp
+
+        rng = np.random.default_rng(7)
+        rgba = rng.integers(0, 255, (16, 16, 4)).astype(np.uint8)
+        data = self._webp(rgba)
+        ours = webp.decode_webp_lossless(data)
+        assert np.array_equal(
+            ours,
+            np.asarray(PIL.Image.open(io.BytesIO(data)).convert("RGBA")),
+        )
+        pal = np.zeros((24, 24, 3), np.uint8)
+        pal[::2] = (255, 0, 0)
+        pal[:, ::3] = (0, 255, 0)
+        data = self._webp(pal)
+        ours = webp.decode_webp_lossless(data)
+        assert np.array_equal(
+            ours,
+            np.asarray(PIL.Image.open(io.BytesIO(data)).convert("RGBA")),
+        )
+
+    def test_webp_through_image_load(self):
+        from cuttlefish_tpu.image import codecs
+        from cuttlefish_tpu.image.format import ImageFormat
+
+        rng = np.random.default_rng(8)
+        arr = rng.integers(0, 255, (20, 24, 3)).astype(np.uint8)
+        dec, fmt = codecs.load(self._webp(arr))
+        assert fmt is ImageFormat.RGBA8
+        assert np.array_equal(np.asarray(dec)[..., :3], arr)
+        assert (np.asarray(dec)[..., 3] == 255).all()
