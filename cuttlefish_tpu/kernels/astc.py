@@ -973,9 +973,12 @@ _PLAN = {
             cem8_layouts=3, cem12_layouts=3, cem0_layouts=1,
             cem4_layouts=1, dp_ccs=(3,), p2_layouts=2, keep2=1,
             p2_iters=2),
+    # q3 keep2 follows q2 (distinct-pattern top-6, deep-fit 1): q3's
+    # 2-partition search then equals q2's exactly, and the extra
+    # 3/4-partition + (12,2) sweeps keep the ladder monotone for free.
     3: dict(iters=3, iters12=4, seeds2=6, seeds3=1, seeds4=1,
             cem8_layouts=3, cem12_layouts=3, cem0_layouts=1,
-            cem4_layouts=1, dp_ccs=(3,), p2_layouts=2, keep2=2,
+            cem4_layouts=1, dp_ccs=(3,), p2_layouts=2, keep2=1,
             p2_iters=2),
     4: dict(iters=4, iters12=5, seeds2=16, seeds3=6, keep3=3, seeds4=2,
             cem8_layouts=3, cem12_layouts=3, cem0_layouts=1,
