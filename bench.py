@@ -332,7 +332,7 @@ def measure_full_matrix() -> dict:
         key = f"astc4x4_q{q}_kernel"
         out[key] = {"mtexels_per_s": round(1024 * 1024 / dt / 1e6, 2)}
         log(f"{key}: {out[key]}")
-    for bw, bh in ((6, 6), (8, 8)):
+    for bw, bh in ((6, 6), (8, 8), (12, 12)):
         blocks_b, _, _ = extract_blocks(surf, bw, bh)
         dt = _time_chained(
             lambda b, bw=bw, bh=bh: kastc.encode_astc(
@@ -353,6 +353,25 @@ def measure_full_matrix() -> dict:
         "mtexels_per_s": round(1024 * 1024 / dt / 1e6, 2)
     }
     log(f"etc2_rgb_q2_kernel: {out['etc2_rgb_q2_kernel']}")
+    # q4 = the effort-100-class search (T/H coordinate descent, exact
+    # planar neighborhood, base-cube estimate-then-refine).
+    dt = _time_chained(
+        lambda b: ketc.encode_etc_rgb(b, quality=4, etc2=True), blocks, 2,
+        chain=4,
+    )
+    out["etc2_rgb_q4_kernel"] = {
+        "mtexels_per_s": round(1024 * 1024 / dt / 1e6, 2)
+    }
+    log(f"etc2_rgb_q4_kernel: {out['etc2_rgb_q4_kernel']}")
+    # Raw BC1 kernel row (config 1's format without the tunnel-bound
+    # container round-trip that dominates bc1_512_dds).
+    dt = _time_chained(
+        lambda b: kbc.encode_bc1(b, quality=2), blocks, 2, chain=4,
+    )
+    out["bc1_q2_kernel"] = {
+        "mtexels_per_s": round(1024 * 1024 / dt / 1e6, 2)
+    }
+    log(f"bc1_q2_kernel: {out['bc1_q2_kernel']}")
     dt = _time_chained(
         lambda b: ketc.encode_eac_r11(b[..., 0], quality=2), blocks, 2,
         chain=4,
